@@ -1,0 +1,141 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side design is fully real — schemas, partition sizing, UDF
+signatures, batch shapes — while the codec step itself is stubbed: this
+container has no image/audio libraries, so ``decode_image`` degrades to
+a clearly-marked deterministic fake (documented per-function).  Swapping
+the fake for Pillow/torchaudio is a one-line change inside the UDF; the
+distributed plumbing does not move.
+
+Scale notes: media blobs make rows wide, so the operators repartition by
+byte budget, not row count (`target_partition_bytes`); feature outputs
+are narrow and shuffle freely afterwards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("content", T.BinaryType(), True),     # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]), True),
+])
+
+
+def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA — bytes
+    are seeded by id so every run (and every engine) sees identical
+    content."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{kind}:{i}".encode()).digest() * 8  # 256 B
+        rows.append((i, kind, payload,
+                     ("png", 32, 24, None, None) if kind == "image"
+                     else ("wav", None, None, 16000, 1 + i % 50)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def repartition_by_bytes(df: DataFrame, size_col_bytes: str = "content",
+                         target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Media-aware repartition: estimates total bytes from the binary
+    column and repartitions so each task holds ~``target_partition_bytes``
+    of payload — the knob that matters for blob tables, where row counts
+    say nothing about memory."""
+    stats = df.select(F.sum(F.coalesce(F.length(size_col_bytes), F.lit(0))).alias("b")).collect()
+    total = stats[0]["b"] or 0
+    parts = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(parts)
+
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("digest", T.StringType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Decode + featurize each media row via Arrow-batched mapInPandas.
+
+    STUB CODEC: real deployments replace ``_fake_decode`` with an actual
+    decoder (PIL.Image.open / soundfile.read).  The fake is deterministic
+    — features are a fixed-length float vector derived from the content
+    digest — so tests pin exact values while the distributed execution
+    path (binary columns through Arrow batches into pandas and back) is
+    the real one.
+    """
+
+    def _fake_decode(content: bytes) -> np.ndarray:
+        # NotImplementedError-class boundary: stands in for pixel/sample
+        # decoding. Deterministic: bytes -> sha256 -> feature_dim floats.
+        if content is None:
+            return np.zeros(feature_dim, dtype=np.float32)
+        d = hashlib.sha256(content).digest()
+        vals = struct.unpack(f"<{feature_dim}I", d[:4 * feature_dim])
+        return np.array([v / 2**32 for v in vals], dtype=np.float32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(bytes(c) if c is not None else None)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                "digest": [hashlib.sha256(bytes(c)).hexdigest() if c is not None else None
+                           for c in pdf["content"]],
+                "features": [f.tolist() for f in feats],
+            })
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: maps content→content with updated meta.
+
+    STUB CODEC: raises ``NotImplementedError`` inside the UDF when
+    actually executed on image bytes, because no image library exists in
+    this container; the operator exists so the schema/partitioning/UDF
+    contract is pinned by tests via ``df.schema`` without execution.
+    """
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode/resize requires an image codec (e.g. Pillow); "
+            "not available in this environment")
+        yield  # pragma: no cover
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing (same stub contract as resize)."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video decode requires a codec (e.g. PyAV); not available here")
+        yield  # pragma: no cover
+
+    return df.mapInPandas(run, schema=out_schema)
