@@ -1,38 +1,904 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pricing-summary query at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(core SQL surface, reference-combinator parity, LLM-data-pipeline
+operators, streaming).  Each callable takes (spark, sf_dir) and returns
+a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL producing identical
+row sets (same column names, same value bit-patterns).
+
+Float determinism policy: double sums go through exact decimal
+accumulation then a final cast to double (both engines sum decimals
+exactly → identical IEEE doubles); element-wise float math uses
+sequential left-folds in both engines so the operation order is
+identical.  Hash-based operators (minhash/simhash/fingerprints) use
+md5-derived integer hashing (etl_excel_to_hyper_tableau_spark.functions.
+hashing) which both engines reproduce bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from etl_excel_to_hyper_tableau_spark.functions.hashing import perm_constants
+from etl_excel_to_hyper_tableau_spark.operators import dedup as dd
+from etl_excel_to_hyper_tableau_spark.operators import similarity as sim
+from etl_excel_to_hyper_tableau_spark.operators import text as tx
+from etl_excel_to_hyper_tableau_spark.operators.combinators import pivot_union
+from etl_excel_to_hyper_tableau_spark.streaming import (
+    run_windowed_counts_availablenow, sessionize_batch,
+)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects; read nanos as long and truncate to micros (identical to
+    DuckDB's nanos→micros floor)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col, alias: str, scale: str = "decimal(28,4)"):
+    """Deterministic double sum: exact decimal accumulation → double.
+    Only sound when ``col`` is a *stored* value (2-decimal money / small
+    measures): the double→decimal rounding of such values is the same in
+    every engine.  For computed products, build the product from decimal
+    operands instead (see ``_revenue_dec``)."""
+    return F.sum(col.cast(scale)).cast("double").alias(alias)
+
+
+def _dec2(col):
+    return col.cast("decimal(12,2)")
+
+
+def _revenue_dec():
+    """Exact-decimal revenue term: both engines compute
+    dec(extendedprice) * (1 - dec(discount)) with exact decimal
+    arithmetic — bit-identical after the final cast to double."""
+    return _dec2(F.col("l_extendedprice")) * (F.lit(1) - _dec2(F.col("l_discount")))
+
+
+# ===========================================================================
+# Core SQL surface (SURVEY §2B/§2C)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy aggregation with computed measures.
+    Whole plan is one scan + one partial/final hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _revenue_dec()
+    charge = disc_price * (F.lit(1) + _dec2(F.col("l_tax")))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_quantity"), "sum_qty"),
+                 _dsum(F.col("l_extendedprice"), "sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, group, top-10 by revenue.
+    customer is broadcast; lineitem↔orders is the only real shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    revenue = _revenue_dec()
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(revenue).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join through region/nation; small dims
+    broadcast, customer-supplier co-nation constraint."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _revenue_dec()
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(cust, (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(revenue).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue of returned items per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _revenue_dec()
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(revenue).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+def q_priority_rank_window(spark, sf_dir):
+    """Window functions: rank / dense_rank / row_number / lag over a
+    deterministic total order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (orders.select(
+        "o_orderpriority", "o_orderkey",
+        F.col("o_totalprice"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("o_orderpriority", "rn"))
+
+
+def q_orders_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP with grouping() — a Spark superset over SQLite
+    (SURVEY §2C 'grouping sets')."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("o_totalprice"), "total"),
+                 F.grouping("o_orderstatus").cast("long").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("long").alias("g_prio"))
+            .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority"))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS shape): customers who never placed an
+    urgent order, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    nation = _t(spark, sf_dir, "nation")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy("n_name"))
+
+
+def q_nation_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct semantics, as SQLite defines them)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("which", F.lit("both"))
+    cust_only = cust.subtract(supp).withColumn("which", F.lit("cust_only"))
+    return both.unionByName(cust_only).orderBy("which", "nationkey")
+
+
+def q_big_spenders_cte(spark, sf_dir):
+    """CTE + scalar subquery: orders above 1.5x average price, per status."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_price = (orders.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double")
+         / F.count("*")).alias("a")).collect()[0]["a"])
+    return (orders.filter(F.col("o_totalprice") > 1.5 * avg_price)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_big"),
+                 _dsum(F.col("o_totalprice"), "total_big"))
+            .orderBy("o_orderstatus"))
+
+
+def q_distinct_suppliers(spark, sf_dir):
+    """COUNT(DISTINCT) + multiple distinct aggregates in one query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.countDistinct("l_partkey").alias("n_part"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
+def q_part_string_funcs(spark, sf_dir):
+    """String function surface: substr/upper/lower/replace/instr/length/concat."""
+    part = _t(spark, sf_dir, "part")
+    return (part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.regexp_replace("p_name", "a", "@").alias("name_at"),
+        F.instr("p_type", "ED").cast("long").alias("ed_pos"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"))
+        .filter(F.col("p_partkey") <= 200)
+        .orderBy("p_partkey"))
+
+
+def q_monthly_order_stats(spark, sf_dir):
+    """Date functions + aggregation: order stats per calendar month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+            .groupBy("month")
+            .agg(F.count("*").alias("n_orders"),
+                 _dsum(F.col("o_totalprice"), "total"),
+                 F.min("o_orderdate").alias("first_order"),
+                 F.max("o_orderdate").alias("last_order"))
+            .orderBy("month"))
+
+
+def q_quantity_case_buckets(spark, sf_dir):
+    """CASE expression buckets + HAVING-style post-aggregation filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (F.when(F.col("l_quantity") <= 10, "small")
+              .when(F.col("l_quantity") <= 30, "medium")
+              .otherwise("large"))
+    return (li.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("l_quantity"), "total_qty"))
+            .filter(F.col("n") > 100)
+            .orderBy("bucket"))
+
+
+def q_brand_like_filter(spark, sf_dir):
+    """LIKE / ILIKE surface (SQLite LIKE is case-insensitive — the
+    dialect shim maps LIKE→ILIKE; this query pins that semantic)."""
+    part = _t(spark, sf_dir, "part")
+    return (part.filter(F.col("p_type").ilike("%econ%"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+            .orderBy("p_brand"))
+
+
+def q_margin_theta_join(spark, sf_dir):
+    """Equi-join + theta predicate: lineitems priced above retail."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(F.col("l_extendedprice") > F.col("p_retailprice") * 20)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_above"),
+                 _dsum(F.col("l_extendedprice"), "total_price"))
+            .orderBy("p_brand"))
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    """Join + window: highest-balance customer per nation (QUALIFY shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") == 1)
+            .select("n_name", "c_custkey", "c_name", "c_acctbal")
+            .orderBy("n_name"))
+
+
+def q_acctbal_deciles(spark, sf_dir):
+    """ntile window: customer account-balance deciles."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("c_acctbal"), "total_bal"),
+                 F.min("c_acctbal").alias("min_bal"),
+                 F.max("c_acctbal").alias("max_bal"))
+            .orderBy("decile"))
+
+
+def q_group_concat_sorted(spark, sf_dir):
+    """Deterministic group_concat: sorted collect_list + concat_ws
+    (the dialect shim's group_concat mapping, made order-stable)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations"),
+                 F.count("*").alias("n"))
+            .orderBy("r_name"))
+
+
+# ===========================================================================
+# Reference-combinator parity (SURVEY §2A A12/A13)
+# ===========================================================================
+
+def q_ref_pivot_union(spark, sf_dir):
+    """The pivot combinator (A12): same query over two 'sources' —
+    order-status slices standing in for input files — stacked with a
+    provenance column named ``index``."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def per_status(status):
+        return (orders.filter(F.col("o_orderstatus") == status)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n_orders"),
+                     _dsum(F.col("o_totalprice"), "total")))
+    combined = pivot_union([("source_O.xlsx", per_status("O")),
+                            ("source_F.xlsx", per_status("F"))])
+    return combined.orderBy("index", "o_orderpriority")
+
+
+def q_ref_horizontal_concat(spark, sf_dir):
+    """The horizontal-concat combinator (A13) with a deterministic row
+    order: two per-source aggregates joined positionally via
+    row_number, shorter side null-padded (pandas axis=1 semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def per_status(status, prefix):
+        agg = (orders.filter(F.col("o_orderstatus") == status)
+               .groupBy("o_orderpriority")
+               .agg(F.count("*").alias("n")))
+        w = Window.orderBy("o_orderpriority")
+        return agg.select(
+            F.row_number().over(w).cast("long").alias("rid"),
+            F.col("o_orderpriority").alias(f"{prefix}_priority"),
+            F.col("n").alias(f"{prefix}_n"))
+    a = per_status("O", "o")
+    b = per_status("F", "f").filter(F.col("f_priority") != "5-LOW")  # ragged side
+    return (a.join(b, "rid", "full_outer")
+            .orderBy("rid")
+            .select("rid", "o_priority", "o_n", "f_priority", "f_n"))
+
+
+# ===========================================================================
+# Events: sessionization + JSON
+# ===========================================================================
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize_batch(ev, gap_minutes=30)
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.min("session_start").alias("first_seen"),
+                 F.max("session_end").alias("last_seen"))
+            .orderBy("user_id"))
+
+
+def q_events_json(spark, sf_dir):
+    """JSON extraction surface: props->k aggregated per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """PIVOT (Spark relational pivot — a superset over SQLite): hourly
+    event counts pivoted to one column per event type."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.withColumn("hour", F.hour("ts").cast("long"))
+            .groupBy("hour").pivot("event_type", types).count()
+            .na.fill(0, types)
+            .orderBy("hour"))
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (BASELINE.json north star)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    kept = dd.exact_dedup(docs, ["text"], "doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (dd.minhash_lsh_candidates(docs, "text", "doc_id", k=16, n=3, bands=2)
+            .filter(F.col("est_jaccard") >= 0.7)
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (dd.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.topk_cosine_batch(corpus, queries, "embedding", "vec_id",
+                                  "embedding", "vec_id", k=5)
+            .select("query_id", "id", "cosine", F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+def q_text_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return tx.text_profile(docs, "text", "doc_id").orderBy("id")
+
+
+def q_doc_quality_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_score(F.col("text"))
+    return (docs.withColumn("quality", q)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("quality"), "total_quality", "decimal(28,8)"),
+                 _dsum(F.col("n_chars"), "total_chars", "decimal(28,0)"))
+            .orderBy("lang"))
+
+
+# ===========================================================================
+# Streaming (no SQL oracle — structured-streaming execution)
+# ===========================================================================
+
+def q_stream_event_counts(spark, sf_dir):
+    return (run_windowed_counts_availablenow(spark, f"{sf_dir}/events.parquet",
+                                             window="1 hour")
+            .orderBy("window_start", "event_type"))
+
+
+# ===========================================================================
+# Contract functions
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "priority_rank_window": q_priority_rank_window,
+        "orders_rollup": q_orders_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "nation_set_ops": q_nation_set_ops,
+        "big_spenders_cte": q_big_spenders_cte,
+        "distinct_suppliers": q_distinct_suppliers,
+        "part_string_funcs": q_part_string_funcs,
+        "monthly_order_stats": q_monthly_order_stats,
+        "quantity_case_buckets": q_quantity_case_buckets,
+        "brand_like_filter": q_brand_like_filter,
+        "margin_theta_join": q_margin_theta_join,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "acctbal_deciles": q_acctbal_deciles,
+        "group_concat_sorted": q_group_concat_sorted,
+        "ref_pivot_union": q_ref_pivot_union,
+        "ref_horizontal_concat": q_ref_horizontal_concat,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "event_type_pivot": q_event_type_pivot,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "text_profile": q_text_profile,
+        "doc_quality_by_lang": q_doc_quality_by_lang,
+        "stream_event_counts": q_stream_event_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect, same parquet tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_MD5I = "cast(('0x'||substr(md5({x}),1,15)) as bigint)"
+
+
+def _tokens_sql(x: str) -> str:
+    return f"list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
+
+
+def _grams_sql(x: str, n: int = 3) -> str:
+    return (f"case when length({x}) >= {n} then "
+            f"[substring({x}, i, {n}) for i in range(1, length({x}) - {n} + 2)] "
+            f"else [] end")
+
+
+def _minhash_sql_terms(k: int) -> list[str]:
+    """k min-over-shingles expressions matching minhash_signature()."""
+    terms = []
+    for a_i, b_i in perm_constants(k):
+        terms.append(
+            f"list_min(list_apply(hs, h -> (h * {a_i} + {b_i}) % 2305843009213693951))")
+    return terms
+
+
+def _simhash_bits_sql(th_col: str = "th") -> str:
+    """60-bit SimHash from a column holding the token-hash list —
+    per-bit ±1 vote sums, matching simhash64()."""
+    bits = []
+    for j in range(60):
+        bits.append(
+            f"(case when list_sum(list_apply({th_col}, h -> case when (h & {1 << j}) <> 0 "
+            f"then 1 else -1 end)) > 0 then cast({1 << j} as bigint) else 0 end)")
+    return " + ".join(bits)
+
+
+_DOT = ("list_reduce(list_apply(range(1, 65), "
+        "i -> cast(a.e[i] as double) * cast(b.e[i] as double)), (x, y) -> x + y)")
+_NORM_A = ("sqrt(list_reduce(list_apply(a.e, x -> cast(x as double) * cast(x as double)), "
+           "(x, y) -> x + y))")
+_NORM_B = ("sqrt(list_reduce(list_apply(b.e, x -> cast(x as double) * cast(x as double)), "
+           "(x, y) -> x + y))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _tokens_sql("text")
+    sw = {
+        lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+        for lang, ws in tx.STOPWORDS.items()
+    }
+    lang_ratio = {
+        lang: (f"(len(list_filter(toks, t -> list_contains({sw[lang]}, lower(t)))) "
+               f"/ cast(greatest(len(toks), 1) as double))")
+        for lang in sw
+    }
+    best = f"greatest({lang_ratio['en']}, {lang_ratio['es']}, {lang_ratio['de']}, {lang_ratio['fr']})"
+    detect = (f"case when {best} < 0.05 then 'und' "
+              f"when {lang_ratio['en']} = {best} then 'en' "
+              f"when {lang_ratio['es']} = {best} then 'es' "
+              f"when {lang_ratio['de']} = {best} then 'de' "
+              f"else 'fr' end")
+    # quality_score pieces (must mirror operators/text.py exactly)
+    n_tokens = "len(toks)"
+    punct = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    punct_ratio = f"({punct} / cast(greatest(length(text), 1) as double))"
+    stop_ratio = (f"(len(list_filter(toks, t -> list_contains({sw['en']}, lower(t)))) "
+                  f"/ cast(greatest({n_tokens}, 1) as double))")
+    quality = (f"(least({n_tokens} / 20.0, 1.0) * 0.4 "
+               f"+ greatest(1.0 - {punct_ratio} * 4.0, 0.0) * 0.3 "
+               f"+ least({stop_ratio} * 5.0, 1.0) * 0.3)")
+    word_chars = "length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))"
+    other_glyphs = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    fingerprint = (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_apply(toks, t -> {_MD5I.format(x='t')} % 2147483648)), "
+        f"(acc, h) -> ((acc % 2199023255552) * 1000003 + h) % 2305843009213693951)")
+
+    mh_terms = _minhash_sql_terms(16)
+    band_arms = []
+    for band in range(2):
+        cols = ", ".join(f"cast(s{band * 8 + j} as varchar)" for j in range(8))
+        band_arms.append(
+            f"SELECT id, {', '.join(f's{i}' for i in range(16))}, "
+            f"{band} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig")
+    banded_union = "\nUNION ALL\n".join(band_arms)
+
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(28,4))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(28,4))) as double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) as double) AS sum_disc_price,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) * (1 + cast(l_tax as decimal(12,2)))) as double) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) as double) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < timestamp '1998-03-15'
+  AND l_shipdate > timestamp '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        "local_supplier_volume": """
+SELECT n_name,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+        "returned_items": """
+SELECT c_custkey, c_name, n_name,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) as double) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+        "priority_rank_window": """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+  cast(row_number() OVER w as bigint) AS rn,
+  cast(rank() OVER w as bigint) AS rnk,
+  cast(dense_rank() OVER w as bigint) AS drnk,
+  lag(o_orderkey, 1) OVER w AS prev_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY rn <= 5 ORDER BY o_orderpriority, rn
+""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total,
+  cast(grouping(o_orderstatus) as bigint) AS g_status,
+  cast(grouping(o_orderpriority) as bigint) AS g_prio
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""",
+        "customers_without_orders": """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name ORDER BY n_name
+""",
+        "nation_set_ops": """
+WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'cust_only' AS which FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+ORDER BY which, nationkey
+""",
+        "big_spenders_cte": """
+WITH avg_p AS (
+  SELECT cast(sum(cast(o_totalprice as decimal(28,4))) as double) / count(*) AS a FROM orders)
+SELECT o_orderstatus, count(*) AS n_big,
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total_big
+FROM orders, avg_p WHERE o_totalprice > 1.5 * a
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "distinct_suppliers": """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "part_string_funcs": """
+SELECT p_partkey, substring(p_name, 1, 8) AS name8, upper(p_brand) AS brand_u,
+  lower(p_type) AS type_l, regexp_replace(p_name, 'a', '@', 'g') AS name_at,
+  cast(instr(p_type, 'ED') as bigint) AS ed_pos,
+  cast(length(p_name) as bigint) AS name_len,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+""",
+        "monthly_order_stats": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total,
+  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+FROM orders GROUP BY 1 ORDER BY month
+""",
+        "quantity_case_buckets": """
+SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+            WHEN l_quantity <= 30 THEN 'medium' ELSE 'large' END AS bucket,
+  count(*) AS n,
+  cast(sum(cast(l_quantity as decimal(28,4))) as double) AS total_qty
+FROM lineitem GROUP BY 1 HAVING count(*) > 100 ORDER BY bucket
+""",
+        "brand_like_filter": """
+SELECT p_brand, count(*) AS n FROM part
+WHERE p_type ILIKE '%econ%' GROUP BY p_brand ORDER BY p_brand
+""",
+        "margin_theta_join": """
+SELECT p_brand, count(*) AS n_above,
+  cast(sum(cast(l_extendedprice as decimal(28,4))) as double) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_extendedprice > p_retailprice * 20
+GROUP BY p_brand ORDER BY p_brand
+""",
+        "top_customer_per_nation": """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) = 1
+ORDER BY n_name
+""",
+        "acctbal_deciles": """
+WITH d AS (
+  SELECT c_acctbal, cast(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) as bigint) AS decile
+  FROM customer)
+SELECT decile, count(*) AS n,
+  cast(sum(cast(c_acctbal as decimal(28,4))) as double) AS total_bal,
+  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+FROM d GROUP BY decile ORDER BY decile
+""",
+        "group_concat_sorted": """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+        "ref_pivot_union": """
+SELECT 'source_O' AS "index", o_orderpriority, count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total
+FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+UNION ALL
+SELECT 'source_F' AS "index", o_orderpriority, count(*),
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double)
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+ORDER BY "index", o_orderpriority
+""",
+        "ref_horizontal_concat": """
+WITH a AS (
+  SELECT cast(row_number() OVER (ORDER BY o_orderpriority) as bigint) AS rid,
+    o_orderpriority AS o_priority, count(*) AS o_n
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority),
+b AS (
+  SELECT cast(row_number() OVER (ORDER BY o_orderpriority) as bigint) AS rid,
+    o_orderpriority AS f_priority, count(*) AS f_n
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+  QUALIFY f_priority <> '5-LOW')
+SELECT coalesce(a.rid, b.rid) AS rid, o_priority, o_n, f_priority, f_n
+FROM a FULL OUTER JOIN b ON a.rid = b.rid ORDER BY rid
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN cast(floor(epoch(ts)) as bigint)
+              - lag(cast(floor(epoch(ts)) as bigint))
+                OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+    min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions, cast(sum(n_events) as bigint) AS n_events,
+  min(session_start) AS first_seen, max(session_end) AS last_seen
+FROM per_sess GROUP BY user_id ORDER BY user_id
+""",
+        "events_json": """
+SELECT event_type, count(*) AS n,
+  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+  min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
+  max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "event_type_pivot": """
+SELECT cast(hour(ts) as bigint) AS hour,
+  cast(count(*) FILTER (WHERE event_type = 'click') as bigint) AS click,
+  cast(count(*) FILTER (WHERE event_type = 'error') as bigint) AS error,
+  cast(count(*) FILTER (WHERE event_type = 'purchase') as bigint) AS purchase,
+  cast(count(*) FILTER (WHERE event_type = 'signup') as bigint) AS signup,
+  cast(count(*) FILTER (WHERE event_type = 'view') as bigint) AS view
+FROM events GROUP BY 1 ORDER BY hour
+""",
+        "dedup_exact": """
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars
+FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
+GROUP BY lang ORDER BY lang
+""",
+        "ngram_jaccard_pairs": f"""
+WITH sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex AS (SELECT id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+  FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, common / cast(sz_a + sz_b - common as double) AS jaccard
+FROM pairs WHERE common / cast(sz_a + sz_b - common as double) >= 0.8
+ORDER BY id_a, id_b
+""",
+        "minhash_candidates": f"""
+WITH hs AS (
+  SELECT doc_id AS id,
+    list_apply(list_distinct({_grams_sql('text')}),
+               g -> {_MD5I.format(x='g')} % 2147483648) AS hs
+  FROM documents),
+sig AS (
+  SELECT id, {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+banded AS (
+{banded_union}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+    {' + '.join(f'(case when a.s{i} = b.s{i} then 1 else 0 end)' for i in range(16))} AS eq
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+SELECT id_a, id_b, eq / 16.0 AS est_jaccard FROM pairs
+WHERE eq / 16.0 >= 0.7 ORDER BY id_a, id_b
+""",
+        "simhash_pairs": f"""
+WITH th_t AS (
+  SELECT doc_id AS id,
+    list_apply({_tokens_sql('text')}, t -> {_MD5I.format(x='t')}) AS th
+  FROM documents),
+sh AS (
+  SELECT id, {_simhash_bits_sql('th')} AS h FROM th_t),
+chunked AS (
+  SELECT id, h, c AS chunk, (h >> (c * 15)) & 32767 AS ck
+  FROM sh, (SELECT unnest(range(4)) AS c) _c),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id)
+SELECT id_a, id_b, cast(bit_count(xor(h_a, h_b)) as integer) AS hamming
+FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3 ORDER BY id_a, id_b
+""",
+        "embedding_near_dup": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+FROM (SELECT vec_id, embedding AS e FROM embeddings) a
+JOIN (SELECT vec_id, embedding AS e FROM embeddings) b ON a.vec_id < b.vec_id
+WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.4
+ORDER BY id_a, id_b
+""",
+        "embedding_topk": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id,
+    {_DOT.replace('a.e', 'c.e').replace('b.e', 'q.e')} / (
+      {_NORM_A.replace('a.e', 'c.e')} * {_NORM_B.replace('b.e', 'q.e')}) AS cosine
+  FROM (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 3) q,
+       (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id >= 3) c)
+SELECT query_id, id, cosine,
+  cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+        "text_profile": f"""
+WITH t AS (SELECT doc_id AS id, text, {toks} AS toks FROM documents)
+SELECT id,
+  {detect} AS lang_detected,
+  {quality} AS quality,
+  cast(len(toks) as bigint) AS n_tokens,
+  cast(ceil({word_chars} / 4.0) + {other_glyphs} as bigint) AS n_subtokens,
+  {fingerprint} AS fingerprint
+FROM t ORDER BY id
+""",
+        "doc_quality_by_lang": f"""
+WITH t AS (SELECT lang, n_chars, {toks} AS toks, text FROM documents)
+SELECT lang, count(*) AS n,
+  cast(sum(cast({quality} as decimal(28,8))) as double) AS total_quality,
+  cast(sum(cast(n_chars as decimal(28,0))) as double) AS total_chars
+FROM t GROUP BY lang ORDER BY lang
+""",
+    }
