@@ -415,8 +415,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    # max_df bounds per-shingle join fan-out: without it, stopword
+    # trigrams ('the', ' an') put nearly every doc in one bucket and the
+    # self-join goes quadratic in corpus size — at sf0.1 (5k docs) that
+    # is billions of intermediate rows; at 100 TB it would be the whole
+    # job.  Jaccard is over the pruned shingle space (see dedup.py);
+    # the oracle below applies the identical pruning.
     docs = _t(spark, sf_dir, "documents")
-    return (dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return (dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8,
+                                   max_df=100)
             .orderBy("id_a", "id_b"))
 
 
@@ -821,7 +828,11 @@ GROUP BY lang ORDER BY lang
         "ngram_jaccard_pairs": f"""
 WITH sh AS (
   SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
-ex AS (SELECT id, len(grams) AS sz, unnest(grams) AS g FROM sh),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
   FROM ex a JOIN ex b USING (g) WHERE a.id < b.id

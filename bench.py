@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once after a shared warmup (JVM + parquet footer
+cache); timing covers logical plan → execution → result fetch
+(collect of the small result set), i.e. what a user experiences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from etl_excel_to_hyper_tableau_spark import get_spark
+
+# Headline set: scan-agg, shuffle joins, window, sessionization, dedup
+# family, similarity, text profiling — the queries whose plans exercise
+# every distinct physical pattern in the engine.
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
+    "priority_rank_window",
+    "orders_rollup",
+    "monthly_order_stats",
+    "events_sessionize",
+    "event_type_pivot",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_candidates",
+    "simhash_pairs",
+    "embedding_near_dup",
+    "embedding_topk",
+    "text_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = entry.queries()
+
+    # warmup: one tiny action so JVM/codegen startup is not billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

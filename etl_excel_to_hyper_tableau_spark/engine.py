@@ -17,11 +17,15 @@ Reference quirks fixed here (SURVEY §2A):
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from .bundles import Query, QueryBundle
 from .operators.combinators import horizontal_concat, pivot_union, prefix_columns
-from .plans.dialect import sqlite_to_spark
+from .plans.dialect import rewrite_bare_column, sqlite_to_spark
 from .plans.macro import format_query
 from .sinks.excel import write_excel
 from .sinks.hyper import write_hyper
@@ -75,10 +79,30 @@ class QueryEngine:
 
     def run_query(self, query: Query, file_name: str) -> DataFrame:
         """Rewrite (.sheet macro + dialect shim) and execute one
-        (query, file) pair."""
+        (query, file) pair.
+
+        SQLite permits bare (non-grouped, non-aggregated) select items in
+        aggregate queries — an arbitrary in-group row's value is taken
+        (SURVEY §2C).  Spark rejects these at analysis; in sqlite dialect
+        each such item is wrapped in ``any_value`` and retried, using
+        Catalyst's MISSING_AGGREGATION error itself to identify the bare
+        columns instead of reimplementing the analyzer's grouping check.
+        """
         sql = format_query(query.sql, file_name)
-        if self.dialect == "sqlite":
-            sql = sqlite_to_spark(sql)
+        if self.dialect != "sqlite":
+            return self.spark.sql(sql)
+        sql = sqlite_to_spark(sql)
+        for _ in range(20):  # one retry per bare column; select lists are short
+            try:
+                return self.spark.sql(sql)
+            except AnalysisException as e:
+                m = re.search(r'non-aggregating expression "(\w+)"', str(e))
+                if "MISSING_AGGREGATION" not in str(e) or not m:
+                    raise
+                rewritten = rewrite_bare_column(sql, m.group(1))
+                if rewritten == sql:
+                    raise
+                sql = rewritten
         return self.spark.sql(sql)
 
     def combine(self, bundle: QueryBundle, query: Query,
@@ -92,6 +116,7 @@ class QueryEngine:
 
     def export(self, bundle: QueryBundle,
                results: list[tuple[str, DataFrame]]) -> str:
+        os.makedirs(self.export_dir, exist_ok=True)
         base = f"{self.export_dir}/{bundle.export_name}"
         if bundle.sink == "hyper":
             return write_hyper(base, results)

@@ -101,8 +101,12 @@ def horizontal_concat(dfs: list[DataFrame]) -> DataFrame:
     indexed = [with_row_index(df) for df in dfs]
     joined = reduce(lambda a, b: a.join(b, on=_ROWID, how="full_outer"), indexed)
     cols = [c for df in dfs for c in df.columns]
-    return joined.orderBy(_ROWID).drop(_ROWID).select(*cols) if _all_unique(cols) \
-        else joined.orderBy(_ROWID).drop(_ROWID)
+    out = joined.orderBy(_ROWID).drop(_ROWID)
+    if not _all_unique(cols):
+        return out
+    # prefixed names contain dots (e.g. consumer_complaints.xlsx_company) —
+    # backtick-quote so select() doesn't read them as qualified references
+    return out.select(*[f"`{c.replace('`', '``')}`" for c in cols])
 
 
 def _all_unique(xs: list[str]) -> bool:

@@ -73,8 +73,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Plan: distinct shingles per doc → explode → (optional) drop
     shingles appearing in more than ``max_df`` docs (stopword-shingle
     skew guard — at 100 TB a shingle like ``'the'`` would otherwise
-    create a quadratic bucket) → self-equi-join on shingle → count
-    common shingles per (a, b) → Jaccard from inclusion–exclusion.
+    create a quadratic bucket; with it, per-shingle join fan-out is
+    bounded by ``max_df²``) → self-equi-join on shingle → count common
+    shingles per (a, b) → Jaccard from inclusion–exclusion.
+
+    With ``max_df`` set, the result is Jaccard **over the pruned
+    shingle space**: document sizes are recomputed after pruning, so
+    identical documents still score exactly 1.0 and the measure stays a
+    true Jaccard (of the informative, non-stopword shingles).
 
     Output: ``id_a, id_b, jaccard`` with ``id_a < id_b``.
     """
@@ -84,7 +90,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     exploded = shingled.select("id", "sz", F.explode("sh").alias("g"))
     if max_df is not None:
         df_counts = exploded.groupBy("g").count().filter(F.col("count") <= max_df)
-        exploded = exploded.join(F.broadcast(df_counts.select("g")), "g")
+        exploded = (exploded.drop("sz")
+                    .join(F.broadcast(df_counts.select("g")), "g"))
+        sizes = exploded.groupBy("id").agg(F.count("*").alias("sz"))
+        exploded = exploded.join(sizes, "id")
     a = exploded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = exploded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     common = (a.join(b, "g")

@@ -188,7 +188,9 @@ def sqlite_to_spark(sql: str) -> str:
         lambda m, inner: f"coalesce(sum(cast({inner.strip()} as double)), 0.0d)")
     code = _balanced_rewrite(
         code, _JULIANDAY_RE,
-        lambda m, inner: f"(unix_timestamp({inner.strip()}) / 86400.0d + 2440587.5d)")
+        lambda m, inner: (
+            f"(unix_timestamp(cast({inner.strip()} as timestamp))"
+            " / 86400.0d + 2440587.5d)"))
 
     def group_concat_build(m: re.Match, inner: str) -> str:
         parts = _top_level_split(inner)
@@ -197,4 +199,47 @@ def sqlite_to_spark(sql: str) -> str:
         return f"concat_ws({sep}, collect_list({expr}))"
     code = _balanced_rewrite(code, _GROUP_CONCAT_RE, group_concat_build)
 
+    return _unmask(code, literals)
+
+
+_SELECT_RE = re.compile(r"\bSELECT\b(\s+(ALL|DISTINCT)\b)?", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def rewrite_bare_column(sql: str, column: str) -> str:
+    """Wrap one bare select-list item in ``any_value(...) AS name`` —
+    the Spark expression of SQLite's bare-columns-in-aggregate rule
+    (a non-grouped, non-aggregated select item takes an arbitrary
+    in-group row's value; SURVEY §2C aggregation delta).
+
+    Only exact top-level select-list items matching ``column`` (or
+    ``alias.column``) are rewritten, so occurrences inside function
+    calls and other clauses are never touched.  Driven by
+    :class:`QueryEngine`'s retry on Catalyst's MISSING_AGGREGATION
+    error rather than by parsing GROUP BY ourselves — the analyzer is
+    the single source of truth for which items are bare.
+    """
+    code, literals = _mask_literals(sql)
+    sel = _SELECT_RE.search(code)
+    if not sel:
+        return sql
+    # find the FROM that closes this select list (top-level paren depth)
+    depth, from_at = 0, None
+    for m in re.finditer(r"[()]|\bFROM\b", code[sel.end():], re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            from_at = sel.end() + m.start()
+            break
+    select_list = code[sel.end():from_at] if from_at else code[sel.end():]
+    item_re = re.compile(rf"^(\w+\.)?{re.escape(column)}$", re.IGNORECASE)
+    items = [
+        f" any_value({it.strip()}) AS {column}" if item_re.match(it.strip()) else it
+        for it in _top_level_split(select_list)
+    ]
+    end = from_at if from_at else len(code)
+    code = code[:sel.end()] + ",".join(items) + code[end:]
     return _unmask(code, literals)

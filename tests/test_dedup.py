@@ -1,0 +1,86 @@
+"""Deduplication operators on tiny frames with hand-checkable answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+    embedding_cosine_pairs, exact_dedup, minhash_dedup,
+    minhash_lsh_candidates, ngram_jaccard_pairs, simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),     # near dup
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog!"),    # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_exact_dedup_multicol(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "a", "x")],
+        "id long, c1 string, c2 string")
+    out = exact_dedup(df, ["c1", "c2"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)   # identical → jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)        # unrelated doc never pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(docs):
+    # max_df=1 keeps only shingles unique to one doc → no common shingles
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.01,
+                              max_df=1)
+    assert out.count() == 0
+
+
+def test_minhash_candidates_and_dedup(docs):
+    cand = minhash_lsh_candidates(docs, "text", "doc_id", k=32, bands=8)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand.collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)   # identical docs always collide
+    deduped = minhash_dedup(docs, "text", "doc_id", threshold=0.99)
+    ids = sorted(r["doc_id"] for r in deduped.collect())
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def test_simhash_identical_distance_zero(docs):
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert by_pair[(1, 2)] == 0
+    assert all(h <= 3 for h in by_pair.values())
+
+
+def test_embedding_cosine_exact_and_lsh(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),   # ~parallel to 1
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+        (4, [2.0, 0.0, 0.0]),    # parallel to 1, different norm
+    ]
+    df = spark.createDataFrame(vecs, "id long, vec array<double>")
+    exact = embedding_cosine_pairs(df, "vec", "id", threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    assert pairs[(1, 4)] == pytest.approx(1.0)
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # LSH path returns a subset of the exact pairs (recall<1 by design)
+    lsh = embedding_cosine_pairs(df, "vec", "id", threshold=0.95, use_lsh=True)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= set(pairs)
+    # parallel vectors always share every sign bucket
+    assert (1, 4) in lsh_pairs

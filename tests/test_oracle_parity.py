@@ -1,0 +1,62 @@
+"""In-pytest slice of the driver's t2 gate (SURVEY §5.2-3): a sample of
+``__spark_entry__.queries()`` vs their DuckDB oracles at sf0.001.
+The full 32-query sweep lives in tools/parity.py; here we pin a
+representative query per physical pattern so `pytest -x` catches
+regressions fast."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SAMPLE = [
+    "pricing_summary",        # scan + hash agg
+    "shipping_priority",      # 3-way join + top-k
+    "priority_rank_window",   # window function
+    "orders_rollup",          # grouping sets
+    "nation_set_ops",         # intersect/except
+    "group_concat_sorted",    # dialect shim surface
+    "events_sessionize",      # lag + running-sum sessionization
+    "dedup_exact",            # md5 digest dedup
+    "embedding_topk",         # vector math
+    "text_profile",           # text operators
+]
+
+
+def _value_hash(df: pd.DataFrame) -> list:
+    df = df[sorted(df.columns)]
+    return sorted(tuple(repr(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
+
+
+@pytest.fixture(scope="module")
+def ducks(sf_dir):
+    con = duckdb.connect()
+    for t in entry.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, sf_dir, ducks, name):
+    spark_df = entry.queries()[name](spark, sf_dir).toPandas()
+    oracle_df = ducks.execute(entry.oracle_sql()[name]).fetchdf()
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns)
+    assert len(spark_df) == len(oracle_df)
+    assert _value_hash(spark_df) == _value_hash(oracle_df)
+
+
+def test_inventory_complete():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert len(qs) >= 32
+    # every oracle key corresponds to a real query
+    assert set(osql) <= set(qs)
+    # the only oracle-less entries are genuinely non-SQL-expressible ops
+    assert set(qs) - set(osql) == {"stream_event_counts"}
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,64 @@
+"""Property tests (SURVEY §5.2-5): random small frames → stage →
+identity query round-trips; pivot/concat row-count invariants;
+hashing-function portability invariants."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.combinators import (
+    horizontal_concat, pivot_union,
+)
+from etl_excel_to_hyper_tableau_spark.functions.hashing import (
+    md5_int64, perm_constants,
+)
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_int_cell = st.one_of(st.none(), st.integers(-10**6, 10**6))
+_str_cell = st.one_of(st.none(), st.text(alphabet="abcXYZ 'é", max_size=8))
+_rows = st.lists(st.tuples(_int_cell, _str_cell), min_size=1, max_size=20)
+
+
+@settings(**_SETTINGS)
+@given(rows=_rows)
+def test_stage_identity_roundtrip(spark, rows):
+    df = spark.createDataFrame(rows, "a long, b string")
+    df.createOrReplaceTempView("prop_t")
+    back = spark.sql("SELECT * FROM prop_t")
+    assert sorted(map(repr, back.collect())) == sorted(map(repr, df.collect()))
+    spark.catalog.dropTempView("prop_t")
+
+
+@settings(**_SETTINGS)
+@given(sizes=st.lists(st.integers(0, 12), min_size=1, max_size=4))
+def test_pivot_union_row_count_adds(spark, sizes):
+    frames = [(f"f{i}.xlsx", spark.range(n).select(F.col("id").cast("long")))
+              for i, n in enumerate(sizes)]
+    assert pivot_union(frames).count() == sum(sizes)
+
+
+@settings(**_SETTINGS)
+@given(sizes=st.lists(st.integers(1, 12), min_size=2, max_size=3))
+def test_horizontal_concat_invariants(spark, sizes):
+    frames = [spark.range(n).select(F.col("id").alias(f"c{i}"))
+              for i, n in enumerate(sizes)]
+    out = horizontal_concat(frames)
+    assert out.count() == max(sizes)            # rows = longest input
+    assert len(out.columns) == len(sizes)        # columns add
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(max_size=20), min_size=1, max_size=10, unique=True))
+def test_md5_int64_range_and_injectivity_sample(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    vals = [r["h"] for r in df.select(md5_int64(F.col("t")).alias("h")).collect()]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    assert len(set(vals)) == len(texts)  # no collisions on tiny samples
+
+
+def test_perm_constants_shape():
+    consts = perm_constants(64)
+    assert len(consts) == 64 and len(set(consts)) == 64
+    assert all(a % 2 == 1 and 0 < a < (1 << 31) and 0 <= b < (1 << 31)
+               for a, b in consts)

@@ -1,0 +1,73 @@
+"""Text-analysis operators: language ID, quality, token counts,
+fingerprints — deterministic hand-checkable values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.text import (
+    detect_language, fingerprint64, quality_features, quality_score,
+    text_profile, token_count, word_token_count,
+)
+
+
+def _one(spark, text, col_expr):
+    return spark.createDataFrame([(text,)], "t string") \
+        .select(col_expr(F.col("t")).alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "  leading and trailing  ", token_count) == 3
+    assert _one(spark, "", token_count) == 0
+
+
+def test_word_token_count_prose_approx(spark):
+    # 8 word chars pooled → ceil(8/4)=2 subtokens; "," is 1 glyph
+    assert _one(spark, "hello, yes", word_token_count) == 2 + 1
+    assert _one(spark, "", word_token_count) == 0
+
+
+def test_detect_language(spark):
+    en = "the cat and the dog sat in the house that is for it with"
+    es = "el perro y la casa de que un los del por en"
+    de = "der hund und die katze von zu mit den ist im das"
+    xx = "zzz qqq www rrr ttt"
+    assert _one(spark, en, detect_language) == "en"
+    assert _one(spark, es, detect_language) == "es"
+    assert _one(spark, de, detect_language) == "de"
+    assert _one(spark, xx, detect_language) == "und"
+
+
+def test_quality_features_exact(spark):
+    f = _one(spark, "Hello World 42", quality_features)
+    assert f["n_chars"] == 14 and f["n_tokens"] == 3
+    assert f["mean_token_len"] == pytest.approx(12 / 3)
+    assert f["digit_ratio"] == pytest.approx(2 / 14)
+    assert f["upper_ratio"] == pytest.approx(2 / 10)
+    assert f["punct_ratio"] == 0.0
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    good = ("the quick brown fox jumps over the lazy dog and that is "
+            "a fine thing for it to do with great joy in the sun")
+    bad = "@#$% ^&*! ~~~"
+    gs, bs = _one(spark, good, quality_score), _one(spark, bad, quality_score)
+    assert 0.0 <= bs < gs <= 1.0
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    a = _one(spark, "alpha beta gamma", fingerprint64)
+    b = _one(spark, "alpha beta gamma", fingerprint64)
+    c = _one(spark, "gamma beta alpha", fingerprint64)
+    assert a == b != c
+    assert 0 <= a < (1 << 61) - 1
+
+
+def test_text_profile_shape(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox")],
+                               "doc_id long, text string")
+    out = text_profile(df, "text", "doc_id")
+    assert out.columns == ["id", "lang_detected", "quality", "n_tokens",
+                           "n_subtokens", "fingerprint"]
+    r = out.collect()[0]
+    assert r["n_tokens"] == 4 and r["id"] == 1
