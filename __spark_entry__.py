@@ -434,6 +434,21 @@ def q_minhash_candidates(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_minhash_dedup(spark, sf_dir):
+    # the linear scale path (threshold=None): survivors via min(id) per
+    # LSH bucket — no pairwise join, so giant duplicate clusters cost
+    # O(m·bands) instead of O(m²).  This is the variant that holds at
+    # 100 TB; minhash_candidates above is the verification-grade pair
+    # listing (quadratic in cluster size by definition of its output).
+    docs = _t(spark, sf_dir, "documents")
+    kept = dd.minhash_dedup(docs, "text", "doc_id", k=16, n=3, bands=2,
+                            threshold=None)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
@@ -519,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -858,6 +874,25 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
 SELECT id_a, id_b, eq / 16.0 AS est_jaccard FROM pairs
 WHERE eq / 16.0 >= 0.7 ORDER BY id_a, id_b
+""",
+        "minhash_dedup": f"""
+WITH hs AS (
+  SELECT doc_id AS id,
+    list_apply(list_distinct({_grams_sql('text')}),
+               g -> {_MD5I.format(x='g')} % 2147483648) AS hs
+  FROM documents),
+sig AS (
+  SELECT id, {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+banded AS (
+{banded_union}),
+losers AS (
+  SELECT DISTINCT b.id FROM banded b
+  JOIN (SELECT band, bh, min(id) AS min_id FROM banded GROUP BY band, bh) m
+    ON b.band = m.band AND b.bh = m.bh AND b.id > m.min_id)
+SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars
+FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang ORDER BY lang
 """,
         "simhash_pairs": f"""
 WITH th_t AS (

@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_candidates",
+    "minhash_dedup",
     "simhash_pairs",
     "embedding_near_dup",
     "embedding_topk",
@@ -49,8 +50,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry.queries()
 
-    # warmup: one tiny action so JVM/codegen startup is not billed to q1
+    # warmup: one tiny action so JVM/codegen startup is not billed to q1,
+    # plus a footer-only touch of each source so parquet reader/datasource
+    # initialization (a fixed cost, not query work) isn't billed either
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in entry.TABLES:
+        try:
+            entry._t(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

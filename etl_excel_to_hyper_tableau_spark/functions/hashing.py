@@ -48,6 +48,11 @@ def md5_int64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def md5_int64_array(tokens: Column) -> Column:
+    """Element-wise :func:`md5_int64` over an array column."""
+    return F.transform(tokens, lambda t: md5_int64(t))
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Array of character n-grams of a string column (JVM-side:
     ``transform(sequence(...))``).  Strings shorter than n yield an
@@ -68,31 +73,48 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
     return F.transform(grams, lambda g: md5_int64(g) % F.lit(1 << 31))
 
 
-def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
-    """MinHash signature: array of k int64 values.
+def minhash_from_hashes(hashes: Column, k: int = 32) -> Column:
+    """MinHash signature from an already-materialized shingle-hash array.
 
     For each permutation i: ``min over shingles s of (a_i * h(s) + b_i) mod M61``.
     31-bit h × 31-bit a + 31-bit b < 2^63 — exact in int64 everywhere.
     Empty shingle sets yield nulls (caller filters).
+
+    Take ``hashes`` from a **separate projection** (see
+    :func:`minhash_signature`'s note): the k permutation scans reference
+    the same array; inlining :func:`shingle_hashes` here would make
+    Catalyst evaluate the md5-per-shingle work k times.
     """
-    hashes = shingle_hashes(col, n)
-    sig = [
-        F.array_min(F.transform(
-            hashes,
-            lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(MERSENNE61)))
+
+    def perm(a_i: int, b_i: int):
+        return lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(MERSENNE61)
+
+    return F.array(*[
+        F.array_min(F.transform(hashes, perm(a_i, b_i)))
         for a_i, b_i in perm_constants(k)
-    ]
-    return F.array(*sig)
+    ])
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of an array-of-tokens column, as bit-majority over
-    per-token md5 hashes — expressed with aggregate/transform (no UDF).
+def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
+    """MinHash signature of a text column: array of k int64 values.
 
-    For each bit position j (0..59 — we use the 60 bits md5_int64
-    yields): sum over tokens of ±1 by bit j; bit set if sum > 0.
+    ⚠ single-expression form: the shingle-hash subtree is duplicated
+    into every one of the k permutation mins, so the md5 work runs k
+    times.  Correct but slow — prefer projecting
+    ``shingle_hashes(col, n)`` to a column first and applying
+    :func:`minhash_from_hashes` to it (what ``operators.dedup`` does);
+    kept for expression-level composability and as the semantics
+    reference.
     """
-    token_hashes = F.transform(tokens, lambda t: md5_int64(t))
+    return minhash_from_hashes(shingle_hashes(col, n), k)
+
+
+def simhash_from_hashes(token_hashes: Column) -> Column:
+    """60-bit SimHash from an already-materialized token-hash array
+    (bit-majority).  As with :func:`minhash_from_hashes`: materialize
+    the hashes in their own projection first — the 60 per-bit vote
+    aggregates all reference the array, and inlining the md5 transform
+    here would evaluate it 60 times."""
     bits = []
     for j in range(60):
         votes = F.aggregate(
@@ -105,6 +127,13 @@ def simhash64(tokens: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of an array-of-tokens column — single-expression
+    form (md5 transform duplicated into all 60 votes; see
+    :func:`simhash_from_hashes` for the fast two-projection form)."""
+    return simhash_from_hashes(F.transform(tokens, lambda t: md5_int64(t)))
 
 
 def hamming60(a: Column, b: Column) -> Column:

@@ -32,11 +32,10 @@ variants keep the smallest id of each duplicate group (standard
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.hashing import (
-    MERSENNE61, char_ngrams, md5_int64, minhash_signature, perm_constants,
-    simhash64,
+    MERSENNE61, char_ngrams, md5_int64, perm_constants,
 )
 
 
@@ -112,9 +111,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def with_minhash(df: DataFrame, text_col: str, id_col: str,
                  k: int = 32, n: int = 3) -> DataFrame:
-    """Attach a k-wide MinHash signature column ``sig`` (array<bigint>)."""
-    return df.select(F.col(id_col).alias("id"),
-                     minhash_signature(F.col(text_col), k=k, n=n).alias("sig"))
+    """Attach a k-wide MinHash signature column ``sig`` (array<bigint>).
+
+    Relational formulation: explode the distinct shingle set, hash each
+    shingle once (codegen'd md5 + modular arithmetic), and take the k
+    permutation minima as a single groupBy aggregation.  Spark's
+    higher-order functions (``transform``/``aggregate``) are evaluated
+    interpreted, per element — expressing the permutation scans as
+    ordinary aggregates keeps the whole pipeline inside whole-stage
+    codegen with map-side partial mins, and the one shuffle moves only
+    (id, k minima).  Values are bit-identical to the expression form
+    (:func:`...functions.hashing.minhash_signature`).
+
+    Docs whose text yields no shingles (length < n) produce no rows
+    (the expression form yields an empty-array signature; every caller
+    filters those out anyway).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"))
+    hashed = grams.select("id", (md5_int64(F.col("g")) % F.lit(1 << 31)).alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a_i) + F.lit(b_i)) % F.lit(MERSENNE61)).alias(f"__s{i}__")
+        for i, (a_i, b_i) in enumerate(perm_constants(k))
+    ]
+    return (hashed.groupBy("id").agg(*mins)
+            .select("id", F.array(*[f"__s{i}__" for i in range(k)]).alias("sig")))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -129,21 +151,34 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     signature positions), deduped across bands.
     """
     r = k // bands
-    sigs = with_minhash(df, text_col, id_col, k=k, n=n).filter(F.size("sig") > 0)
+    # persist: the signature table is referenced four times below (both
+    # join sides + both sig lookups); without it Catalyst re-evaluates
+    # the md5-per-shingle subtree once per reference.  Size is
+    # id + k×8 bytes per doc — negligible next to the text it summarizes
+    sigs = (with_minhash(df, text_col, id_col, k=k, n=n)
+            .filter(F.size("sig") > 0).persist())
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string")
                                           for j in range(r)])).alias("bh"))
         for i in range(bands)
     ])
-    buckets = sigs.select("id", "sig", F.explode(band_arr).alias("b")) \
-                  .select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = buckets.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh")
-    b = buckets.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    # the self-join and the distinct move only (id, band, bh) — never the
+    # k-wide signature arrays: inside a true-duplicate cluster of size m
+    # the join emits m² rows per band, and shuffling m²·k sig values is
+    # what dominates; the two sig lookups afterwards touch just the
+    # deduped pair set against the linear-size signature table
+    buckets = sigs.select("id", F.explode(band_arr).alias("b")) \
+                  .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bh")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bh")
     pairs = (a.join(b, ["band", "bh"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
+             .select("id_a", "id_b")
              .distinct())
+    pairs = (pairs
+             .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"))
     # estimated Jaccard = fraction of equal signature positions
     eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
     return pairs.select("id_a", "id_b",
@@ -152,15 +187,43 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   k: int = 32, n: int = 3, bands: int = 8,
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float | None = 0.7) -> DataFrame:
     """Drop every doc that has a candidate near-duplicate with a smaller
     id (single-linkage by transitivity is deliberately NOT computed —
     one LSH round removes the overwhelming mass of duplicates and keeps
     the operator a bounded number of shuffles; iterate to a fixpoint for
-    full connected components)."""
-    cand = (minhash_lsh_candidates(df, text_col, id_col, k=k, n=n, bands=bands)
-            .filter(F.col("est_jaccard") >= threshold))
-    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
+    full connected components).
+
+    ``threshold=None`` selects the **linear scale path**: a doc is
+    dropped iff it shares any LSH bucket with a smaller id — computed as
+    ``min(id) over (band, bh)`` with no pairwise join, so a duplicate
+    cluster of size m costs O(m·bands) instead of O(m²).  The similarity
+    cutoff then lives entirely in the (k, bands) S-curve, which is how
+    production minhash dedup is tuned.  With a float threshold, bucket
+    collisions are verified against the signature estimate (quadratic in
+    cluster size — the verification-grade variant).
+    """
+    if threshold is None:
+        sigs = with_minhash(df, text_col, id_col, k=k, n=n).filter(F.size("sig") > 0)
+        r = k // bands
+        band_arr = F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.md5(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string")
+                                              for j in range(r)])).alias("bh"))
+            for i in range(bands)
+        ])
+        buckets = sigs.select("id", F.explode(band_arr).alias("b")) \
+                      .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        # min-per-bucket as a window, not groupBy+self-join: one shuffle
+        # on (band, bh), and the signature subtree is evaluated once
+        w = Window.partitionBy("band", "bh")
+        losers = (buckets.withColumn("min_id", F.min("id").over(w))
+                  .filter(F.col("id") > F.col("min_id"))
+                  .select(F.col("id").alias(id_col)).distinct())
+    else:
+        cand = (minhash_lsh_candidates(df, text_col, id_col, k=k, n=n, bands=bands)
+                .filter(F.col("est_jaccard") >= threshold))
+        losers = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -169,9 +232,33 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Attach a 60-bit SimHash over whitespace tokens."""
-    tokens = F.split(F.col(text_col), r"\s+")
-    return df.select(F.col(id_col).alias("id"), simhash64(tokens).alias("simhash"))
+    """Attach a 60-bit SimHash over whitespace tokens.
+
+    Relational formulation (same reasoning as :func:`with_minhash`):
+    explode tokens, hash each once (codegen'd md5), then one groupBy
+    producing the 60 per-bit ±1 vote sums as ordinary aggregates with
+    map-side partial sums — bit-identical to the expression form
+    (:func:`...functions.hashing.simhash64`) but entirely inside
+    whole-stage codegen.  Duplicate tokens vote once per occurrence, as
+    in the expression form.  Docs with no tokens produce no rows (the
+    expression form gives them simhash 0; callers treat absent and
+    never-pairs the same way)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
+    hashed = toks.select("id", md5_int64(F.col("t")).alias("h"))
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
+        .alias(f"__v{j}__")
+        for j in range(60)
+    ]
+    bit_terms = [
+        F.when(F.col(f"__v{j}__") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        for j in range(60)
+    ]
+    total = bit_terms[0]
+    for b in bit_terms[1:]:
+        total = total + b
+    return hashed.groupBy("id").agg(*votes).select("id", total.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -185,7 +272,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     chunks = max_hamming + 1
     width = 60 // chunks
-    sh = with_simhash(df, text_col, id_col)
+    # persist: referenced by both sides of the chunk join (see the
+    # matching note in minhash_lsh_candidates)
+    sh = with_simhash(df, text_col, id_col).persist()
     chunk_arr = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftright(F.col("simhash"), i * width)
@@ -212,7 +301,13 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product — deterministic order, so an
-    external oracle reproducing the same fold gets the identical double."""
+    external oracle reproducing the same fold gets the identical double.
+
+    Measured note: unrolling the fold into a fixed-width ``getItem``
+    expression chain is ~2× *slower* here — the 64-term chain exceeds
+    what whole-stage codegen will compile and falls back to interpreted
+    per-term evaluation, while the fold runs one tight specialized loop
+    with sequential array access.  Keep the fold."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -238,37 +333,117 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     if use_lsh:
-        sig = _sign_lsh_signature(F.col("vec"), planes)
-        v = v.withColumn("bucket", sig)
-        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                     F.col("nrm").alias("na"), "bucket")
-        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                     F.col("nrm").alias("nb"), "bucket")
-        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        first = v.select("vec").first()
+        if first is None:
+            return (v.select(F.col("id").alias("id_a"))
+                    .limit(0)
+                    .select("id_a", F.col("id_a").alias("id_b"),
+                            F.lit(0.0).alias("cosine")))
+        sig = _sign_lsh_signature(F.col("vec"), planes, len(first["vec"]))
+        vb_ = v.withColumn("bucket", sig)
+        joined = (vb_.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                             F.col("nrm").alias("na"), "bucket")
+                  .join(vb_.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                                   F.col("nrm").alias("nb"), "bucket"), "bucket")
+                  .filter(F.col("id_a") < F.col("id_b")))
     else:
-        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
-        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cand = _gemm_candidate_pairs(v, threshold)
+        if cand is not None:
+            joined = cand.join(a, "id_a").join(b, "id_b")
+        else:
+            joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (joined.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
 
-def _sign_lsh_signature(vec: Column, planes: int) -> Column:
+def _gemm_candidate_pairs(v: DataFrame, threshold: float,
+                          margin: float = 1e-9):
+    """Vectorized prefilter for the exact all-pairs path: one BLAS
+    matmul of each partition's block against the broadcast corpus
+    matrix finds every pair whose (numpy-order) cosine clears
+    ``threshold - margin``; the caller then re-scores survivors with
+    the sequential-fold expression, so final values stay bit-identical
+    to the oracle while the interpreted fold runs on ~candidates
+    instead of all n²/2 pairs.  The margin (generous next to the
+    ~1e-13 relative gap between summation orders at these dims) makes
+    the prefilter a superset of the exact answer.
+
+    The corpus matrix is broadcast — the exact all-pairs operator is
+    the ≤~10⁵-vector verification baseline by contract (n·dim·8 bytes
+    ≈ 50 MB there); the scale path is ``use_lsh=True``.  Returns None
+    (caller falls back to the plain cross join) for non-integral ids
+    or ragged vectors, which the matrix form can't represent.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not isinstance(v.schema["id"].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return None
+    pdf = v.select("id", "vec").toPandas()
+    if len(pdf) == 0 or pdf["vec"].isna().any():
+        return None
+    dims = {len(x) for x in pdf["vec"]}
+    if len(dims) != 1:
+        return None
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = np.nan  # zero vectors never qualify, as in the fold path
+    spark = v.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    cutoff = threshold - margin
+
+    def gen(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            b_ids = block["id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(block["vec"].tolist(), dtype=np.float64)
+            b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+            b_norms[b_norms == 0] = np.nan
+            sims = (b_mat @ c_mat.T) / np.outer(b_norms, c_norms)
+            bi, cj = np.nonzero(sims >= cutoff)
+            keep = b_ids[bi] < c_ids[cj]  # dedupe: emit each pair from its smaller id
+            yield pd.DataFrame({"id_a": b_ids[bi][keep], "id_b": c_ids[cj][keep]})
+
+    return v.select("id", "vec").mapInPandas(gen, "id_a long, id_b long")
+
+
+def plane_component(p: int, j: int) -> int:
+    """Deterministic hyperplane component in [-1000, 1000]: first 15 hex
+    digits of ``md5('p{p}_d{j}')`` as int, ``% 2001 - 1000`` — the exact
+    driver-side mirror of :func:`...functions.hashing.md5_int64`, so any
+    engine with md5 (or any Python process) reproduces the planes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{p}_d{j}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+def _sign_lsh_signature(vec: Column, planes: int, dim: int) -> Column:
     """Sign pattern of ``planes`` deterministic hyperplanes as a string.
 
-    Hyperplane components are integers in [-1000, 1000] derived from
-    ``md5('p{i}_d{j}')`` — reproducible in any engine with md5 (the
-    oracle SQL embeds the same construction)."""
+    The hyperplane matrix depends only on (planes, dim), so it is
+    computed driver-side (:func:`plane_component`) and embedded as
+    literals: each plane's dot product is a flat arithmetic chain over
+    ``vec[j]`` terms.  An earlier formulation derived the components
+    inside nested higher-order lambdas (transform ∘ zip_with ∘
+    aggregate per plane); beyond being slower, nested-lambda trees of
+    that shape evaluated *nondeterministically across otherwise-equal
+    plans* in Spark 4.1 local testing — constants-as-literals removes
+    the lambda nesting entirely and pins the semantics."""
     parts = []
     for p in range(planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda j, p=p: (md5_int64(F.concat(F.lit(f"p{p}_d"), j.cast("string")))
-                            % 2001 - 1000).cast("double"))
-        dot = F.aggregate(F.zip_with(vec, comp, lambda x, c: x * c),
-                          F.lit(0.0), lambda acc, x: acc + x)
+        dot = F.lit(0.0)
+        for j in range(dim):
+            dot = dot + vec.getItem(j) * F.lit(float(plane_component(p, j)))
         parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*parts)

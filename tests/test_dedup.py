@@ -3,6 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
+from etl_excel_to_hyper_tableau_spark.operators import dedup as dd_module
 from etl_excel_to_hyper_tableau_spark.operators.dedup import (
     embedding_cosine_pairs, exact_dedup, minhash_dedup,
     minhash_lsh_candidates, ngram_jaccard_pairs, simhash_pairs,
@@ -56,6 +57,14 @@ def test_minhash_candidates_and_dedup(docs):
     assert pairs[(1, 2)] == pytest.approx(1.0)   # identical docs always collide
     deduped = minhash_dedup(docs, "text", "doc_id", threshold=0.99)
     ids = sorted(r["doc_id"] for r in deduped.collect())
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def test_minhash_dedup_linear_path(docs):
+    # threshold=None: bucket-min semantics — no pairwise join; exact
+    # duplicates always share every bucket, so 2 must drop
+    out = dd_module.minhash_dedup(docs, "text", "doc_id", threshold=None)
+    ids = sorted(r["doc_id"] for r in out.collect())
     assert 1 in ids and 2 not in ids and 4 in ids
 
 
