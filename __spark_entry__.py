@@ -401,6 +401,95 @@ def q_event_type_pivot(spark, sf_dir):
             .orderBy("hour"))
 
 
+def q_avg_qty_correlated(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below 1/5 of their part's average quantity.  The
+    predicate is cross-multiplied (5·qty·cnt < sum_qty) so both engines
+    compare exact decimals — no decimal-division scale rules involved.
+    Spark expresses the correlation as a pre-aggregated self-join, which
+    is also what Catalyst decorrelates the subquery form into."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.count("*").alias("cnt"),
+                     F.sum(_dec2(F.col("l_quantity"))).alias("sq")))
+    qty = _dec2(F.col("l_quantity"))
+    return (li.join(per_part, li.l_partkey == per_part.pk)
+            .filter(qty * 5 * F.col("cnt") < F.col("sq"))
+            .agg(F.count("*").alias("n_small"),
+                 _dsum(F.col("l_extendedprice"), "total_price")))
+
+
+def q_suppliers_with_returns(spark, sf_dir):
+    """EXISTS / left-semi join: suppliers with at least one returned
+    lineitem, counted per nation."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (supp.join(returned, supp.s_suppkey == returned.l_suppkey, "left_semi")
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_suppliers"))
+            .orderBy("n_name"))
+
+
+def q_math_funcs(spark, sf_dir):
+    """Math-function surface (SURVEY §2C math row) over exact-result
+    functions only: abs/floor/ceil/sqrt/sign/mod/greatest/least are
+    identically defined everywhere (sqrt is IEEE-correctly-rounded);
+    libm-dependent ln/exp/pow are deliberately excluded from the
+    value-hashed contract."""
+    part = _t(spark, sf_dir, "part")
+    return (part.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("abs_off"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("price_ceil"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("size_sign"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(40)).alias("size_lo"))
+        .orderBy("p_partkey").limit(200))
+
+
+def q_date_funcs(spark, sf_dir):
+    """Date/time-function surface (SURVEY §2C date row): extract,
+    truncation, arithmetic, diffs — all integer/date-typed outputs."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("q"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.to_date(d), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), F.to_date(d))
+         .cast("long").alias("days_to_eoy"))
+        .orderBy("o_orderkey").limit(500))
+
+
+def q_nation_supplier_arrays(spark, sf_dir):
+    """Array superset surface (SURVEY §2C array/table-valued rows):
+    collect per-nation sorted supplier-key arrays, slice the top 3, and
+    posexplode back to rows with the position — the array construction /
+    slicing / explode path in one query.  Output is all-scalar so the
+    oracle compares values without array-representation concerns."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    arrs = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.array_sort(F.collect_list("s_suppkey")).alias("keys")))
+    top3 = arrs.select("n_name", F.slice("keys", 1, 3).alias("top3"),
+                       F.size("keys").cast("long").alias("n_total"))
+    return (top3.select("n_name", "n_total",
+                        F.posexplode("top3").alias("pos", "s_suppkey"))
+            .select("n_name", "n_total", (F.col("pos") + 1).cast("long").alias("pos"),
+                    "s_suppkey")
+            .orderBy("n_name", "pos"))
+
+
 # ===========================================================================
 # LLM-data-pipeline operators (BASELINE.json north star)
 # ===========================================================================
@@ -487,6 +576,44 @@ def q_doc_quality_by_lang(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_ann_topk(spark, sf_dir):
+    """Approximate nearest neighbors via sign-LSH bucketing (the scale
+    path next to embedding_topk's exact scan): only the query's bucket
+    is scored.  multiprobe=False so the oracle is a plain bucket
+    equi-join; the md5-derived hyperplanes are embedded as literals in
+    both engines (operators.dedup.plane_component)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.ann_topk_lsh(corpus, queries, "embedding", "vec_id",
+                             "embedding", "vec_id", k=5, planes=8,
+                             multiprobe=False)
+            .select("query_id", "id", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing with a real value oracle: documents' text
+    bytes as opaque binary media → Arrow-batched mapInPandas decode stub
+    (sha256-derived features; operators.multimodal.extract_features).
+    The oracle reproduces digest and feature values from sha256 hex in
+    SQL, pinning the full binary→batch→feature path bit-for-bit:
+    feature k = LE-uint32 of digest bytes 4k..4k+3, /2³², rounded to
+    float32 (round-to-nearest-even in both engines)."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.lit("text-blob").alias("kind"),
+                        F.encode("text", "UTF-8").alias("content"))
+    feats = extract_features(media, feature_dim=8)
+    return (feats.select("media_id", "kind", "n_bytes", "digest",
+                         F.element_at("features", 1).cast("double").alias("f0"),
+                         F.element_at("features", 8).cast("double").alias("f7"))
+            .orderBy("media_id"))
+
+
 # ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
@@ -526,6 +653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": q_top_customer_per_nation,
         "acctbal_deciles": q_acctbal_deciles,
         "group_concat_sorted": q_group_concat_sorted,
+        "avg_qty_correlated": q_avg_qty_correlated,
+        "suppliers_with_returns": q_suppliers_with_returns,
+        "math_funcs": q_math_funcs,
+        "date_funcs": q_date_funcs,
+        "nation_supplier_arrays": q_nation_supplier_arrays,
         "ref_pivot_union": q_ref_pivot_union,
         "ref_horizontal_concat": q_ref_horizontal_concat,
         "events_sessionize": q_events_sessionize,
@@ -540,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "text_profile": q_text_profile,
         "doc_quality_by_lang": q_doc_quality_by_lang,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
         "stream_event_counts": q_stream_event_counts,
     }
 
@@ -568,6 +702,21 @@ def _minhash_sql_terms(k: int) -> list[str]:
         terms.append(
             f"list_min(list_apply(hs, h -> (h * {a_i} + {b_i}) % 2305843009213693951))")
     return terms
+
+
+def _lsh_bucket_sql(vec: str, planes: int, dim: int) -> str:
+    """Sign-LSH bucket string matching ``_sign_lsh_signature``: per
+    plane, a left-associated ``0.0 + Σ vec[j]·component`` chain (same
+    addition order as the Spark literal chain → identical doubles)."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import plane_component
+
+    parts = []
+    for p in range(planes):
+        dot = " + ".join(
+            f"cast({vec}[{j + 1}] as double) * ({plane_component(p, j)}.0)"
+            for j in range(dim))
+        parts.append(f"(case when (0.0 + {dot}) >= 0 then '1' else '0' end)")
+    return " || ".join(parts)
 
 
 def _simhash_bits_sql(th_col: str = "th") -> str:
@@ -773,6 +922,55 @@ SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """,
+        "avg_qty_correlated": """
+SELECT count(*) AS n_small,
+  cast(sum(cast(l_extendedprice as decimal(28,4))) as double) AS total_price
+FROM lineitem l
+WHERE cast(l.l_quantity as decimal(12,2)) * 5 *
+      (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    < (SELECT sum(cast(i.l_quantity as decimal(12,2))) FROM lineitem i
+       WHERE i.l_partkey = l.l_partkey)
+""",
+        "suppliers_with_returns": """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+GROUP BY n_name ORDER BY n_name
+""",
+        "math_funcs": """
+SELECT p_partkey,
+  abs(p_size - 25) AS abs_off,
+  p_size % 7 AS size_mod,
+  sqrt(cast(p_size as double)) AS size_sqrt,
+  cast(floor(p_retailprice) as bigint) AS price_floor,
+  cast(ceil(p_retailprice) as bigint) AS price_ceil,
+  cast(sign(p_size - 25) as bigint) AS size_sign,
+  greatest(p_size, 10) AS size_hi,
+  least(p_size, 40) AS size_lo
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+        "date_funcs": """
+SELECT o_orderkey,
+  cast(year(o_orderdate) as bigint) AS y,
+  cast(month(o_orderdate) as bigint) AS m,
+  cast(day(o_orderdate) as bigint) AS dom,
+  cast(quarter(o_orderdate) as bigint) AS q,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(cast(o_orderdate as date) + 30, '%Y-%m-%d') AS plus30,
+  cast(date_diff('day', cast(o_orderdate as date), date '1998-12-31') as bigint)
+    AS days_to_eoy
+FROM orders ORDER BY o_orderkey LIMIT 500
+""",
+        "nation_supplier_arrays": """
+WITH ranked AS (
+  SELECT n_name, s_suppkey,
+    row_number() OVER (PARTITION BY n_name ORDER BY s_suppkey) AS pos,
+    count(*) OVER (PARTITION BY n_name) AS n_total
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, n_total, pos, s_suppkey
+FROM ranked WHERE pos <= 3 ORDER BY n_name, pos
+""",
         "ref_pivot_union": """
 SELECT 'source_O' AS "index", o_orderpriority, count(*) AS n_orders,
   cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total
@@ -919,6 +1117,22 @@ JOIN (SELECT vec_id, embedding AS e FROM embeddings) b ON a.vec_id < b.vec_id
 WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.4
 ORDER BY id_a, id_b
 """,
+        "ann_topk": f"""
+WITH cb AS (
+  SELECT vec_id AS id, embedding AS e, {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+  FROM embeddings WHERE vec_id >= 3),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS e, {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+  FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT qb.query_id, cb.id,
+    {_DOT.replace('b.e', 'qb.e').replace('a.e', 'cb.e')} / (
+      {_NORM_A.replace('a.e', 'cb.e')} * {_NORM_B.replace('b.e', 'qb.e')}) AS cosine
+  FROM cb JOIN qb USING (bucket))
+SELECT query_id, id, cosine,
+  cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
         "embedding_topk": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS id,
@@ -946,5 +1160,19 @@ SELECT lang, count(*) AS n,
   cast(sum(cast({quality} as decimal(28,8))) as double) AS total_quality,
   cast(sum(cast(n_chars as decimal(28,0))) as double) AS total_chars
 FROM t GROUP BY lang ORDER BY lang
+""",
+        "media_features": """
+WITH d AS (
+  SELECT doc_id AS media_id, 'text-blob' AS kind,
+    cast(strlen(text) as bigint) AS n_bytes, sha256(text) AS dg
+  FROM documents)
+SELECT media_id, kind, n_bytes, dg AS digest,
+  cast(cast(cast(('0x' || substr(dg, 7, 2) || substr(dg, 5, 2)
+                       || substr(dg, 3, 2) || substr(dg, 1, 2)) as bigint)
+            / 4294967296.0 as real) as double) AS f0,
+  cast(cast(cast(('0x' || substr(dg, 63, 2) || substr(dg, 61, 2)
+                       || substr(dg, 59, 2) || substr(dg, 57, 2)) as bigint)
+            / 4294967296.0 as real) as double) AS f7
+FROM d ORDER BY media_id
 """,
     }
