@@ -1,8 +1,14 @@
 from .events import (
-    run_windowed_counts_availablenow, sessionize_batch, windowed_counts_stream,
+    dedup_stream_within_watermark, run_dedup_stream_availablenow,
+    run_running_totals_availablenow, run_session_windows_availablenow,
+    run_windowed_counts_availablenow, running_user_totals_stream,
+    session_window_stream, sessionize_batch, windowed_counts_stream,
 )
 
 __all__ = [
     "windowed_counts_stream", "run_windowed_counts_availablenow",
+    "session_window_stream", "run_session_windows_availablenow",
+    "dedup_stream_within_watermark", "run_dedup_stream_availablenow",
+    "running_user_totals_stream", "run_running_totals_availablenow",
     "sessionize_batch",
 ]

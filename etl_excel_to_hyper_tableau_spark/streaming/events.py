@@ -68,6 +68,136 @@ def run_windowed_counts_availablenow(spark: SparkSession, events_dir: str,
         F.col("total_value").cast("double").alias("total_value"))
 
 
+def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming reader for the events table shape (shared plumbing:
+    nanos→micros truncation + single-file glob handling, as in
+    :func:`windowed_counts_stream`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        parent, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = parent
+    stream = reader.parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def session_window_stream(spark: SparkSession, events_dir: str,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``:
+    per-user sessions close after ``gap`` of inactivity; the watermark
+    bounds state.  The streaming counterpart of
+    :func:`sessionize_batch` (which assigns ordinal session ids —
+    session_window identifies sessions by their time range instead,
+    the natural keys in an unbounded setting)."""
+    stream = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return (stream
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+def run_session_windows_availablenow(spark: SparkSession, events_dir: str,
+                                     gap: str = "30 minutes") -> DataFrame:
+    """Execute the session-window stream over static data
+    (availableNow trigger, memory sink) and return the result table."""
+    name = "ev_sessions_" + uuid.uuid4().hex[:8]
+    q = (session_window_stream(spark, events_dir, gap=gap)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", F.col("w.start").alias("session_start_w"),
+        F.col("w.end").alias("session_end_w"),
+        "n_events", "session_start", "session_end")
+
+
+def dedup_stream_within_watermark(spark: SparkSession, events_dir: str,
+                                  keys: list[str] | None = None,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup bounded by the watermark:
+    ``dropDuplicatesWithinWatermark`` keeps state only for rows younger
+    than the watermark — the unbounded-input counterpart of
+    ``operators.dedup.exact_dedup`` (which needs the full key set).
+    Default keys: (user_id, event_type, value)."""
+    stream = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return stream.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type", "value"])
+
+
+def run_dedup_stream_availablenow(spark: SparkSession, events_dir: str,
+                                  keys: list[str] | None = None) -> DataFrame:
+    name = "ev_dedup_" + uuid.uuid4().hex[:8]
+    q = (dedup_stream_within_watermark(spark, events_dir, keys=keys)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def running_user_totals_stream(spark: SparkSession, events_dir: str,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals (event count + value sum) carried in explicit state
+    across micro-batches — the escape hatch for stateful logic that
+    windowed aggregation can't express.  State is one tiny tuple per
+    user; timeouts are left unset because the demo state is bounded by
+    the user-id domain (a real pipeline would set TTL timeouts)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    stream = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_running_totals_availablenow(spark: SparkSession, events_dir: str) -> DataFrame:
+    name = "ev_totals_" + uuid.uuid4().hex[:8]
+    q = (running_user_totals_stream(spark, events_dir)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # per-user latest state (several micro-batches may each emit a row)
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (t.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: a new session starts when a user's gap from
     the previous event exceeds ``gap_minutes``.  Classic lag + running

@@ -10,7 +10,9 @@ from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
     extract_features, make_fake_media, repartition_by_bytes, resize_images,
 )
 from etl_excel_to_hyper_tableau_spark.streaming.events import (
-    run_windowed_counts_availablenow, sessionize_batch,
+    run_dedup_stream_availablenow, run_running_totals_availablenow,
+    run_session_windows_availablenow, run_windowed_counts_availablenow,
+    sessionize_batch,
 )
 
 
@@ -57,6 +59,55 @@ def test_sessionize_batch_gap_semantics(spark):
     out = sessionize_batch(df, gap_minutes=30)
     got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def _batch_events(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    stream = run_session_windows_availablenow(
+        spark, f"{sf_dir}/events.parquet", gap="30 minutes")
+    batch = (_batch_events(spark, sf_dir)
+             .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("ts").alias("session_start"),
+                  F.max("ts").alias("session_end"))
+             .select("user_id", F.col("w.start").alias("session_start_w"),
+                     F.col("w.end").alias("session_end_w"),
+                     "n_events", "session_start", "session_end"))
+    a = sorted(map(repr, stream.collect()))
+    b = sorted(map(repr, batch.collect()))
+    assert a == b and len(a) > 0
+    # session count must also agree with the lag-based batch sessionizer
+    n_lag = sessionize_batch(_batch_events(spark, sf_dir), 30).count()
+    assert len(a) == n_lag
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    keys = ["user_id", "event_type", "value"]
+    out = run_dedup_stream_availablenow(spark, f"{sf_dir}/events.parquet",
+                                        keys=keys)
+    n_distinct = _batch_events(spark, sf_dir).dropDuplicates(keys).count()
+    # watermark-bounded dedup may keep extra rows whose duplicates were
+    # separated by more than the watermark, never fewer
+    assert n_distinct <= out.count() <= _batch_events(spark, sf_dir).count()
+    # and per-key multiplicity within the watermark window is 1 for the
+    # overwhelming majority: spot-check no key appears more than its
+    # batch count
+    assert (out.groupBy(keys).count().filter("count > 2").count() == 0)
+
+
+def test_streaming_running_totals_match_batch(spark, sf_dir):
+    out = run_running_totals_availablenow(spark, f"{sf_dir}/events.parquet")
+    batch = (_batch_events(spark, sf_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n_events")))
+    a = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    b = {(r["user_id"], r["n_events"]) for r in batch.collect()}
+    assert a == b and len(a) > 0
 
 
 def test_streaming_windowed_counts_match_batch(spark, sf_dir):
