@@ -65,7 +65,7 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = len(df.collect())
+        n = len(df.toPandas())  # Arrow-batched result fetch (the engine's doctrine)
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

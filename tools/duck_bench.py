@@ -29,7 +29,7 @@ def main() -> None:
     timings = {}
     for name in only:
         t0 = time.perf_counter()
-        n = len(con.execute(oracles[name]).fetchall())
+        n = len(con.execute(oracles[name]).fetchdf())  # columnar fetch, like bench.py's toPandas
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     print(json.dumps({"metric": "duckdb_oracle_wall_seconds",
