@@ -1,0 +1,106 @@
+"""Behavioral parity against the reference's own execution path: load
+the reference's shipped workbooks, run its exact example queries through
+SQLite (its real engine) AND through this engine, and compare values.
+
+Skipped when the reference checkout isn't present (the repo stays
+standalone); in CI-with-reference this is the strongest parity proof —
+real input files, real golden queries, engine-vs-engine value equality.
+"""
+
+import os
+import sqlite3
+
+import pytest
+
+from etl_excel_to_hyper_tableau_spark.bundles import QueryBundle
+from etl_excel_to_hyper_tableau_spark.engine import QueryEngine
+from etl_excel_to_hyper_tableau_spark.sources import xlsx_io
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/consumer_complaints.xlsx"),
+    reason="reference checkout not available")
+
+Q1 = ("SELECT company, product, COUNT(product) as number_of_complaints "
+      "FROM Sheet1.sheet WHERE company='Bank of America'"
+      "GROUP BY product "
+      "HAVING COUNT(company_response_to_consumer)>10")
+Q2 = ("SELECT company, COUNT(company) as number_of_complaints "
+      "FROM Sheet1.sheet GROUP BY company ")
+
+
+@pytest.fixture(scope="module")
+def sqlite_results():
+    """The reference pipeline's compute core, re-run faithfully: sheet →
+    staging table → per-(query, file) SQL through SQLite."""
+    cols, rows = xlsx_io.read_sheet(f"{REF}/consumer_complaints.xlsx", "Sheet1")
+    con = sqlite3.connect(":memory:")
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    con.execute(f'CREATE TABLE consumer_complaints_Sheet1_sheet ({col_list})')
+    con.executemany(
+        f"INSERT INTO consumer_complaints_Sheet1_sheet VALUES "
+        f"({','.join('?' * len(cols))})", rows)
+    out = {}
+    for name, q in [("q1", Q1), ("q2", Q2)]:
+        sql = q.replace("Sheet1.sheet", "consumer_complaints_Sheet1_sheet")
+        out[name] = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    return out
+
+
+def test_engine_matches_sqlite_on_reference_data(spark, tmp_path, sqlite_results):
+    bundle = QueryBundle.from_strings(
+        export_name="complaints_by_bank", sink="excel",
+        matches=["consumer_complaints.xlsx", "consumer_complaints1.xlsx"],
+        sheets=["Sheet1"],
+        query_strings=[Q1, Q2],
+        query_names=["complaint_counts_by_company", "num_of_complaints_per_company"],
+        pivot_by_name={"complaint_counts_by_company": True},
+    )
+    eng = QueryEngine(spark, REF, [bundle], str(tmp_path))
+    eng.process_queries()
+
+    # per-file results recorded during the run carry the raw (unprefixed,
+    # uncombined) query output — compare those against SQLite's
+    for qname, key in [("complaint_counts_by_company", "q1"),
+                       ("num_of_complaints_per_company", "q2")]:
+        per_file = bundle.queried_dfs_by_query_name[qname]
+        assert len(per_file) == 2
+        for _, df in per_file:
+            got = sorted(tuple(r) for r in df.collect())
+            assert got == sqlite_results[key], qname
+
+
+def test_golden_hyper_schema_from_reference_data(spark, tmp_path):
+    # the shipped complaints_by_bank.hyper pins these schemas (SURVEY §5.1)
+    from etl_excel_to_hyper_tableau_spark.sinks.hyper import plan_hyper_tables
+    bundle = QueryBundle.from_strings(
+        export_name="x", sink="excel",
+        matches=["consumer_complaints.xlsx", "consumer_complaints1.xlsx"],
+        sheets=["Sheet1"], query_strings=[Q1, Q2],
+        query_names=["complaint_counts_by_company", "num_of_complaints_per_company"],
+        pivot_by_name={"complaint_counts_by_company": True})
+    eng = QueryEngine(spark, REF, [bundle], str(tmp_path))
+    match_map = eng.match_files()
+    eng.stage(eng.distinct_sheets(match_map))
+    try:
+        results = []
+        for query in bundle.queries:
+            per_file = [(m, match_map[m], eng.run_query(query, match_map[m]))
+                        for m in bundle.matches]
+            results.append((query.name, eng.combine(bundle, query, per_file)))
+        plans = {p["table"]: p["columns"] for p in plan_hyper_tables(results)}
+    finally:
+        from etl_excel_to_hyper_tableau_spark.sources.registry import unregister_all
+        unregister_all(spark, eng._registered)
+        eng._registered.clear()
+
+    assert plans["complaint_counts_by_company"] == [
+        ("index", "text", True), ("company", "text", True),
+        ("product", "text", True), ("number_of_complaints", "big_int", True)]
+    assert [c[0] for c in plans["num_of_complaints_per_company"]] == [
+        "consumer_complaints.xlsx_company",
+        "consumer_complaints.xlsx_number_of_complaints",
+        "consumer_complaints1.xlsx_company",
+        "consumer_complaints1.xlsx_number_of_complaints"]
