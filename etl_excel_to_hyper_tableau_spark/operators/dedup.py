@@ -88,11 +88,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                 .withColumn("sz", F.size("sh")))
     exploded = shingled.select("id", "sz", F.explode("sh").alias("g"))
     if max_df is not None:
-        df_counts = exploded.groupBy("g").count().filter(F.col("count") <= max_df)
+        # document frequency and the pruned set sizes as two window
+        # passes — each is one shuffle, and no join materializes an
+        # intermediate table (vs groupBy+join doing shuffle+broadcast
+        # per step)
+        df_w = Window.partitionBy("g")
+        sz_w = Window.partitionBy("id")
         exploded = (exploded.drop("sz")
-                    .join(F.broadcast(df_counts.select("g")), "g"))
-        sizes = exploded.groupBy("id").agg(F.count("*").alias("sz"))
-        exploded = exploded.join(sizes, "id")
+                    .withColumn("__df__", F.count("*").over(df_w))
+                    .filter(F.col("__df__") <= max_df)
+                    .drop("__df__")
+                    .withColumn("sz", F.count("*").over(sz_w)))
     a = exploded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = exploded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     common = (a.join(b, "g")
