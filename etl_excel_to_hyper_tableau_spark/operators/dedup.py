@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .parallelism import spread
 from ..functions.hashing import (
     MERSENNE61, char_ngrams, md5_int64, perm_constants,
 )
@@ -74,7 +75,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     skew guard — at 100 TB a shingle like ``'the'`` would otherwise
     create a quadratic bucket; with it, per-shingle join fan-out is
     bounded by ``max_df²``) → self-equi-join on shingle → count common
-    shingles per (a, b) → Jaccard from inclusion–exclusion.
+    shingles per (a, b) → Jaccard from inclusion–exclusion.  The
+    document-frequency prune is a partial-aggregatable groupBy + keep-set
+    join (broadcast when small), never a window over the exploded rows.
 
     With ``max_df`` set, the result is Jaccard **over the pruned
     shingle space**: document sizes are recomputed after pruning, so
@@ -83,22 +86,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Output: ``id_a, id_b, jaccard`` with ``id_a < id_b``.
     """
-    shingled = (df.select(F.col(id_col).alias("id"),
-                          F.array_distinct(char_ngrams(F.col(text_col), n)).alias("sh"))
+    shingled = (spread(df).select(
+                    F.col(id_col).alias("id"),
+                    F.array_distinct(char_ngrams(F.col(text_col), n)).alias("sh"))
                 .withColumn("sz", F.size("sh")))
     exploded = shingled.select("id", "sz", F.explode("sh").alias("g"))
     if max_df is not None:
-        # document frequency and the pruned set sizes as two window
-        # passes — each is one shuffle, and no join materializes an
-        # intermediate table (vs groupBy+join doing shuffle+broadcast
-        # per step)
-        df_w = Window.partitionBy("g")
-        sz_w = Window.partitionBy("id")
-        exploded = (exploded.drop("sz")
-                    .withColumn("__df__", F.count("*").over(df_w))
-                    .filter(F.col("__df__") <= max_df)
-                    .drop("__df__")
-                    .withColumn("sz", F.count("*").over(sz_w)))
+        # document frequency via groupBy, not a window: the aggregate
+        # gets a map-side partial combine, so the shuffle moves one row
+        # per (partition, shingle) instead of every exploded row — with
+        # shingle cardinality ≪ row count (always true for char n-grams:
+        # ≤ alphabet^n) that is orders of magnitude less traffic.  The
+        # keep-set joins back as a broadcast when small (AQE decides);
+        # per-doc sizes are recomputed post-prune the same way.
+        # persist: the exploded shingle table feeds both the DF count
+        # and the prune join (Catalyst does not CSE across DataFrame
+        # references — unpersisted, the substring/explode subtree would
+        # re-run per branch); MEMORY_AND_DISK, so at scale it spills
+        # rather than re-reading the corpus.
+        exploded = exploded.persist()
+        dfq = exploded.groupBy("g").agg(F.count("*").alias("__df__"))
+        keep = dfq.filter(F.col("__df__") <= max_df).select("g")
+        pruned = exploded.drop("sz").join(keep, "g")
+        sizes = pruned.groupBy("id").agg(F.count("*").alias("sz"))
+        exploded = pruned.join(sizes, "id")
+    # both self-join sides read this — persist for the same reason
+    exploded = exploded.persist()
     a = exploded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = exploded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     common = (a.join(b, "g")
@@ -133,7 +146,7 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str,
     (the expression form yields an empty-array signature; every caller
     filters those out anyway).
     """
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"))
     hashed = grams.select("id", (md5_int64(F.col("g")) % F.lit(1 << 31)).alias("h"))
@@ -249,8 +262,8 @@ def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     in the expression form.  Docs with no tokens produce no rows (the
     expression form gives them simhash 0; callers treat absent and
     never-pairs the same way)."""
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
     hashed = toks.select("id", md5_int64(F.col("t")).alias("h"))
     votes = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
@@ -420,7 +433,7 @@ def _gemm_candidate_pairs(v: DataFrame, threshold: float,
             keep = b_ids[bi] < c_ids[cj]  # dedupe: emit each pair from its smaller id
             yield pd.DataFrame({"id_a": b_ids[bi][keep], "id_b": c_ids[cj][keep]})
 
-    return v.select("id", "vec").mapInPandas(gen, "id_a long, id_b long")
+    return spread(v.select("id", "vec")).mapInPandas(gen, "id_a long, id_b long")
 
 
 def plane_component(p: int, j: int) -> int:

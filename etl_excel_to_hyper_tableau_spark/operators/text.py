@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .parallelism import spread
 from ..functions.hashing import md5_int64
 
 # Tiny public stopword lists (top function words). Deliberately short —
@@ -135,7 +136,8 @@ def fingerprint64(col: Column) -> Column:
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-stop per-document profile: language, quality, token counts,
-    fingerprint — narrow projections, no shuffle at all.
+    fingerprint — narrow projections; the only possible shuffle is the
+    :func:`spread` parallelism guard on under-partitioned inputs.
 
     The token array and its per-language stopword hit counts are
     materialized in their own projections so the downstream features
@@ -143,8 +145,8 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     split and the stopword scans (Catalyst does not CSE across
     higher-order-function subtrees), measured ~35% slower at sf0.1."""
     c = F.col(text_col)
-    base = df.select(F.col(id_col).alias("id"), c.alias("__t__"),
-                     tokens(c).alias("__toks__"))
+    base = spread(df).select(F.col(id_col).alias("id"), c.alias("__t__"),
+                             tokens(c).alias("__toks__"))
     toks = F.col("__toks__")
     t = F.col("__t__")
     n_tok = F.size(toks)
