@@ -615,6 +615,131 @@ def q_media_features(spark, sf_dir):
 
 
 # ===========================================================================
+# Temporal / interval joins and IVF ANN (engine extensions)
+# ===========================================================================
+
+def q_asof_purchase_click(spark, sf_dir):
+    """As-of join (operators.interval.asof_join): each purchase event
+    matched to the user's most recent click at or before it — the
+    union+window linear formulation, one shuffle on user_id, no theta
+    join in the plan.  Oracle: DuckDB's native ASOF JOIN."""
+    from etl_excel_to_hyper_tableau_spark.operators.interval import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "value")
+    return (asof_join(purchases, clicks, key="user_id", ts="ts",
+                      right_prefix="click_")
+            .select("event_id", "user_id", "ts", "value",
+                    "click_ts", "click_value")
+            .orderBy("event_id"))
+
+
+def q_range_join_price_bands(spark, sf_dir):
+    """Range join (operators.interval.range_join_binned): parts matched
+    to overlapping price bands via bin equi-join — a hash join on the
+    bin key instead of the BroadcastNestedLoop a BETWEEN predicate
+    plans to.  Bands overlap, so one part can land in several."""
+    from etl_excel_to_hyper_tableau_spark.operators.interval import range_join_binned
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.lit(895.0) + F.col("id") * 5).alias("lo"),
+        (F.lit(907.0) + F.col("id") * 5).alias("hi"))
+    return (range_join_binned(part, bands, "p_retailprice", "lo", "hi",
+                              bin_width=10.0)
+            .select("p_partkey", "band_id", "p_retailprice")
+            .orderBy("p_partkey", "band_id"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators.similarity.ivf_topk): coarse-quantizer cells
+    from the first 16 corpus vectors (train_iters=0 — deterministic, so
+    the oracle reproduces the assignment), nprobe=2.  The corpus never
+    shuffles: assignment is an argmax over literal centroids and the
+    probe join broadcasts the query side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.ivf_topk(corpus, queries, "embedding", "vec_id",
+                         "embedding", "vec_id", k=5, n_cells=16, nprobe=2)
+            .select("query_id", "id", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+# ===========================================================================
+# Additional SQL surface: window frames, FILTER clause, multiset set ops,
+# unpivot
+# ===========================================================================
+
+def q_window_frames(spark, sf_dir):
+    """lag/lead/first_value + a bounded ROWS frame, per customer ordered
+    by (date, key) — the full window-frame surface of SQLite ≥3.25 /
+    SURVEY §2C, one shuffle on o_custkey shared by all four windows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_wf")
+    return spark.sql("""
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_total,
+  lead(o_totalprice) OVER w AS next_total,
+  first_value(o_totalprice) OVER w AS first_total,
+  cast(sum(cast(o_totalprice as decimal(28,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+FROM v_orders_wf
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+
+
+def q_filter_clause_agg(spark, sf_dir):
+    """Aggregate FILTER clause (SQLite ≥3.30 surface): conditional
+    counts/sums in one hash-aggregate pass, no self-joins."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_fc")
+    return spark.sql("""
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+  cast(sum(cast(o_totalprice as decimal(28,4)))
+       FILTER (WHERE o_orderstatus = 'F') as double) AS total_f
+FROM v_orders_fc GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+
+def q_orders_intersect_all(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL multiset semantics (the ALL variants
+    SQLite lacks — superset surface), over the same relation filtered
+    two ways."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sa")
+    return spark.sql("""
+SELECT o_custkey FROM v_orders_sa WHERE year(o_orderdate) = 1996
+INTERSECT ALL
+SELECT o_custkey FROM v_orders_sa WHERE year(o_orderdate) = 1997
+ORDER BY o_custkey
+""")
+
+
+def q_lineitem_unpivot(spark, sf_dir):
+    """Unpivot (wide→long): per-returnflag measure totals melted into
+    (measure, val) rows — DataFrame ``unpivot``; the oracle is the
+    equivalent UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_price"),
+        _dsum(F.col("l_discount"), "sum_disc"))
+    return (wide.unpivot("l_returnflag", ["sum_qty", "sum_price", "sum_disc"],
+                         "measure", "val")
+            .orderBy("l_returnflag", "measure"))
+
+
+# ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
 
@@ -673,6 +798,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "doc_quality_by_lang": q_doc_quality_by_lang,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_price_bands": q_range_join_price_bands,
+        "window_frames": q_window_frames,
+        "filter_clause_agg": q_filter_clause_agg,
+        "orders_intersect_all": q_orders_intersect_all,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "media_features": q_media_features,
         "stream_event_counts": q_stream_event_counts,
     }
@@ -728,6 +860,18 @@ def _simhash_bits_sql(th_col: str = "th") -> str:
             f"(case when list_sum(list_apply({th_col}, h -> case when (h & {1 << j}) <> 0 "
             f"then 1 else -1 end)) > 0 then cast({1 << j} as bigint) else 0 end)")
     return " + ".join(bits)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine of two FLOAT[] columns with the same fold order as the
+    engine's ``_cosine`` (sequential left-fold → bit-identical)."""
+    dot = (f"list_reduce(list_apply(range(1, 65), "
+           f"i -> cast({a}[i] as double) * cast({b}[i] as double)), (x, y) -> x + y)")
+    na = (f"sqrt(list_reduce(list_apply({a}, x -> cast(x as double) * "
+          f"cast(x as double)), (x, y) -> x + y))")
+    nb = (f"sqrt(list_reduce(list_apply({b}, x -> cast(x as double) * "
+          f"cast(x as double)), (x, y) -> x + y))")
+    return f"{dot} / ({na} * {nb})"
 
 
 _DOT = ("list_reduce(list_apply(range(1, 65), "
@@ -1160,6 +1304,86 @@ SELECT lang, count(*) AS n,
   cast(sum(cast({quality} as decimal(28,8))) as double) AS total_quality,
   cast(sum(cast(n_chars as decimal(28,0))) as double) AS total_chars
 FROM t GROUP BY lang ORDER BY lang
+""",
+        "ivf_topk": f"""
+WITH corpus AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id >= 3),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, e AS ce
+  FROM (SELECT id, e FROM corpus ORDER BY id LIMIT 16)),
+assigned AS (
+  SELECT id, e, cell FROM (
+    SELECT c.id, c.e, ct.cell,
+      row_number() OVER (PARTITION BY c.id
+                         ORDER BY {_cos_sql('c.e', 'ct.ce')} DESC, ct.cell ASC) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+qp AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, ct.cell,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {_cos_sql('q.embedding', 'ct.ce')} DESC, ct.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < 3) WHERE rn <= 2),
+scored AS (
+  SELECT qp.query_id, a.id, {_cos_sql('a.e', 'qp.qe')} AS cosine
+  FROM assigned a JOIN qp USING (cell))
+SELECT query_id, id, cosine,
+  cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+        "asof_purchase_click": """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, c.value AS click_value
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY event_id
+""",
+        "range_join_price_bands": """
+WITH bands AS (
+  SELECT i AS band_id, 895.0 + i * 5 AS lo, 907.0 + i * 5 AS hi
+  FROM range(0, 20) t(i))
+SELECT p_partkey, band_id, p_retailprice
+FROM part JOIN bands ON p_retailprice BETWEEN lo AND hi
+ORDER BY p_partkey, band_id
+""",
+        "window_frames": """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_total,
+  lead(o_totalprice) OVER w AS next_total,
+  first_value(o_totalprice) OVER w AS first_total,
+  cast(sum(cast(o_totalprice as decimal(28,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+        "filter_clause_agg": """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+  cast(sum(cast(o_totalprice as decimal(28,4)))
+       FILTER (WHERE o_orderstatus = 'F') as double) AS total_f
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "orders_intersect_all": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY o_custkey
+""",
+        "lineitem_unpivot": """
+WITH wide AS (SELECT l_returnflag,
+  cast(sum(cast(l_quantity as decimal(28,4))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(28,4))) as double) AS sum_price,
+  cast(sum(cast(l_discount as decimal(28,4))) as double) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
+UNION ALL SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS val FROM wide
+ORDER BY l_returnflag, measure
 """,
         "media_features": """
 WITH d AS (

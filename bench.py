@@ -48,6 +48,9 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_topk",
     "text_profile",
+    "asof_purchase_click",
+    "range_join_price_bands",
+    "ivf_topk",
 ]
 
 

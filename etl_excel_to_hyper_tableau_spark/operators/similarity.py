@@ -13,6 +13,12 @@
   multi-probe neighbors at Hamming distance 1), trading recall for a
   ~2^planes search-space reduction — the standard recipe when the
   corpus no longer admits a full scan per query.
+* :func:`ivf_topk` — the other standard ANN layout (IVF): a coarse
+  quantizer assigns every corpus vector to its nearest centroid cell
+  (a narrow map — centroids are driver-collected literals, so the
+  corpus never shuffles); queries probe their ``nprobe`` nearest
+  cells and scan only those.  Optional Lloyd iterations refine the
+  centroids (each iteration: one argmin map + one partial-agg mean).
 
 All math is Catalyst expressions (``zip_with``/``aggregate``): JVM
 codegen, no Python UDFs.
@@ -99,6 +105,80 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame,
     joined = c.join(F.broadcast(q), "bucket")
     scored = joined.select("query_id", "id",
                            _cosine(F.col("vec"), F.col("qvec")).alias("cosine")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]],
+                   nprobe: int) -> Column:
+    """Array of the ``nprobe`` cell ids whose centroid has the highest
+    cosine with ``vec``; deterministic tie-break toward the smaller cell
+    id via lexicographic struct ordering on (cosine, -cell)."""
+    cells = F.array(*[
+        F.struct(
+            _cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("cos"),
+            F.lit(-cid).cast("long").alias("negcell"))
+        for cid, cvec in centroids
+    ])
+    top = F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
+    return F.transform(top, lambda s: -s["negcell"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             vec_col: str, id_col: str,
+             query_vec_col: str, query_id_col: str,
+             k: int = 10, n_cells: int = 16, nprobe: int = 2,
+             train_iters: int = 0) -> DataFrame:
+    """IVF approximate top-k by cosine.
+
+    Coarse quantizer: with ``train_iters=0`` the centroids are the
+    first ``n_cells`` corpus vectors by id — deterministic and
+    reproducible by an external SQL oracle; ``train_iters>0`` refines
+    them with Lloyd iterations (assignment is an argmin over literal
+    centroids — a narrow map; the mean is a posexplode + partial-agg
+    groupBy, collecting only n_cells×dim numbers back).
+
+    Search: each query probes its ``nprobe`` nearest cells; only those
+    cells' vectors are scored.  The corpus is never shuffled — the cell
+    id is a computed column, the probe join broadcasts the (small)
+    query set, and at scale the assigned corpus would be staged to
+    parquet partitioned by cell so probes prune at the scan
+    (``PartitionFilters``).
+
+    Output: ``query_id, id, cosine, rank`` (rank ≤ k per query).
+    """
+    if n_cells < 1 or nprobe < 1:
+        raise ValueError("n_cells and nprobe must be >= 1")
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("vec"))
+    seed = c.orderBy("id").limit(n_cells).collect()
+    if not seed:
+        raise ValueError("ivf_topk on an empty corpus")
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
+    dim = len(centroids[0][1])
+
+    for _ in range(train_iters):
+        assigned = c.withColumn(
+            "cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
+        means = (assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        # cells that lost all members keep their previous centroid
+        centroids = [(cid, by_cell.get(cid, cvec)) for cid, cvec in centroids]
+
+    c_cells = c.withColumn("cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>").alias("qvec"))
+    q_probes = q.select(
+        "query_id", "qvec",
+        F.explode(_nearest_cells(F.col("qvec"), centroids, nprobe)).alias("cell"))
+    joined = c_cells.join(F.broadcast(q_probes), "cell")
+    scored = joined.select("query_id", "id",
+                           _cosine(F.col("vec"), F.col("qvec")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

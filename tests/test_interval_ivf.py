@@ -1,0 +1,124 @@
+"""Interval joins (as-of, binned range) and IVF ANN: result equality
+against the naive theta-join / exact-scan formulations, plan property
+(no nested-loop join in the accelerated forms), and the Lloyd-iteration
+training path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.interval import (
+    asof_join,
+    range_join_binned,
+)
+from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+    ivf_topk,
+    topk_cosine_batch,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _asof_reference(left, right, key, ts):
+    """Naive theta-join + argmax reference for backward as-of."""
+    r = right.select(F.col(key).alias("__rk__"), F.col("ts").alias("r_ts"),
+                     F.col("v").alias("r_v"))
+    j = left.join(r, (left[key] == r["__rk__"]) & (left[ts] >= r["r_ts"]))
+    w = (j.groupBy(*[left[c] for c in left.columns])
+         .agg(F.max(F.struct("r_ts", "r_v")).alias("m")))
+    return w.select(*left.columns, F.col("m.r_ts").alias("r_ts"),
+                    F.col("m.r_v").alias("r_v"))
+
+
+def test_asof_backward_matches_theta_reference(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k long, ts long, payload string")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (1, 25, 300.0), (2, 1, 400.0)],
+        "k long, ts long, v double")
+    got = asof_join(left, right, key="k", ts="ts", right_prefix="r_") \
+        .withColumnRenamed("r_ts", "r_ts").withColumnRenamed("r_v", "r_v")
+    ref = _asof_reference(left, right, "k", "ts")
+    # k=3 has no match anywhere; k=1 ts=20 matches the ts=20 right row
+    assert _rows(got) == _rows(ref)
+    assert got.filter(F.col("k") == 3).count() == 0
+    tie = {r["ts"]: r["r_ts"] for r in got.filter(F.col("k") == 1).collect()}
+    assert tie[20] == 20  # equal timestamp is visible (>= semantics)
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 10), (1, 30)], "k long, ts long")
+    right = spark.createDataFrame([(1, 15, 1.0), (1, 25, 2.0)],
+                                  "k long, ts long, v double")
+    got = asof_join(left, right, key="k", ts="ts", direction="forward")
+    m = {r["ts"]: (r["r_ts"], r["r_v"]) for r in got.collect()}
+    assert m == {10: (15, 1.0)}  # ts=30 has no later right row → dropped
+
+
+def test_asof_plan_has_no_theta_join(spark, sf_dir):
+    import __spark_entry__ as entry
+    plan = _plan(entry.queries()["asof_purchase_click"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_between_reference(spark):
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 3.7).alias("x"))
+    ranges = spark.range(30).select(
+        F.col("id").alias("rid"), (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 45.0).alias("hi"))  # overlapping
+    got = range_join_binned(points, ranges, "x", "lo", "hi", bin_width=25.0)
+    ref = points.join(ranges, (F.col("x") >= F.col("lo"))
+                      & (F.col("x") <= F.col("hi")))
+    assert _rows(got.select("pid", "rid")) == _rows(ref.select("pid", "rid"))
+
+
+def test_range_join_bounds_inclusive(spark):
+    points = spark.createDataFrame([(1, 10.0), (2, 20.0)], "pid long, x double")
+    ranges = spark.createDataFrame([(7, 10.0, 20.0)], "rid long, lo double, hi double")
+    got = range_join_binned(points, ranges, "x", "lo", "hi", bin_width=5.0)
+    assert got.count() == 2
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = topk_cosine_batch(corpus, queries, "embedding", "vec_id",
+                              "embedding", "vec_id", k=5)
+    approx = ivf_topk(corpus, queries, "embedding", "vec_id",
+                      "embedding", "vec_id", k=5, n_cells=8, nprobe=4)
+    ex = {(r["query_id"], r["id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["id"]) for r in approx.collect()}
+    # nprobe=4 of 8 cells: expect at least half the exact neighbors found
+    assert len(ex & ap) >= len(ex) // 2
+    # every query returns exactly k ranked candidates (corpus ≫ k per cell)
+    assert approx.groupBy("query_id").count().filter("count <> 5").count() == 0
+
+
+def test_ivf_train_iters_runs_and_keeps_contract(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2)
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    out = ivf_topk(corpus, queries, "embedding", "vec_id",
+                   "embedding", "vec_id", k=3, n_cells=4, nprobe=2,
+                   train_iters=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    for r in rows:
+        assert 1 <= r["rank"] <= 3
