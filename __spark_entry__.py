@@ -740,6 +740,78 @@ def q_lineitem_unpivot(spark, sf_dir):
 
 
 # ===========================================================================
+# Sampling / splits, repetition & PII quality gates, keywords, clusters
+# ===========================================================================
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACS = {"en": 0.5, "zh": 0.25}
+
+
+def q_split_stats(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (no RNG — stable
+    under re-execution and re-partitioning) summarized per (split, lang)."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.hash_split(docs, "doc_id", _SPLITS)
+            .groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+            .orderBy("split", "lang"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample: 50% en, 25% zh, 10% others."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.stratified_sample(docs, "doc_id", "lang", _STRATA_FRACS,
+                                 default=0.1)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document (explode + groupBy —
+    corpus-linear, never per-doc quadratic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_profile(docs, "text", "doc_id").orderBy("id")
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over a synthetic-PII column (the corpus itself contains
+    none, so the query plants a deterministic email/phone/id per doc and
+    the oracle must reproduce both the counts and the redacted text)."""
+    docs = _t(spark, sf_dir, "documents")
+    withpii = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact u"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com or +1 555 123 4567 ref "),
+                 F.lpad(F.col("doc_id").cast("string"), 9, "7")).alias("t"))
+    c = tx.pii_counts(F.col("t"))
+    return (withpii.select(
+                "doc_id",
+                c["email"].cast("long").alias("n_email"),
+                c["phone"].cast("long").alias("n_phone"),
+                c["idnum"].cast("long").alias("n_idnum"),
+                tx.pii_redact(F.col("t")).alias("redacted"))
+            .orderBy("doc_id"))
+
+
+def q_keyword_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by term frequency with corpus document
+    frequency (integer-exact TF-DF; rank ties broken by token)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.keyword_topk(docs, "text", "doc_id", k=3)
+            .withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("id", "rank"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the ngram-Jaccard≥0.8 pair graph via
+    the iterative-fixpoint recursive-CTE equivalent; oracle is DuckDB's
+    native WITH RECURSIVE on the identical pair query."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicate_clusters(docs, "text", "doc_id", n=3,
+                                 threshold=0.8, max_df=100)
+
+
+# ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
 
@@ -806,6 +878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
         "media_features": q_media_features,
+        "split_stats": q_split_stats,
+        "stratified_sample": q_stratified_sample,
+        "doc_repetition": q_doc_repetition,
+        "pii_redaction": q_pii_redaction,
+        "keyword_topk": q_keyword_topk,
+        "dedup_clusters": q_dedup_clusters,
         "stream_event_counts": q_stream_event_counts,
     }
 
@@ -1398,5 +1476,105 @@ SELECT media_id, kind, n_bytes, dg AS digest,
                        || substr(dg, 59, 2) || substr(dg, 57, 2)) as bigint)
             / 4294967296.0 as real) as double) AS f7
 FROM d ORDER BY media_id
+""",
+        # --- sampling / splits -------------------------------------------
+        "split_stats": f"""
+WITH b AS (
+  SELECT lang,
+    {_MD5I.format(x="'split:'||cast(doc_id as varchar)")} % 10000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+  lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY split, lang
+""",
+        "stratified_sample": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    {_MD5I.format(x="'sample:'||cast(doc_id as varchar)")} % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
+ORDER BY doc_id
+""",
+        # --- repetition profile ------------------------------------------
+        "doc_repetition": f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+tb AS (SELECT id, toks,
+  list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1]) AS bgs FROM t),
+tf AS (SELECT id, tok, count(*) AS c
+  FROM (SELECT id, unnest(toks) AS tok FROM tb) GROUP BY 1, 2),
+ta AS (SELECT id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS top_c
+  FROM tf GROUP BY id),
+bf AS (SELECT id, bg, count(*) AS c
+  FROM (SELECT id, unnest(bgs) AS bg FROM tb) GROUP BY 1, 2),
+ba AS (SELECT id, sum(c) AS n_bg, count(*) AS n_bg_distinct FROM bf GROUP BY id)
+SELECT ta.id, cast(n_tok as bigint) AS n_tokens,
+  1.0 - (cast(n_distinct as double) / cast(n_tok as double)) AS dup_token_frac,
+  cast(top_c as double) / cast(n_tok as double) AS top_token_frac,
+  CASE WHEN n_bg IS NULL THEN 0.0
+       ELSE 1.0 - (cast(n_bg_distinct as double) / cast(n_bg as double))
+  END AS dup_bigram_frac
+FROM ta LEFT JOIN ba ON ta.id = ba.id ORDER BY ta.id
+""",
+        # --- PII redaction (patterns must equal operators.text.PII_PATTERNS)
+        "pii_redaction": f"""
+WITH w AS (
+  SELECT doc_id,
+    text || ' contact u' || cast(doc_id as varchar)
+         || '@example.com or +1 555 123 4567 ref '
+         || lpad(cast(doc_id as varchar), 9, '7') AS t
+  FROM documents)
+SELECT doc_id,
+  cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) as bigint) AS n_email,
+  cast(len(regexp_extract_all(t, '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) as bigint) AS n_phone,
+  cast(len(regexp_extract_all(t, '\\b[0-9]{{9,}}\\b')) as bigint) AS n_idnum,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g'),
+      '\\b[0-9]{{9,}}\\b', '<ID>', 'g') AS redacted
+FROM w ORDER BY doc_id
+""",
+        # --- keyword extraction ------------------------------------------
+        "keyword_topk": f"""
+WITH tf AS (
+  SELECT id, tok AS token, count(*) AS tf FROM (
+    SELECT doc_id AS id,
+      unnest(list_filter(
+        list_transform({toks}, s -> regexp_replace(lower(s), '[^a-z0-9]', '', 'g')),
+        s -> strlen(s) >= 3)) AS tok
+    FROM documents) GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+r AS (
+  SELECT tf.id, tf.token, tf.tf, dfq.df,
+    row_number() OVER (PARTITION BY tf.id ORDER BY tf.tf DESC, tf.token ASC) AS rank
+  FROM tf JOIN dfq USING (token))
+SELECT id, token, tf, df, cast(rank as bigint) AS rank
+FROM r WHERE rank <= 3 ORDER BY id, rank
+""",
+        # --- duplicate clusters (recursive CTE over the same pair graph) --
+        "dedup_clusters": f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
 """,
     }

@@ -51,6 +51,9 @@ HEADLINE = [
     "asof_purchase_click",
     "range_join_price_bands",
     "ivf_topk",
+    "doc_repetition",
+    "keyword_topk",
+    "dedup_clusters",
 ]
 
 

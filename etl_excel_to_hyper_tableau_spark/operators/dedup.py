@@ -466,3 +466,51 @@ def _sign_lsh_signature(vec: Column, planes: int, dim: int) -> Column:
             dot = dot + vec.getItem(j) * F.lit(float(plane_component(p, j)))
         parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*parts)
+
+
+def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 3, threshold: float = 0.5,
+                       max_df: int | None = None,
+                       max_iterations: int = 50) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every
+    document in a duplicate cluster labeled with the cluster's minimum
+    doc id.  This is the step production dedup pipelines run *after*
+    pair generation — "keep one per cluster" is only sound once
+    transitive duplicates (A≈B, B≈C but A̸≈C) share a label.
+
+    Pairs come from :func:`ngram_jaccard_pairs`; the closure is
+    min-label propagation run as an iterative fixpoint
+    (`plans.recursive.recursive_fixpoint` — the engine's recursive-CTE
+    equivalent, SURVEY §2C).  Each round is one distributed self-join
+    of the frontier against the (persisted, symmetric) edge list;
+    rounds needed = graph diameter, which for near-dup clusters is tiny
+    (duplicates of one source document form near-cliques — diameter 1-2;
+    the classic large-diameter hazard, a long chain, cannot arise when
+    edges require ≥threshold Jaccard overlap with transitively-decaying
+    similarity).  At 100 TB the same plan holds: edges ≪ corpus
+    (pairs are duplicate-rate bounded), every round shuffles on the
+    high-entropy id key, and `localCheckpoint` truncates lineage so the
+    plan stays flat across rounds.
+
+    Output: ``doc_id, cluster_id`` for documents appearing in ≥1 pair
+    (singletons are their own implicit cluster and are omitted, as in
+    the SQL ``WITH RECURSIVE`` formulation the oracle runs).
+    """
+    from ..plans.recursive import recursive_fixpoint
+
+    pairs = (ngram_jaccard_pairs(df, text_col, id_col, n=n,
+                                 threshold=threshold, max_df=max_df)
+             .select("id_a", "id_b"))
+    edges = (pairs.union(pairs.select(F.col("id_b").alias("id_a"),
+                                      F.col("id_a").alias("id_b")))
+             .toDF("s", "d").persist())
+    base = edges.select(F.col("s").alias("id"), F.col("s").alias("r")).distinct()
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (frontier.join(edges, frontier.id == edges.s)
+                .select(F.col("d").alias("id"), F.col("r")))
+
+    reach = recursive_fixpoint(base, step, max_iterations=max_iterations)
+    return (reach.groupBy(F.col("id").alias("doc_id"))
+            .agg(F.min("r").alias("cluster_id"))
+            .orderBy("doc_id"))

@@ -1,0 +1,113 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines: hash-based train/val/test splits and per-stratum sampling.
+
+Spark's built-in ``df.sample``/``sampleBy`` are seeded-RNG based: the
+row set they select depends on partitioning and evaluation order, so a
+re-run (or the same pipeline on a re-partitioned copy of the data)
+yields a different sample.  For training corpora that is wrong twice
+over — splits must be *stable under re-execution* (a document must
+never migrate from test to train between pipeline runs) and
+*reproducible cross-engine* (the audit query in another engine must
+select the same rows).  Everything here therefore derives membership
+from a content hash of the row's id, never from an RNG:
+
+    bucket(id) = md5_int64(salt || ':' || id) mod 10000
+
+which is uniform, deterministic, partitioning-independent, and exactly
+reproducible in any engine with md5 (DuckDB oracle form:
+``cast(('0x'||substr(md5(...),1,15)) as bigint) % 10000``).
+
+Scale: both operators are a single narrow projection / filter over the
+scan — no shuffle, no driver state; at 100 TB they run entirely
+map-side and compose with partition pruning.  (The reference has no
+sampling surface at all — its closest operation is ``df.head(1000)``,
+scratch.py:10 — so this module is part of the LLM-pipeline extension
+surface, not reference parity.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import md5_int64
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000) from a row id and a salt.
+
+    The salt namespaces independent decisions: the split assignment and
+    a downstream subsample must not reuse the same bucket or the sample
+    would be perfectly correlated with the split boundary.
+    """
+    return md5_int64(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))) % BUCKETS
+
+
+def split_assignment(id_col: Column, splits: dict[str, float],
+                     salt: str = "split") -> Column:
+    """Column assigning each row to a named split by cumulative bucket
+    ranges, e.g. ``{"train": .9, "val": .05, "test": .05}`` →
+    train = buckets [0, 9000), val = [9000, 9500), test = [9500, 10000).
+
+    Weights must sum to 1 (±1e-9).  Range edges are integer bucket
+    counts (``round(w * 10000)``) so the oracle SQL can embed the same
+    literals exactly.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    out = None
+    cum = 0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += round(splits[name] * BUCKETS)
+        cond = bucket < cum
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    last = F.lit(names[-1])
+    return last if out is None else out.otherwise(last)
+
+
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
+               salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Add a deterministic split-assignment column (no shuffle)."""
+    return df.withColumn(out_col, split_assignment(F.col(id_col), splits, salt))
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its bucket falls
+    below ``round(fraction[stratum] * 10000)``.  Strata absent from
+    ``fractions`` use ``default``.
+
+    Unlike ``df.sampleBy`` this is exact-membership-stable: the same
+    (id, stratum) is kept or dropped identically on every run, any
+    partitioning, any engine.  The sampled *count* per stratum is
+    binomial around fraction·n, as with any per-row Bernoulli design;
+    callers needing exact-k-per-stratum should window by
+    ``row_number() over (partition by stratum order by bucket, id)`` and
+    keep ranks ≤ k — same determinism, one shuffle.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for stratum, frac in fractions.items():
+        t = F.lit(round(frac * BUCKETS))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = F.lit(round(default * BUCKETS)) if thresh is None \
+        else thresh.otherwise(F.lit(round(default * BUCKETS)))
+    return df.filter(bucket < thresh)
+
+
+def exact_k_per_stratum(df: DataFrame, id_col: str, strata_col: str,
+                        k: int, salt: str = "sample") -> DataFrame:
+    """Exactly min(k, n) rows per stratum, chosen by hash order — the
+    deterministic analogue of per-group reservoir sampling.  One shuffle
+    (the window partition); rank columns are dropped."""
+    from pyspark.sql import Window
+    bucket = hash_bucket(F.col(id_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= k).drop("__rk__"))

@@ -191,3 +191,132 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_subtokens.alias("n_subtokens"),
         fingerprint.alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition profile (Gopher-style repetitive-content signals)
+# ---------------------------------------------------------------------------
+
+def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals, the standard repetitive-content
+    quality gates for web-scale corpora (cf. the "repetition removal"
+    rules in Rae et al., *Scaling Language Models* (Gopher), §A.1.1 —
+    public paper, heuristics reimplemented relationally):
+
+    * ``dup_token_frac``  — 1 − distinct_tokens / tokens
+    * ``top_token_frac``  — occurrences of the most frequent token / tokens
+    * ``dup_bigram_frac`` — 1 − distinct_bigrams / bigrams (0.0 when < 2 tokens)
+
+    Plan: explode tokens → per-(doc, token) counts → per-doc aggregate —
+    corpus-linear with map-side partial combines, never per-doc
+    quadratic work (the higher-order-function alternative
+    ``max(transform(distinct, d -> size(filter(toks, = d))))`` is
+    O(len²) per document, which a 1 MB pathological doc turns into 10¹²
+    comparisons).  Bigrams are positional pairs from the same token
+    array, counted the same way.  All ratios are int/int divisions in
+    IEEE double — bit-identical in any engine.
+    """
+    base = spread(df).select(F.col(id_col).alias("id"),
+                             tokens(F.col(text_col)).alias("__toks__"))
+    toks = F.col("__toks__")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    base = base.select("id", toks.alias("t"), bigrams.alias("b")).persist()
+
+    tf = (base.select("id", F.explode("t").alias("tok"))
+          .groupBy("id", "tok").agg(F.count("*").alias("c"))
+          .groupBy("id").agg(F.sum("c").alias("n_tok"),
+                             F.count("*").alias("n_distinct"),
+                             F.max("c").alias("top_c")))
+    bg = (base.select("id", F.explode("b").alias("bg"))
+          .groupBy("id", "bg").agg(F.count("*").alias("c"))
+          .groupBy("id").agg(F.sum("c").alias("n_bg"),
+                             F.count("*").alias("n_bg_distinct")))
+    out = (tf.join(bg, "id", "left")
+           .select(
+               F.col("id"),
+               F.col("n_tok").cast("long").alias("n_tokens"),
+               (F.lit(1.0) - F.col("n_distinct") / F.col("n_tok").cast("double"))
+               .alias("dup_token_frac"),
+               (F.col("top_c") / F.col("n_tok").cast("double"))
+               .alias("top_token_frac"),
+               F.when(F.col("n_bg").isNull(), F.lit(0.0))
+               .otherwise(F.lit(1.0) - F.col("n_bg_distinct") / F.col("n_bg").cast("double"))
+               .alias("dup_bigram_frac"),
+           ))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2- and java.util.regex-compatible (no backrefs, no lookaround), so
+# the same pattern strings run in Spark and in the DuckDB oracle.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(\+?[0-9]{1,2}[-. ])?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("idnum", r"\b[0-9]{9,}\b", "<ID>"),
+]
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category match counts (before redaction)."""
+    return F.struct(*[
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(name)
+        for name, pat, _ in PII_PATTERNS
+    ])
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every PII match with its category token.  Order matters:
+    emails first (their local part may contain digit runs), then phones,
+    then bare long digit runs."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction (per-doc top-k by term frequency, with corpus DF)
+# ---------------------------------------------------------------------------
+
+def keyword_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                 min_len: int = 3, max_df_frac: float = 1.0) -> DataFrame:
+    """Top-k keywords per document by term frequency, with corpus
+    document frequency attached — the deterministic inverted-index
+    core of TF-IDF keyword extraction, kept in exact integer
+    arithmetic (rank by ``tf desc, token asc``; the float idf weight is
+    monotone in df and can be applied downstream without changing
+    membership for fixed tf).
+
+    Plan: normalize → explode → (doc, token) counts → token DF via a
+    second groupBy (map-side combinable) → optional df-prune at
+    ``max_df_frac`` of the corpus → ``row_number`` window per doc.
+    Shuffles: two hash aggregates keyed on high-entropy (id, token) /
+    token, one window on id — all corpus-linear; no collect, no
+    quadratic term.  Output: ``id, token, tf, df, rank``.
+    """
+    norm = F.filter(
+        F.transform(tokens(F.col(text_col)),
+                    lambda t: F.regexp_replace(F.lower(t), r"[^a-z0-9]", "")),
+        lambda t: F.length(t) >= min_len)
+    tf = (spread(df).select(F.col(id_col).alias("id"), F.explode(norm).alias("token"))
+          .groupBy("id", "token").agg(F.count("*").alias("tf")))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_frac < 1.0:
+        # corpus size is one driver-side count job — only pay it when a
+        # df-prune is actually requested
+        n_docs = df.select(F.col(id_col)).distinct().count()
+        dfq = dfq.filter(F.col("df") <= int(max_df_frac * n_docs))
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("tf"), F.asc("token"))
+    return (tf.join(dfq, "token")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "token", "tf", "df", "rank"))

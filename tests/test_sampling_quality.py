@@ -1,0 +1,167 @@
+"""Tests for the sampling/split operators and the repetition / PII /
+keyword text-quality operators (LLM-pipeline extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+from etl_excel_to_hyper_tableau_spark.operators import text as tx
+from etl_excel_to_hyper_tableau_spark.operators.dedup import duplicate_clusters
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.when(F.col("doc_id") % 4 == 0, "en").otherwise("zh"))
+
+
+class TestHashSplit:
+    def test_total_and_disjoint(self, ids):
+        out = sp.hash_split(ids, "doc_id", {"train": .8, "val": .1, "test": .1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000          # total: every row assigned
+        assert set(counts) == {"train", "val", "test"}
+        # uniform md5 buckets: loose 3-sigma-ish bands, deterministic data
+        assert 1500 < counts["train"] < 1700
+        assert 120 < counts["val"] < 280
+        assert 120 < counts["test"] < 280
+
+    def test_deterministic_and_partitioning_independent(self, ids):
+        out1 = sp.hash_split(ids, "doc_id", {"a": .5, "b": .5}).collect()
+        out2 = sp.hash_split(ids.repartition(7), "doc_id", {"a": .5, "b": .5}).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    def test_weights_must_sum_to_one(self, ids):
+        with pytest.raises(ValueError):
+            sp.hash_split(ids, "doc_id", {"a": .5, "b": .6})
+
+    def test_salt_decorrelates(self, ids):
+        a = sp.hash_split(ids, "doc_id", {"x": .5, "y": .5}, salt="s1")
+        b = sp.hash_split(ids, "doc_id", {"x": .5, "y": .5}, salt="s2")
+        both = a.select("doc_id", F.col("split").alias("s_a")).join(
+            b.select("doc_id", F.col("split").alias("s_b")), "doc_id")
+        agree = both.filter(F.col("s_a") == F.col("s_b")).count()
+        assert 800 < agree < 1200  # ~50% agreement if independent
+
+
+class TestStratifiedSample:
+    def test_fractions_respected(self, ids):
+        out = sp.stratified_sample(ids, "doc_id", "lang", {"en": .5}, default=.1)
+        n_en = out.filter(F.col("lang") == "en").count()
+        n_zh = out.filter(F.col("lang") == "zh").count()
+        assert 200 < n_en < 300      # 500 en docs * .5
+        assert 100 < n_zh < 200      # 1500 zh docs * .1
+
+    def test_monotone_membership(self, ids):
+        """A row sampled at fraction f stays sampled at any f' > f (the
+        bucket-threshold design) — the property that makes deterministic
+        subsample ladders (1% ⊂ 10% ⊂ 100%) possible."""
+        small = set(r["doc_id"] for r in
+                    sp.stratified_sample(ids, "doc_id", "lang",
+                                         {"en": .1, "zh": .1}).collect())
+        large = set(r["doc_id"] for r in
+                    sp.stratified_sample(ids, "doc_id", "lang",
+                                         {"en": .4, "zh": .4}).collect())
+        assert small <= large
+
+    def test_exact_k_per_stratum(self, ids):
+        out = sp.exact_k_per_stratum(ids, "doc_id", "lang", k=7)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 7, "zh": 7}
+        # deterministic across runs
+        again = sp.exact_k_per_stratum(ids, "doc_id", "lang", k=7)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+class TestRepetitionProfile:
+    def test_known_fractions(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a a a"),           # 4 tokens, 1 distinct; bigrams: 3x 'a a'
+             (2, "w x y z"),           # all distinct
+             (3, "hi")],               # single token: no bigrams
+            ["doc_id", "text"])
+        rows = {r["id"]: r for r in
+                tx.repetition_profile(docs, "text", "doc_id").collect()}
+        r1 = rows[1]
+        assert r1["n_tokens"] == 4
+        assert r1["dup_token_frac"] == pytest.approx(0.75)
+        assert r1["top_token_frac"] == pytest.approx(1.0)
+        assert r1["dup_bigram_frac"] == pytest.approx(2 / 3)
+        r2 = rows[2]
+        assert r2["dup_token_frac"] == 0.0
+        assert r2["top_token_frac"] == pytest.approx(0.25)
+        assert r2["dup_bigram_frac"] == 0.0
+        assert rows[3]["dup_bigram_frac"] == 0.0  # <2 tokens → defined as 0
+
+
+class TestPII:
+    def test_redaction_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob.smith+x@corp.example.org now"),
+             (2, "call +1 555 123 4567 or 555-987-6543 x"),
+             (3, "ssn-ish 123456789 and acct 9999999999"),
+             (4, "clean text, no pii here")],
+            ["id", "t"])
+        out = {r["id"]: r for r in df.select(
+            "id", tx.pii_counts(F.col("t")).alias("c"),
+            tx.pii_redact(F.col("t")).alias("red")).collect()}
+        assert out[1]["c"]["email"] == 1 and "<EMAIL>" in out[1]["red"]
+        assert "bob" not in out[1]["red"]
+        assert out[2]["c"]["phone"] == 2
+        assert out[2]["red"].count("<PHONE>") == 2
+        assert out[3]["c"]["idnum"] == 2
+        assert out[3]["red"].count("<ID>") == 2
+        assert out[4]["red"] == "clean text, no pii here"
+
+    def test_email_digits_not_double_redacted(self, spark):
+        # digit run inside an email local part is consumed by the email
+        # pattern first — must not leave a stray <ID>
+        df = spark.createDataFrame([(1, "x 123456789x@a.io y")], ["id", "t"])
+        red = df.select(tx.pii_redact(F.col("t")).alias("r")).first()["r"]
+        assert red == "x <EMAIL> y"
+
+
+class TestKeywordTopk:
+    def test_rank_and_df(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana cherry"),
+             (2, "banana banana banana apple"),
+             (3, "cherry dates dates")],
+            ["doc_id", "text"])
+        out = tx.keyword_topk(docs, "text", "doc_id", k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
+        assert sorted(by_doc[1])[0] == (1, "apple", 2, 2)     # tf wins
+        assert sorted(by_doc[2])[0] == (1, "banana", 3, 2)
+        assert sorted(by_doc[3]) == [(1, "dates", 2, 1), (2, "cherry", 1, 2)]
+
+    def test_min_len_and_normalization(self, spark):
+        docs = spark.createDataFrame([(1, "Go go GO! a an the-cat")], ["doc_id", "text"])
+        out = tx.keyword_topk(docs, "text", "doc_id", k=5, min_len=3).collect()
+        toks = {r["token"] for r in out}
+        # 'go'/'a'/'an' dropped (<3 chars post-normalization); 'the-cat'→'thecat'
+        assert toks == {"thecat"}
+
+
+class TestDuplicateClusters:
+    def test_transitive_closure(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        docs = spark.createDataFrame(
+            [(10, base),
+             (11, base + "end one"),          # ≈ 10
+             (12, base + "end one two"),      # ≈ 11 (and 10)
+             (20, "completely different content about spark engines and parquet"),
+             (21, "completely different content about spark engines and parquet!"),
+             (30, "zzz unrelated singleton document qqq www eee rrr")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["cluster_id"] for r in
+               duplicate_clusters(docs, "text", "doc_id",
+                                  threshold=0.7).collect()}
+        assert out[10] == out[11] == out[12] == 10   # transitive label = min id
+        assert out[20] == out[21] == 20
+        assert 30 not in out                          # singleton omitted
