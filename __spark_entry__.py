@@ -29,7 +29,8 @@ from etl_excel_to_hyper_tableau_spark.operators import similarity as sim
 from etl_excel_to_hyper_tableau_spark.operators import text as tx
 from etl_excel_to_hyper_tableau_spark.operators.combinators import pivot_union
 from etl_excel_to_hyper_tableau_spark.streaming import (
-    run_windowed_counts_availablenow, sessionize_batch,
+    run_purchase_click_join_availablenow, run_windowed_counts_availablenow,
+    sessionize_batch,
 )
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -815,6 +816,17 @@ def q_dedup_clusters(spark, sf_dir):
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
 
+def q_stream_purchase_click_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (purchase ⋈ preceding-hour
+    clicks per user) executed as a real Structured Streaming query
+    (availableNow trigger, state-store buffering both sides); the result
+    over a bounded source equals the plain batch join, which is the SQL
+    oracle."""
+    return (run_purchase_click_join_availablenow(
+                spark, f"{sf_dir}/events.parquet", lookback_minutes=60)
+            .orderBy("purchase_id", "click_id"))
+
+
 def q_stream_event_counts(spark, sf_dir):
     return (run_windowed_counts_availablenow(spark, f"{sf_dir}/events.parquet",
                                              window="1 hour")
@@ -884,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "keyword_topk": q_keyword_topk,
         "dedup_clusters": q_dedup_clusters,
+        "stream_purchase_click_join": q_stream_purchase_click_join,
         "stream_event_counts": q_stream_event_counts,
     }
 
@@ -1576,5 +1589,18 @@ reach(id, r) AS (
   UNION
   SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+""",
+        # --- stream-stream join: bounded-source result == batch join ------
+        "stream_purchase_click_join": """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, purchase_id, click_id, purchase_ts, click_ts, purchase_value
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+ORDER BY purchase_id, click_id
 """,
     }

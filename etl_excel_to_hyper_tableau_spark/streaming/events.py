@@ -216,3 +216,78 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end")))
+
+
+def purchase_click_join_stream(spark: SparkSession, events_dir: str,
+                               lookback_minutes: int = 60,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Watermarked **stream-stream inner join**: each purchase joined to
+    the same user's clicks in the preceding ``lookback_minutes`` — the
+    canonical attribution join, and the one streaming operator class the
+    other streams here don't cover (two unbounded sides, each buffered
+    in the state store until the other side's watermark passes).
+
+    Both sides carry a watermark and the join predicate carries a time
+    range; together they bound the state Spark must retain (purchases
+    wait at most ``lookback``, clicks at most ``watermark`` — without
+    the range the state store would grow without bound, the classic
+    stream-join failure mode at scale).  Same events source both sides:
+    two filtered readers of one directory.
+    """
+    clicks = (_event_stream(spark, events_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    purchases = (_event_stream(spark, events_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = ((purchases.p_user_id == clicks.user_id) &
+            (clicks.click_ts <= purchases.purchase_ts) &
+            (clicks.click_ts >= purchases.purchase_ts
+             - F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")))
+    return (purchases.join(clicks, cond, "inner")
+            .select("user_id", "purchase_id", "click_id",
+                    "purchase_ts", "click_ts", "purchase_value"))
+
+
+def run_purchase_click_join_availablenow(spark: SparkSession, events_dir: str,
+                                         lookback_minutes: int = 60) -> DataFrame:
+    """Execute the stream-stream join over the static directory with the
+    ``availableNow`` trigger; returns the materialized result."""
+    name = "pc_join_" + uuid.uuid4().hex[:8]
+    q = (purchase_click_join_stream(spark, events_dir,
+                                    lookback_minutes=lookback_minutes)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def purchase_click_join_batch(events: DataFrame,
+                              lookback_minutes: int = 60) -> DataFrame:
+    """Batch oracle for :func:`purchase_click_join_stream`: the identical
+    join over the bounded table."""
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value")))
+    cond = ((purchases.p_user_id == clicks.user_id) &
+            (clicks.click_ts <= purchases.purchase_ts) &
+            (clicks.click_ts >= purchases.purchase_ts
+             - F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")))
+    return (purchases.join(clicks, cond, "inner")
+            .select("user_id", "purchase_id", "click_id",
+                    "purchase_ts", "click_ts", "purchase_value"))

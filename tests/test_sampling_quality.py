@@ -165,3 +165,19 @@ class TestDuplicateClusters:
         assert out[10] == out[11] == out[12] == 10   # transitive label = min id
         assert out[20] == out[21] == 20
         assert 30 not in out                          # singleton omitted
+
+
+class TestPlanProperties:
+    """The sampling operators must stay map-only: membership is a pure
+    function of the row, so any Exchange in the plan is a regression."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_hash_split_no_shuffle(self, ids):
+        p = self._plan(sp.hash_split(ids, "doc_id", {"a": .5, "b": .5}))
+        assert "Exchange" not in p
+
+    def test_stratified_sample_no_shuffle(self, ids):
+        p = self._plan(sp.stratified_sample(ids, "doc_id", "lang", {"en": .5}))
+        assert "Exchange" not in p
