@@ -35,9 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .parallelism import spread
-from ..functions.hashing import (
-    MERSENNE61, char_ngrams, md5_int64, perm_constants,
-)
+from ..functions.hashing import MERSENNE61, char_ngrams, perm_constants
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +126,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MD5_INT64_SQL = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
 def with_minhash(df: DataFrame, text_col: str, id_col: str,
                  k: int = 32, n: int = 3) -> DataFrame:
     """Attach a k-wide MinHash signature column ``sig`` (array<bigint>).
@@ -142,6 +143,13 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str,
     (id, k minima).  Values are bit-identical to the expression form
     (:func:`...functions.hashing.minhash_signature`).
 
+    The k-min aggregate is assembled as **one SQL expression string**
+    (single ``F.expr``), not k Column objects: per-Column Py4J
+    round-trips dominate wall time for wide expression trees (measured
+    ~1-2 s of pure driver-side plan construction for the 60-term
+    simhash build at any data size — a per-query constant that matters
+    at bench scale and wastes driver time at 100 TB scale too).
+
     Docs whose text yields no shingles (length < n) produce no rows
     (the expression form yields an empty-array signature; every caller
     filters those out anyway).
@@ -149,13 +157,25 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str,
     grams = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"))
-    hashed = grams.select("id", (md5_int64(F.col("g")) % F.lit(1 << 31)).alias("h"))
-    mins = [
-        F.min((F.col("h") * F.lit(a_i) + F.lit(b_i)) % F.lit(MERSENNE61)).alias(f"__s{i}__")
-        for i, (a_i, b_i) in enumerate(perm_constants(k))
-    ]
-    return (hashed.groupBy("id").agg(*mins)
-            .select("id", F.array(*[f"__s{i}__" for i in range(k)]).alias("sig")))
+    hashed = grams.selectExpr(
+        "id", f"{_MD5_INT64_SQL.format(x='g')} % {1 << 31} as h")
+    mins = ", ".join(
+        f"min((h * {a_i} + {b_i}) % {MERSENNE61})"
+        for a_i, b_i in perm_constants(k))
+    return hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
+
+
+def _band_inline_sql(bands: int, r: int) -> str:
+    """``inline(array(struct(band, bh), ...))`` SQL arm splitting a
+    k-wide ``sig`` array into ``bands`` md5 band digests — one
+    expression string for the same Py4J-cost reason as the signature
+    aggregates."""
+    arms = ", ".join(
+        "struct({i} as band, md5(concat_ws(',', {cols})) as bh)".format(
+            i=i,
+            cols=", ".join(f"cast(sig[{i * r + j}] as string)" for j in range(r)))
+        for i in range(bands))
+    return f"inline(array({arms}))"
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -176,19 +196,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     # id + k×8 bytes per doc — negligible next to the text it summarizes
     sigs = (with_minhash(df, text_col, id_col, k=k, n=n)
             .filter(F.size("sig") > 0).persist())
-    band_arr = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string")
-                                          for j in range(r)])).alias("bh"))
-        for i in range(bands)
-    ])
     # the self-join and the distinct move only (id, band, bh) — never the
     # k-wide signature arrays: inside a true-duplicate cluster of size m
     # the join emits m² rows per band, and shuffling m²·k sig values is
     # what dominates; the two sig lookups afterwards touch just the
     # deduped pair set against the linear-size signature table
-    buckets = sigs.select("id", F.explode(band_arr).alias("b")) \
-                  .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    buckets = sigs.selectExpr("id", _band_inline_sql(bands, r))
     a = buckets.select(F.col("id").alias("id_a"), "band", "bh")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bh")
     pairs = (a.join(b, ["band", "bh"])
@@ -225,14 +238,7 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     if threshold is None:
         sigs = with_minhash(df, text_col, id_col, k=k, n=n).filter(F.size("sig") > 0)
         r = k // bands
-        band_arr = F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.md5(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string")
-                                              for j in range(r)])).alias("bh"))
-            for i in range(bands)
-        ])
-        buckets = sigs.select("id", F.explode(band_arr).alias("b")) \
-                      .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        buckets = sigs.selectExpr("id", _band_inline_sql(bands, r))
         # min-per-bucket as a window, not groupBy+self-join: one shuffle
         # on (band, bh), and the signature subtree is evaluated once
         w = Window.partitionBy("band", "bh")
@@ -264,20 +270,15 @@ def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     never-pairs the same way)."""
     toks = spread(df).select(F.col(id_col).alias("id"),
                              F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
-    hashed = toks.select("id", md5_int64(F.col("t")).alias("h"))
-    votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
-        .alias(f"__v{j}__")
-        for j in range(60)
-    ]
-    bit_terms = [
-        F.when(F.col(f"__v{j}__") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-        for j in range(60)
-    ]
-    total = bit_terms[0]
-    for b in bit_terms[1:]:
-        total = total + b
-    return hashed.groupBy("id").agg(*votes).select("id", total.alias("simhash"))
+    hashed = toks.selectExpr("id", f"{_MD5_INT64_SQL.format(x='t')} as h")
+    # one SQL string containing all 60 vote sums + the bit recombination
+    # (single F.expr): per-Column Py4J construction of the 120-node tree
+    # costs ~2 s of driver time per query build — see with_minhash
+    total = " + ".join(
+        f"(case when sum(case when (h & {1 << j}) <> 0 then 1 else -1 end) > 0 "
+        f"then cast({1 << j} as bigint) else cast(0 as bigint) end)"
+        for j in range(60))
+    return hashed.groupBy("id").agg(F.expr(total).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -294,20 +295,26 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     # persist: referenced by both sides of the chunk join (see the
     # matching note in minhash_lsh_candidates)
     sh = with_simhash(df, text_col, id_col).persist()
-    chunk_arr = F.array(*[
-        F.struct(F.lit(i).alias("chunk"),
-                 F.shiftright(F.col("simhash"), i * width)
-                  .bitwiseAND(F.lit((1 << width) - 1)).alias("ck"))
-        for i in range(chunks)
-    ])
-    buck = sh.select("id", "simhash", F.explode(chunk_arr).alias("c")) \
-             .select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
-    a = buck.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "ck")
-    b = buck.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "ck")
+    arms = ", ".join(
+        f"struct({i} as chunk, "
+        f"(shiftright(simhash, {i * width}) & {(1 << width) - 1}) as ck)"
+        for i in range(chunks))
+    buck = sh.selectExpr("id", f"inline(array({arms}))")
+    a = buck.select(F.col("id").alias("id_a"), "chunk", "ck")
+    b = buck.select(F.col("id").alias("id_b"), "chunk", "ck")
+    # distinct on the bare pair, then re-join the 64-bit hashes from the
+    # persisted signature table: inside a duplicate cluster of size m the
+    # chunk join emits m²·chunks rows, and shuffling two longs per row
+    # through the dedup exchange is the dominant cost — the hash lookups
+    # afterwards touch only the deduped pair set (same trick, and the
+    # rationale, as minhash_lsh_candidates above)
     pairs = (a.join(b, ["chunk", "ck"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "h_a", "h_b")
+             .select("id_a", "id_b")
              .distinct())
+    pairs = (pairs
+             .join(sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a")), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b")), "id_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
@@ -361,7 +368,7 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                     .limit(0)
                     .select("id_a", F.col("id_a").alias("id_b"),
                             F.lit(0.0).alias("cosine")))
-        sig = _sign_lsh_signature(F.col("vec"), planes, len(first["vec"]))
+        sig = _sign_lsh_signature("vec", planes, len(first["vec"]))
         vb_ = v.withColumn("bucket", sig)
         joined = (vb_.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
                              F.col("nrm").alias("na"), "bucket")
@@ -447,25 +454,30 @@ def plane_component(p: int, j: int) -> int:
     return h % 2001 - 1000
 
 
-def _sign_lsh_signature(vec: Column, planes: int, dim: int) -> Column:
+def _sign_lsh_signature(vec_name: str, planes: int, dim: int) -> Column:
     """Sign pattern of ``planes`` deterministic hyperplanes as a string.
 
     The hyperplane matrix depends only on (planes, dim), so it is
     computed driver-side (:func:`plane_component`) and embedded as
     literals: each plane's dot product is a flat arithmetic chain over
-    ``vec[j]`` terms.  An earlier formulation derived the components
-    inside nested higher-order lambdas (transform ∘ zip_with ∘
-    aggregate per plane); beyond being slower, nested-lambda trees of
-    that shape evaluated *nondeterministically across otherwise-equal
-    plans* in Spark 4.1 local testing — constants-as-literals removes
-    the lambda nesting entirely and pins the semantics."""
+    ``vec[j]`` terms, assembled as ONE ``F.expr`` string (a per-term
+    Column build costs planes×dim Py4J round-trips — ~1 s of driver
+    time at 16×64 before Spark sees the plan).  An earlier formulation
+    derived the components inside nested higher-order lambdas
+    (transform ∘ zip_with ∘ aggregate per plane); beyond being slower,
+    nested-lambda trees of that shape evaluated *nondeterministically
+    across otherwise-equal plans* in Spark 4.1 local testing —
+    constants-as-literals removes the lambda nesting entirely and pins
+    the semantics.  The fold order (0.0 + t0 + t1 + …, left-assoc)
+    matches the oracle's ``_lsh_bucket_sql`` exactly."""
     parts = []
     for p in range(planes):
-        dot = F.lit(0.0)
-        for j in range(dim):
-            dot = dot + vec.getItem(j) * F.lit(float(plane_component(p, j)))
-        parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*parts)
+        dot = " + ".join(
+            f"{vec_name}[{j}] * cast({plane_component(p, j)} as double)"
+            for j in range(dim))
+        parts.append(f"(case when (cast(0.0 as double) + {dot}) >= 0 "
+                     f"then '1' else '0' end)")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,

@@ -90,10 +90,10 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame,
     if first is None:
         raise ValueError("ann_topk_lsh on an empty corpus")
     dim = len(first["vec"])
-    c = c.withColumn("bucket", _sign_lsh_signature(F.col("vec"), planes, dim))
+    c = c.withColumn("bucket", _sign_lsh_signature("vec", planes, dim))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).cast("array<double>").alias("qvec"))
-    q = q.withColumn("bucket", _sign_lsh_signature(F.col("qvec"), planes, dim))
+    q = q.withColumn("bucket", _sign_lsh_signature("qvec", planes, dim))
     if multiprobe:
         # probe the exact bucket and every 1-bit-flip neighbor
         probes = F.array(F.col("bucket"), *[
