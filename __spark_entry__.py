@@ -196,16 +196,21 @@ def q_nation_set_ops(spark, sf_dir):
 
 
 def q_big_spenders_cte(spark, sf_dir):
-    """CTE + scalar subquery: orders above 1.5x average price, per status."""
-    orders = _t(spark, sf_dir, "orders")
-    avg_price = (orders.agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double")
-         / F.count("*")).alias("a")).collect()[0]["a"])
-    return (orders.filter(F.col("o_totalprice") > 1.5 * avg_price)
-            .groupBy("o_orderstatus")
-            .agg(F.count("*").alias("n_big"),
-                 _dsum(F.col("o_totalprice"), "total_big"))
-            .orderBy("o_orderstatus"))
+    """CTE + scalar subquery: orders above 1.5x average price, per status.
+    One plan — the uncorrelated scalar subquery runs as a Catalyst
+    subquery stage whose single-row result is broadcast into the filter
+    (no driver round-trip, no second scan of orders on the driver)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_bs")
+    return spark.sql("""
+WITH avg_p AS (
+  SELECT cast(sum(cast(o_totalprice as decimal(28,4))) as double) / count(*) AS a
+  FROM v_orders_bs)
+SELECT o_orderstatus, count(*) AS n_big,
+  cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS total_big
+FROM v_orders_bs
+WHERE o_totalprice > 1.5 * (SELECT a FROM avg_p)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
 
 
 def q_distinct_suppliers(spark, sf_dir):
@@ -551,6 +556,20 @@ def q_embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The sign-LSH **scale path** of embedding near-dup, oracle-verified:
+    vectors bucketed by the sign pattern of 4 deterministic hyperplanes
+    (md5-derived literals — operators.dedup.plane_component), pairs only
+    within a bucket.  This is the plan that holds at 100 TB (no driver
+    collect, no all-pairs); the exact variant above is the verification
+    baseline and is guarded by ``max_exact`` so it can never
+    driver-collect an unbounded corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (dd.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4,
+                                      use_lsh=True, planes=4)
+            .orderBy("id_a", "id_b"))
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
@@ -878,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk": q_embedding_topk,
         "text_profile": q_text_profile,
         "doc_quality_by_lang": q_doc_quality_by_lang,
@@ -1352,6 +1372,16 @@ JOIN (SELECT vec_id, embedding AS e FROM embeddings) b ON a.vec_id < b.vec_id
 WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.4
 ORDER BY id_a, id_b
 """,
+        "embedding_near_dup_lsh": f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS e,
+    {_lsh_bucket_sql('embedding', 4, 64)} AS bucket
+  FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b, {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= 0.4
+ORDER BY id_a, id_b
+""",
         "ann_topk": f"""
 WITH cb AS (
   SELECT vec_id AS id, embedding AS e, {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
@@ -1538,16 +1568,23 @@ WITH w AS (
     text || ' contact u' || cast(doc_id as varchar)
          || '@example.com or +1 555 123 4567 ref '
          || lpad(cast(doc_id as varchar), 9, '7') AS t
-  FROM documents)
+  FROM documents),
+r1 AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g') AS t1
+  FROM w),
+r2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}',
+                   '<PHONE>', 'g') AS t2
+  FROM r1)
 SELECT doc_id,
   cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) as bigint) AS n_email,
-  cast(len(regexp_extract_all(t, '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) as bigint) AS n_phone,
-  cast(len(regexp_extract_all(t, '\\b[0-9]{{9,}}\\b')) as bigint) AS n_idnum,
-  regexp_replace(regexp_replace(regexp_replace(t,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-      '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g'),
-      '\\b[0-9]{{9,}}\\b', '<ID>', 'g') AS redacted
-FROM w ORDER BY doc_id
+  cast(len(regexp_extract_all(t1, '(\\+?[0-9]{{1,2}}[-. ])?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) as bigint) AS n_phone,
+  cast(len(regexp_extract_all(t2, '\\b[0-9]{{9,}}\\b')) as bigint) AS n_idnum,
+  regexp_replace(t2, '\\b[0-9]{{9,}}\\b', '<ID>', 'g') AS redacted
+FROM r2 ORDER BY doc_id
 """,
         # --- keyword extraction ------------------------------------------
         "keyword_topk": f"""
@@ -1602,5 +1639,13 @@ FROM p JOIN c ON p.user_id = c.user_id
   AND c.click_ts <= p.purchase_ts
   AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
 ORDER BY purchase_id, click_id
+""",
+        # --- streaming windowed counts: bounded-source result == batch agg
+        # (single-micro-batch equality; see streaming/events.py caveat) ---
+        "stream_event_counts": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n,
+  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
     }

@@ -345,7 +345,8 @@ def _norm(a: Column) -> Column:
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
-                           use_lsh: bool = False, planes: int = 16) -> DataFrame:
+                           use_lsh: bool = False, planes: int = 16,
+                           max_exact: int = 100_000) -> DataFrame:
     """Near-duplicate pairs by cosine similarity ≥ threshold.
 
     ``use_lsh=False``: exact all-pairs (cross join pruned by id<id) —
@@ -355,12 +356,20 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     (components derived from md5, so portable); only intra-bucket pairs
     are compared.  Recall < 1 by design; raise ``planes`` banding or
     run multiple tables for higher recall.
+
+    ``max_exact`` guards the exact path: its GEMM prefilter collects
+    the corpus to the driver (by contract of a verification baseline),
+    so a corpus above ``max_exact`` vectors **degrades to the LSH scale
+    path** instead of attempting a driver-side materialization — the
+    default path can never driver-collect an unbounded corpus.
     """
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
     a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    if not use_lsh and v.limit(max_exact + 1).count() > max_exact:
+        use_lsh = True
     if use_lsh:
         first = v.select("vec").first()
         if first is None:
@@ -401,7 +410,10 @@ def _gemm_candidate_pairs(v: DataFrame, threshold: float,
 
     The corpus matrix is broadcast — the exact all-pairs operator is
     the ≤~10⁵-vector verification baseline by contract (n·dim·8 bytes
-    ≈ 50 MB there); the scale path is ``use_lsh=True``.  Returns None
+    ≈ 50 MB there); the scale path is ``use_lsh=True``, and
+    :func:`embedding_cosine_pairs` counts the corpus against
+    ``max_exact`` before ever entering this function, so the
+    ``toPandas`` below is size-bounded by construction.  Returns None
     (caller falls back to the plain cross join) for non-integral ids
     or ragged vectors, which the matrix form can't represent.
     """
@@ -482,7 +494,7 @@ def _sign_lsh_signature(vec_name: str, planes: int, dim: int) -> Column:
 
 def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, threshold: float = 0.5,
-                       max_df: int | None = None,
+                       max_df: int | None = 100,
                        max_iterations: int = 50) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
     document in a duplicate cluster labeled with the cluster's minimum
@@ -490,39 +502,52 @@ def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
     pair generation — "keep one per cluster" is only sound once
     transitive duplicates (A≈B, B≈C but A̸≈C) share a label.
 
-    Pairs come from :func:`ngram_jaccard_pairs`; the closure is
-    min-label propagation run as an iterative fixpoint
-    (`plans.recursive.recursive_fixpoint` — the engine's recursive-CTE
-    equivalent, SURVEY §2C).  Each round is one distributed self-join
-    of the frontier against the (persisted, symmetric) edge list;
-    rounds needed = graph diameter, which for near-dup clusters is tiny
-    (duplicates of one source document form near-cliques — diameter 1-2;
-    the classic large-diameter hazard, a long chain, cannot arise when
-    edges require ≥threshold Jaccard overlap with transitively-decaying
-    similarity).  At 100 TB the same plan holds: edges ≪ corpus
-    (pairs are duplicate-rate bounded), every round shuffles on the
-    high-entropy id key, and `localCheckpoint` truncates lineage so the
-    plan stays flat across rounds.
+    Pairs come from :func:`ngram_jaccard_pairs`; ``max_df`` defaults to
+    100 (not None) because pair generation over a corpus with one giant
+    exact-duplicate clique is quadratic in the clique without a
+    document-frequency cap — an unbounded default would hide a 100 TB
+    scale hazard behind an optional knob.
+
+    The closure is **min-label propagation with one label per node per
+    round**: each round joins the current (node → label) relation — one
+    row per node, never the O(|component|²) reachability set — against
+    the symmetric edge list and keeps the minimum of own and
+    neighbor-propagated labels.  Rounds needed = graph diameter, tiny
+    for near-dup clusters (duplicates of one source document form
+    near-cliques — diameter 1-2; a long chain cannot arise when edges
+    require ≥threshold Jaccard overlap with transitively-decaying
+    similarity).  At 100 TB the same plan holds: edges ≪ corpus (pairs
+    are duplicate-rate bounded), every round shuffles on the
+    high-entropy id key, ``localCheckpoint`` truncates lineage so the
+    plan stays flat across rounds, and the edge cache is released once
+    the fixpoint is reached.
 
     Output: ``doc_id, cluster_id`` for documents appearing in ≥1 pair
     (singletons are their own implicit cluster and are omitted, as in
     the SQL ``WITH RECURSIVE`` formulation the oracle runs).
     """
-    from ..plans.recursive import recursive_fixpoint
-
     pairs = (ngram_jaccard_pairs(df, text_col, id_col, n=n,
                                  threshold=threshold, max_df=max_df)
              .select("id_a", "id_b"))
     edges = (pairs.union(pairs.select(F.col("id_b").alias("id_a"),
                                       F.col("id_a").alias("id_b")))
              .toDF("s", "d").persist())
-    base = edges.select(F.col("s").alias("id"), F.col("s").alias("r")).distinct()
-
-    def step(frontier: DataFrame) -> DataFrame:
-        return (frontier.join(edges, frontier.id == edges.s)
-                .select(F.col("d").alias("id"), F.col("r")))
-
-    reach = recursive_fixpoint(base, step, max_iterations=max_iterations)
-    return (reach.groupBy(F.col("id").alias("doc_id"))
-            .agg(F.min("r").alias("cluster_id"))
-            .orderBy("doc_id"))
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .withColumn("lbl", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        prop = (labels.join(edges, labels.id == edges.s)
+                .select(F.col("d").alias("id"), F.col("lbl")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("id").agg(F.min("lbl").alias("lbl"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("lbl", "old"), "id")
+                   .filter(F.col("lbl") < F.col("old")))
+        if changed.isEmpty():
+            edges.unpersist()
+            return (new_labels.select(F.col("id").alias("doc_id"),
+                                      F.col("lbl").alias("cluster_id"))
+                    .orderBy("doc_id"))
+        labels = new_labels
+    edges.unpersist()
+    raise RuntimeError(f"no fixpoint after {max_iterations} label rounds")

@@ -265,11 +265,19 @@ PII_PATTERNS = [
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct of per-category match counts (before redaction)."""
-    return F.struct(*[
-        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(name)
-        for name, pat, _ in PII_PATTERNS
-    ])
+    """Struct of per-category match counts, each counted on the text as
+    :func:`pii_redact` sees it — category k is counted on the text with
+    categories 1..k-1 already replaced by their tokens.  This makes the
+    counts agree with the tokens present in the redacted output: a span
+    consumed by an earlier category (a ≥9-digit email local part, say)
+    cannot be double-counted by a later one."""
+    fields = []
+    cur = col
+    for name, pat, token in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(name))
+        cur = F.regexp_replace(cur, pat, token)
+    return F.struct(*fields)
 
 
 def pii_redact(col: Column) -> Column:

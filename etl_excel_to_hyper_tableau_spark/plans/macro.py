@@ -49,14 +49,22 @@ def format_query(sql: str, file_name: str) -> str:
 
     ``"SELECT * FROM Sheet1.sheet"`` with file ``data.xlsx`` →
     ``"SELECT * FROM data_Sheet1_sheet"``.
+
+    Tokens carrying trailing punctuation (``a.sheet,`` from a comma
+    join list, ``b.sheet)`` closing a subquery) are rewritten with the
+    punctuation re-attached.  The reference mangles this case (its
+    rightmost-find rewrite silently eats the comma, query.py:18-23);
+    implement-the-intent here means the user's join list keeps working.
     """
     tokens = sql.split()
     out = []
     for tok in tokens:
-        idx = tok.rfind(_SUFFIX)
-        if idx != -1 and idx + len(_SUFFIX) == len(tok):
-            sheet = tok[:idx]
-            out.append(sql_table_name(file_name, sheet))
+        core = tok.rstrip(",;)")
+        suffix = tok[len(core):]
+        idx = core.rfind(_SUFFIX)
+        if idx != -1 and idx + len(_SUFFIX) == len(core):
+            sheet = core[:idx]
+            out.append(sql_table_name(file_name, sheet) + suffix)
         else:
             out.append(tok)
     return " ".join(out)

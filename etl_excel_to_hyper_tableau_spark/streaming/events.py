@@ -233,6 +233,18 @@ def purchase_click_join_stream(spark: SparkSession, events_dir: str,
     the range the state store would grow without bound, the classic
     stream-join failure mode at scale).  Same events source both sides:
     two filtered readers of one directory.
+
+    **Stream-equals-batch caveat**: the equality with
+    :func:`purchase_click_join_batch` that the oracle relies on holds
+    when the ``availableNow`` run ingests the bounded source before
+    watermarks advance — i.e. in a single micro-batch (guaranteed here:
+    the runner reads one parquet file and the file source without a
+    ``maxFilesPerTrigger`` cap takes all available files in its first
+    batch).  Over a multi-file directory WITH a trigger cap and
+    out-of-order event times across files, watermark advancement
+    between micro-batches may drop late rows that the batch join keeps
+    — that is correct streaming semantics, not a bug, but it breaks
+    the equality; keep the cap unset when using the batch oracle.
     """
     clicks = (_event_stream(spark, events_dir)
               .filter(F.col("event_type") == "click")

@@ -93,3 +93,19 @@ def test_embedding_cosine_exact_and_lsh(spark):
     assert lsh_pairs <= set(pairs)
     # parallel vectors always share every sign bucket
     assert (1, 4) in lsh_pairs
+
+
+def test_embedding_exact_path_degrades_to_lsh_above_max_exact(spark, monkeypatch):
+    """A corpus above max_exact must never reach the driver-collecting
+    GEMM prefilter — the default path silently takes the LSH route."""
+    vecs = [(i, [float(i % 7 + 1), float((3 * i) % 5), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "id long, vec array<double>")
+
+    def boom(*args, **kwargs):
+        raise AssertionError("GEMM prefilter reached above max_exact")
+
+    monkeypatch.setattr(dd_module, "_gemm_candidate_pairs", boom)
+    out = embedding_cosine_pairs(df, "vec", "id", threshold=0.99,
+                                 use_lsh=False, max_exact=5)
+    lsh = embedding_cosine_pairs(df, "vec", "id", threshold=0.99, use_lsh=True)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, lsh.collect()))

@@ -53,6 +53,16 @@ def test_format_query_only_suffix_tokens():
     assert out == "SELECT 'x.sheety' FROM f_a_sheet"
 
 
+def test_format_query_trailing_punctuation():
+    # `a.sheet,` in a comma join list / `b.sheet)` closing a subquery:
+    # the suffix char survives the rewrite (the reference silently eats
+    # it — implement-the-intent divergence, VERDICT r1 #4)
+    sql = "SELECT * FROM a.sheet, b.sheet WHERE x IN (SELECT x FROM c.sheet)"
+    out = format_query(sql, "f.xlsx")
+    assert out == ("SELECT * FROM f_a_sheet, f_b_sheet "
+                   "WHERE x IN (SELECT x FROM f_c_sheet)")
+
+
 def test_format_query_normalizes_whitespace():
     # the reference re-joins on single spaces (query.py:24-26)
     assert format_query("SELECT  *\n FROM   t", "f.xlsx") == "SELECT * FROM t"

@@ -118,11 +118,15 @@ class TestPII:
         assert out[4]["red"] == "clean text, no pii here"
 
     def test_email_digits_not_double_redacted(self, spark):
-        # digit run inside an email local part is consumed by the email
-        # pattern first — must not leave a stray <ID>
-        df = spark.createDataFrame([(1, "x 123456789x@a.io y")], ["id", "t"])
-        red = df.select(tx.pii_redact(F.col("t")).alias("r")).first()["r"]
-        assert red == "x <EMAIL> y"
+        # digit run inside an email local part ENDING at a word boundary
+        # (digit directly before '@') is consumed by the email pattern
+        # first — must not leave a stray <ID>, and the idnum count must
+        # be 0 because counting runs on the email-redacted text
+        df = spark.createDataFrame([(1, "x 123456789@a.io y")], ["id", "t"])
+        row = df.select(tx.pii_redact(F.col("t")).alias("r"),
+                        tx.pii_counts(F.col("t")).alias("c")).first()
+        assert row["r"] == "x <EMAIL> y"
+        assert row["c"]["email"] == 1 and row["c"]["idnum"] == 0
 
 
 class TestKeywordTopk:
