@@ -718,6 +718,28 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_groups_frame_window(spark, sf_dir):
+    """GROUPS window frame + EXCLUDE clause (the last SQLite ≥3.28
+    surface row): emulated as RANGE over dense_rank + frame arithmetic
+    (plans.groups_frames); the oracle runs DuckDB's NATIVE EXCLUDE
+    over the equivalent RANGE frame, so the exclusion arithmetic is
+    checked against a real implementation."""
+    from etl_excel_to_hyper_tableau_spark.plans.groups_frames import with_groups_frame
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    out = with_groups_frame(orders, ["o_orderstatus"], "o_orderdate",
+                            "o_totalprice", preceding=1, following=1)
+    return (out.select(
+                "o_orderkey",
+                F.col("grp").cast("long").alias("grp"),
+                F.col("s_frame").cast("double").alias("s_frame"),
+                F.col("n_frame").cast("long").alias("n_frame"),
+                F.col("s_excl_current").cast("double").alias("s_excl_current"),
+                F.col("s_excl_group").cast("double").alias("s_excl_group"),
+                F.col("s_excl_ties").cast("double").alias("s_excl_ties"))
+            .orderBy("o_orderkey"))
+
+
 def q_filter_clause_agg(spark, sf_dir):
     """Aggregate FILTER clause (SQLite ≥3.30 surface): conditional
     counts/sums in one hash-aggregate pass, no self-joins."""
@@ -906,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_price_bands": q_range_join_price_bands,
         "window_frames": q_window_frames,
+        "groups_frame_window": q_groups_frame_window,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -1480,6 +1503,21 @@ FROM orders
 WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey
+""",
+        "groups_frame_window": """
+WITH r AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate,
+    cast(o_totalprice as decimal(28,4)) AS dec_price,
+    dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS grp
+  FROM orders WHERE o_custkey < 100)
+SELECT o_orderkey, cast(grp as bigint) AS grp,
+  cast(sum(dec_price) OVER (wb RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) as double) AS s_frame,
+  cast(count(*) OVER (wb RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) as bigint) AS n_frame,
+  cast(sum(dec_price) OVER (wb RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) as double) AS s_excl_current,
+  cast(sum(dec_price) OVER (wb RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) as double) AS s_excl_group,
+  cast(sum(dec_price) OVER (wb RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) as double) AS s_excl_ties
+FROM r WINDOW wb AS (PARTITION BY o_orderstatus ORDER BY grp)
+ORDER BY o_orderkey
 """,
         "filter_clause_agg": """
 SELECT o_orderpriority,

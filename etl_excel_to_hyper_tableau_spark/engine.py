@@ -27,6 +27,7 @@ from .bundles import Query, QueryBundle
 from .operators.combinators import horizontal_concat, pivot_union, prefix_columns
 from .plans.dialect import rewrite_bare_column, sqlite_to_spark
 from .plans.macro import format_query
+from .plans.recursive import is_recursive_union, run_recursive_union_sql
 from .sinks.excel import write_excel
 from .sinks.hyper import write_hyper
 from .sinks.parquet import write_parquet
@@ -92,6 +93,11 @@ class QueryEngine:
         if self.dialect != "sqlite":
             return self.spark.sql(sql)
         sql = sqlite_to_spark(sql)
+        # WITH RECURSIVE … UNION ALL runs natively on Spark 4.1; the
+        # UNION-distinct form (SQLite's cyclic-closure idiom) does not —
+        # route it through the iterative-fixpoint evaluator
+        if is_recursive_union(sql):
+            return run_recursive_union_sql(self.spark, sql)
         for _ in range(20):  # one retry per bare column; select lists are short
             try:
                 return self.spark.sql(sql)
