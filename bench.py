@@ -54,6 +54,8 @@ HEADLINE = [
     "doc_repetition",
     "keyword_topk",
     "dedup_clusters",
+    "embedding_near_dup_lsh",
+    "groups_frame_window",
 ]
 
 

@@ -345,8 +345,9 @@ def _norm(a: Column) -> Column:
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
-                           use_lsh: bool = False, planes: int = 16,
-                           max_exact: int = 100_000) -> DataFrame:
+                           use_lsh: bool = False, planes: int | None = None,
+                           max_exact: int = 100_000,
+                           target_bucket: int = 64) -> DataFrame:
     """Near-duplicate pairs by cosine similarity ≥ threshold.
 
     ``use_lsh=False``: exact all-pairs (cross join pruned by id<id) —
@@ -357,12 +358,23 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     are compared.  Recall < 1 by design; raise ``planes`` banding or
     run multiple tables for higher recall.
 
+    ``planes=None`` (default) **auto-scales with the corpus**:
+    ``max(4, ceil(log2(n / target_bucket)))``, keeping expected bucket
+    occupancy ≈ ``target_bucket`` so intra-bucket pair generation stays
+    ~linear in n.  A FIXED plane count is quadratic at scale — 2^planes
+    buckets over a growing corpus means occupancy ∝ n and pairs ∝ n²
+    (measured: 10x corpus → 88x wall with planes=4, → ~linear with
+    auto).  Pin ``planes`` only when an external oracle must reproduce
+    the exact bucketing.
+
     ``max_exact`` guards the exact path: its GEMM prefilter collects
     the corpus to the driver (by contract of a verification baseline),
     so a corpus above ``max_exact`` vectors **degrades to the LSH scale
     path** instead of attempting a driver-side materialization — the
     default path can never driver-collect an unbounded corpus.
     """
+    import math
+
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
@@ -371,6 +383,10 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     if not use_lsh and v.limit(max_exact + 1).count() > max_exact:
         use_lsh = True
     if use_lsh:
+        if planes is None:
+            n = v.count()
+            planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket))
+                         if n > target_bucket else 4)
         first = v.select("vec").first()
         if first is None:
             return (v.select(F.col("id").alias("id_a"))
@@ -379,11 +395,20 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                             F.lit(0.0).alias("cosine")))
         sig = _sign_lsh_signature("vec", planes, len(first["vec"]))
         vb_ = v.withColumn("bucket", sig)
-        joined = (vb_.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                             F.col("nrm").alias("na"), "bucket")
-                  .join(vb_.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                                   F.col("nrm").alias("nb"), "bucket"), "bucket")
-                  .filter(F.col("id_a") < F.col("id_b")))
+        cand = _bucket_gemm_prefilter(vb_, threshold)
+        if cand is not None:
+            # prefilter emits a superset of qualifying pairs; the exact
+            # fold below decides membership, so results are bit-identical
+            # to the plain bucket join — just ~pairs-that-qualify folds
+            # instead of all intra-bucket pairs through the interpreted
+            # higher-order-function evaluator
+            joined = cand.join(a, "id_a").join(b, "id_b")
+        else:
+            joined = (vb_.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                                 F.col("nrm").alias("na"), "bucket")
+                      .join(vb_.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                                       F.col("nrm").alias("nb"), "bucket"), "bucket")
+                      .filter(F.col("id_a") < F.col("id_b")))
     else:
         cand = _gemm_candidate_pairs(v, threshold)
         if cand is not None:
@@ -453,6 +478,51 @@ def _gemm_candidate_pairs(v: DataFrame, threshold: float,
             yield pd.DataFrame({"id_a": b_ids[bi][keep], "id_b": c_ids[cj][keep]})
 
     return spread(v.select("id", "vec")).mapInPandas(gen, "id_a long, id_b long")
+
+
+def _bucket_gemm_prefilter(vb_: DataFrame, threshold: float,
+                           margin: float = 1e-9):
+    """Distributed per-bucket candidate generation for the LSH path:
+    ``applyInPandas`` over the bucket groups, one BLAS matmul per bucket
+    (Arrow-batched — no driver collect, no broadcast matrix; state per
+    task is one bucket, which auto-planes keeps at ~target_bucket rows).
+    Emits every intra-bucket pair whose numpy-order cosine clears
+    ``threshold - margin`` — a superset of the exact answer (same margin
+    argument as :func:`_gemm_candidate_pairs`); the caller re-scores
+    with the sequential fold, so final values are oracle-bit-identical.
+    Returns None for non-integral ids (the matrix form can't represent
+    them); ragged/null vectors degrade to all-pairs within the bucket
+    (still a superset — the exact fold decides)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not isinstance(vb_.schema["id"].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return None
+    cutoff = threshold - margin
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["vec"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        try:
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        except ValueError:  # ragged — emit all pairs, exact fold decides
+            i, j = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"id_a": np.minimum(ids[i], ids[j]),
+                                 "id_b": np.maximum(ids[i], ids[j])})
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = np.nan  # zero vectors never qualify (fold: null)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        bi, bj = np.nonzero(sims >= cutoff)
+        keep = ids[bi] < ids[bj]
+        return pd.DataFrame({"id_a": ids[bi][keep], "id_b": ids[bj][keep]})
+
+    return (vb_.select("bucket", "id", "vec")
+            .groupBy("bucket")
+            .applyInPandas(per_bucket, "id_a long, id_b long"))
 
 
 def plane_component(p: int, j: int) -> int:

@@ -53,8 +53,9 @@ def test_inventory_complete():
     assert len(qs) >= 32
     # every oracle key corresponds to a real query
     assert set(osql) <= set(qs)
-    # the only oracle-less entries are genuinely non-SQL-expressible ops
-    assert set(qs) - set(osql) == {"stream_event_counts"}
+    # every query is oracle-checked (streaming entries included — their
+    # bounded-source results equal batch SQL, which IS the oracle)
+    assert set(qs) - set(osql) == set()
 
 
 def test_entry_smoke(spark):

@@ -104,3 +104,22 @@ def test_golden_hyper_schema_from_reference_data(spark, tmp_path):
         "consumer_complaints.xlsx_number_of_complaints",
         "consumer_complaints1.xlsx_company",
         "consumer_complaints1.xlsx_number_of_complaints"]
+
+    # --- against the ACTUAL golden file's embedded catalog -----------------
+    # (read without tableauhyperapi — the catalog is a plain JSON document
+    # inside the .hyper binary; sinks/hyper.py::read_hyper_catalog)
+    from etl_excel_to_hyper_tableau_spark.sinks.hyper import read_hyper_catalog
+    golden = {r["table"]: r["columns"]
+              for r in read_hyper_catalog(f"{REF}/complaints_by_bank.hyper")}
+    assert set(golden) == set(plans)
+    # int-width divergence is intentional: the reference mapped pandas
+    # int64 → 32-bit SqlType.int() (query_iterator.py:217-227, an overflow
+    # hazard); the rebuild widens to big_int.  Both are "int family".
+    FAMILY = {"text": "text", "big_int": "int", "int": "int",
+              "Varchar": "text", "Integer": "int", "BigInt": "int"}
+    for table, gcols in golden.items():
+        ours = plans[table]
+        assert [c[0] for c in ours] == [c[0] for c in gcols], table
+        got_types = [FAMILY[c[1]] for c in ours]
+        want_types = [FAMILY[c[1][0]] for c in gcols]
+        assert got_types == want_types, table
