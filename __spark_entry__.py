@@ -808,6 +808,17 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic downsampling: each document kept
+    with probability = its quality score (operators.sampling.
+    weighted_sample) — hash-decided, so membership is stable across
+    runs/partitionings and exactly reproducible by the oracle."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    kept = sp.weighted_sample(docs, "doc_id", tx.quality_score(F.col("text")))
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals per document (explode + groupBy —
     corpus-linear, never per-doc quadratic)."""
@@ -872,6 +883,37 @@ def q_stream_event_counts(spark, sf_dir):
     return (run_windowed_counts_availablenow(spark, f"{sf_dir}/events.parquet",
                                              window="1 hour")
             .orderBy("window_start", "event_type"))
+
+
+def q_stream_session_windows(spark, sf_dir):
+    """Native session_window streaming sessionization (availableNow over
+    the bounded source == batch gap-sessionization, the SQL oracle):
+    window start = first event, end = last event + gap."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        run_session_windows_availablenow,
+    )
+    return (run_session_windows_availablenow(spark, f"{sf_dir}/events.parquet",
+                                             gap="30 minutes")
+            .select("user_id", "session_start_w", "session_end_w",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "session_start", "session_end")
+            .orderBy("user_id", "session_start"))
+
+
+def q_stream_dedup_events(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the bounded source == batch
+    DISTINCT on the key columns; aggregated per event_type so the
+    surviving-row choice within a duplicate group (engine-arbitrary)
+    doesn't enter the comparison."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        run_dedup_stream_availablenow,
+    )
+    deduped = run_dedup_stream_availablenow(
+        spark, f"{sf_dir}/events.parquet",
+        keys=["user_id", "event_type", "value"])
+    return (deduped.groupBy("event_type")
+            .agg(F.count("*").alias("n_keys"))
+            .orderBy("event_type"))
 
 
 # ===========================================================================
@@ -939,8 +981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "keyword_topk": q_keyword_topk,
         "dedup_clusters": q_dedup_clusters,
+        "quality_weighted_sample": q_quality_weighted_sample,
         "stream_purchase_click_join": q_stream_purchase_click_join,
         "stream_event_counts": q_stream_event_counts,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_dedup_events": q_stream_dedup_events,
     }
 
 
@@ -1686,4 +1731,48 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
   cast(sum(cast(value as decimal(18,2))) as double) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """,
+        # --- session_window stream == batch gap sessionization -----------
+        "stream_session_windows": """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN cast(floor(epoch(ts)) as bigint)
+              - lag(cast(floor(epoch(ts)) as bigint))
+                OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id,
+  min(ts) AS session_start_w,
+  max(ts) + INTERVAL 30 MINUTE AS session_end_w,
+  count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+        # --- dropDuplicatesWithinWatermark == batch DISTINCT --------------
+        "stream_dedup_events": """
+SELECT event_type, count(*) AS n_keys
+FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+        # --- quality-weighted deterministic sampling ----------------------
+        "quality_weighted_sample": f"""
+WITH t AS (SELECT doc_id, lang, {_tokens_sql('text')} AS toks, text FROM documents)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    {_MD5I.format(x="'wsample:'||cast(doc_id as varchar)")} % 10000 AS bucket,
+    (least(len(toks) / 20.0, 1.0) * 0.4
+     + greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       / cast(greatest(length(text), 1) as double)) * 4.0, 0.0) * 0.3
+     + least((len(list_filter(toks, t -> list_contains({{sw_en}}, lower(t))))
+              / cast(greatest(len(toks), 1) as double)) * 5.0, 1.0) * 0.3) AS q
+  FROM t)
+WHERE bucket < floor(least(greatest(q, 0.0), 1.0) * 10000)
+ORDER BY doc_id
+""".replace("{sw_en}", sw["en"]),
     }

@@ -101,6 +101,25 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight: Column,
+                    salt: str = "wsample") -> DataFrame:
+    """Per-row Bernoulli keep with probability ``clamp(weight, 0, 1)``,
+    decided by the deterministic hash bucket — the quality-weighted
+    downsampling step of a training pipeline (keep high-quality
+    documents with high probability, drop junk with high probability),
+    under the same stability/reproducibility contract as the other
+    samplers: same row, same weight → same decision on every run, any
+    partitioning, any engine.
+
+    Membership: ``bucket(id) < floor(clamp(w)·10000)`` — floor, not
+    round, so ``w=0`` keeps nothing and ``w=1`` keeps everything.
+    Map-only, no shuffle; composes with partition pruning at 100 TB.
+    """
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        hash_bucket(F.col(id_col), salt) < F.floor(w * BUCKETS))
+
+
 def exact_k_per_stratum(df: DataFrame, id_col: str, strata_col: str,
                         k: int, salt: str = "sample") -> DataFrame:
     """Exactly min(k, n) rows per stratum, chosen by hash order — the

@@ -76,6 +76,20 @@ class TestStratifiedSample:
         again = sp.exact_k_per_stratum(ids, "doc_id", "lang", k=7)
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
+    def test_weighted_sample_edges_and_rate(self, ids):
+        # w=0 keeps nothing, w=1 keeps everything (floor semantics)
+        assert sp.weighted_sample(ids, "doc_id", F.lit(0.0)).count() == 0
+        assert sp.weighted_sample(ids, "doc_id", F.lit(1.0)).count() == ids.count()
+        # out-of-range weights clamp
+        assert sp.weighted_sample(ids, "doc_id", F.lit(7.5)).count() == ids.count()
+        # keep rate tracks the weight; deterministic across runs
+        half = sp.weighted_sample(ids, "doc_id", F.lit(0.5))
+        n = half.count()
+        assert 850 < n < 1150        # 2000 ids * 0.5, binomial spread
+        again = sp.weighted_sample(ids, "doc_id", F.lit(0.5))
+        assert sorted(r["doc_id"] for r in half.collect()) == \
+            sorted(r["doc_id"] for r in again.collect())
+
 
 class TestRepetitionProfile:
     def test_known_fractions(self, spark):
