@@ -718,6 +718,15 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_limit_offset(spark, sf_dir):
+    """LIMIT … OFFSET pagination (SQLite surface; Spark ≥3.4 native)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_lo")
+    return spark.sql("""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM v_orders_lo ORDER BY o_orderkey LIMIT 50 OFFSET 100
+""")
+
+
 def q_groups_frame_window(spark, sf_dir):
     """GROUPS window frame + EXCLUDE clause (the last SQLite ≥3.28
     surface row): emulated as RANGE over dense_rank + frame arithmetic
@@ -971,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": q_range_join_price_bands,
         "window_frames": q_window_frames,
         "groups_frame_window": q_groups_frame_window,
+        "limit_offset": q_limit_offset,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -1548,6 +1558,10 @@ FROM orders
 WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey
+""",
+        "limit_offset": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
 """,
         "groups_frame_window": """
 WITH r AS (

@@ -148,6 +148,65 @@ def _nearest_cells(vec_name: str, nrm_name: str,
                   f"s -> -s.negcell)")
 
 
+def stage_ivf(corpus: DataFrame, vec_col: str, id_col: str, path: str,
+              n_cells: int = 16, train_iters: int = 0
+              ) -> list[tuple[int, list[float]]]:
+    """Stage an IVF index to disk: assign every corpus vector to its
+    nearest centroid cell and write parquet **partitioned by cell**.
+    Returns the centroids (cell id, vector) for the probe side.
+
+    This is the 100 TB layout the in-memory :func:`ivf_topk` documents:
+    with the corpus laid out one directory per cell, a probe touches
+    only its ``nprobe`` cells' files — partition pruning at the scan
+    (``PartitionFilters`` / dynamic partition pruning), so search cost
+    is proportional to cells probed, not corpus size.  Staging is a
+    one-time map-only pass (the cell id is a computed column; the
+    partitioned write shuffles nothing — each task appends to its
+    rows' cell directories).
+    """
+    c = (spread(corpus).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("__nrm__", _norm(F.col("vec"))))
+    seed = c.orderBy("id").limit(n_cells).collect()
+    if not seed:
+        raise ValueError("stage_ivf on an empty corpus")
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
+    assigned = c.withColumn(
+        "cell", _nearest_cells("vec", "__nrm__", centroids, 1)[0]).drop("__nrm__")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_topk_staged(spark, path: str,
+                    centroids: list[tuple[int, list[float]]],
+                    queries: DataFrame, query_vec_col: str,
+                    query_id_col: str, k: int = 10,
+                    nprobe: int = 2) -> DataFrame:
+    """Probe a staged IVF index (:func:`stage_ivf`): each query scores
+    only the vectors in its ``nprobe`` nearest cells.  The probe is a
+    broadcast join on the partition column, so Spark's dynamic
+    partition pruning restricts the parquet scan to the probed cell
+    directories — the plan property that makes IVF sub-linear in
+    corpus size (asserted in tests/test_interval_ivf.py).
+
+    Output: ``query_id, id, cosine, rank`` — identical values to
+    :func:`ivf_topk` with the same centroids (same fold, same
+    tie-break)."""
+    c = spark.read.parquet(path)
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(query_vec_col).cast("array<double>").alias("qvec"))
+         .withColumn("__qnrm__", _norm(F.col("qvec"))))
+    q_probes = q.select(
+        "query_id", "qvec",
+        F.explode(_nearest_cells("qvec", "__qnrm__", centroids, nprobe)).alias("cell"))
+    joined = c.join(F.broadcast(q_probes), "cell")
+    scored = joined.select("query_id", "id",
+                           _cosine(F.col("vec"), F.col("qvec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              vec_col: str, id_col: str,
              query_vec_col: str, query_id_col: str,

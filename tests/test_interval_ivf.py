@@ -111,6 +111,29 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert approx.groupBy("query_id").count().filter("count <> 5").count() == 0
 
 
+def test_ivf_staged_partition_pruning(spark, sf_dir, tmp_path):
+    """The staged layout (stage_ivf → parquet partitioned by cell) must
+    (a) return the same values as the in-memory ivf_topk with the same
+    centroids, and (b) prune the scan to the probed cells — dynamic
+    partition pruning from the broadcast probe join."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivf_topk_staged, stage_ivf,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivf")
+    cents = stage_ivf(corpus, "embedding", "vec_id", path, n_cells=8)
+    staged = ivf_topk_staged(spark, path, cents, queries,
+                             "embedding", "vec_id", k=5, nprobe=2)
+    mem = ivf_topk(corpus, queries, "embedding", "vec_id",
+                   "embedding", "vec_id", k=5, n_cells=8, nprobe=2)
+    assert _rows(staged) == _rows(mem)
+    # the parquet scan is restricted to probed cells at runtime
+    plan = _plan(staged)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+
+
 def test_ivf_train_iters_runs_and_keeps_contract(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 2)
