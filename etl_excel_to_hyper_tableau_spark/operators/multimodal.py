@@ -109,33 +109,93 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: maps content→content with updated meta.
+def _fake_decode_gray(content: bytes, width: int, height: int) -> np.ndarray:
+    """STUB CODEC (decode half): interpret opaque bytes as a
+    ``height×width`` grayscale pixel array by tiling/truncating — a
+    deterministic stand-in for ``PIL.Image.open`` (no image library
+    exists in this container).  Everything downstream of this function
+    is real image math on real arrays."""
+    buf = np.frombuffer(content, dtype=np.uint8)
+    need = width * height
+    reps = -(-need // max(len(buf), 1))
+    return np.tile(buf, reps)[:need].reshape(height, width)
 
-    STUB CODEC: raises ``NotImplementedError`` inside the UDF when
-    actually executed on image bytes, because no image library exists in
-    this container; the operator exists so the schema/partitioning/UDF
-    contract is pinned by tests via ``df.schema`` without execution.
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  decode=None, encode=None) -> DataFrame:
+    """Resize each image row to ``width×height`` via Arrow-batched
+    ``mapInPandas``; ``content`` is replaced by the re-encoded resized
+    image and ``meta.width/height/format`` are updated.
+
+    The resampling itself is real (nearest-neighbor index math on the
+    decoded array — the same arithmetic a library resize performs);
+    only the codec boundary is stubbed: ``decode(bytes, w, h) →
+    ndarray`` defaults to the deterministic :func:`_fake_decode_gray`,
+    ``encode(ndarray) → bytes`` defaults to raw row-major bytes
+    (format ``"raw"``).  Swapping in Pillow is
+    ``decode=lambda b, w, h: np.asarray(Image.open(io.BytesIO(b)))``;
+    the distributed plumbing does not move.
     """
-
+    decode = decode or _fake_decode_gray
+    encode = encode or (lambda arr: arr.astype(np.uint8).tobytes())
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode/resize requires an image codec (e.g. Pillow); "
-            "not available in this environment")
-        yield  # pragma: no cover
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                if c is None or m is None:
+                    contents.append(None)
+                    metas.append(m)
+                    continue
+                src = decode(bytes(c), m["width"] or 1, m["height"] or 1)
+                sh, sw = src.shape[:2]
+                # nearest-neighbor resample (floor of the center-aligned
+                # source index — the standard NN formula)
+                yi = np.minimum(((np.arange(height) + 0.5) * sh / height)
+                                .astype(np.int64), sh - 1)
+                xi = np.minimum(((np.arange(width) + 0.5) * sw / width)
+                                .astype(np.int64), sw - 1)
+                out = src[np.ix_(yi, xi)]
+                contents.append(encode(out))
+                metas.append({**m, "format": "raw",
+                              "width": width, "height": height})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "content": contents, "meta": metas})
 
     return df.mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing (same stub contract as resize)."""
+    """Keep every ``every_n``-th frame of each video/audio row (frame 0,
+    n, 2n, …), via Arrow-batched ``mapInPandas``; ``content`` becomes
+    the kept frames concatenated and ``meta.n_frames`` the kept count.
+
+    STUB CODEC (container demuxer): frames are taken as ``n_frames``
+    equal byte-slices of the content — a deterministic stand-in for a
+    real demuxer (PyAV); the frame-selection arithmetic and the
+    batch plumbing are the real operator.
+    """
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video decode requires a codec (e.g. PyAV); not available here")
-        yield  # pragma: no cover
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                n = (m or {}).get("n_frames") or 0
+                if c is None or n <= 0:
+                    contents.append(c if c is None else bytes(c))
+                    metas.append(m)
+                    continue
+                buf = bytes(c)
+                flen = max(len(buf) // n, 1)
+                kept = [buf[i * flen:(i + 1) * flen]
+                        for i in range(0, n, every_n) if i * flen < len(buf)]
+                contents.append(b"".join(kept))
+                metas.append({**m, "n_frames": len(kept)})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "content": contents, "meta": metas})
 
     return df.mapInPandas(run, schema=out_schema)

@@ -40,12 +40,47 @@ def test_repartition_by_bytes(spark):
     assert out.count() == 64
 
 
-def test_resize_images_stub_contract(spark):
-    media = make_fake_media(spark, n=2)
-    resized = resize_images(media, 16, 16)
-    assert resized.schema == media.schema  # plumbing contract, no exec
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        resized.collect()
+def test_resize_images_executes_with_fake_codec(spark):
+    media = make_fake_media(spark, n=3)  # 32×24 fake images
+    resized = resize_images(media, 16, 12)
+    assert resized.schema == media.schema  # schema contract preserved
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert len(bytes(r["content"])) == 16 * 12  # raw grayscale out
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
+        assert r["meta"]["format"] == "raw"
+    # deterministic across runs (fake codec + NN resample are pure)
+    again = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert {k: bytes(v["content"]) for k, v in rows.items()} == again
+
+
+def test_resize_nearest_neighbor_math(spark):
+    """2×2 → 1×1 nearest-neighbor picks the center-aligned source pixel
+    (index floor((0+0.5)*2/1)=1 → bottom-right of the 2×2)."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import MEDIA_SCHEMA
+
+    content = bytes([10, 20, 30, 40])  # 2×2 row-major
+    df = spark.createDataFrame(
+        [(1, "image", content, ("raw", 2, 2, None, None))], MEDIA_SCHEMA)
+    out = resize_images(df, 1, 1).collect()[0]
+    assert list(bytes(out["content"])) == [40]
+
+
+def test_sample_frames_keeps_every_nth(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, sample_frames,
+    )
+    content = bytes(range(100))  # 10 frames × 10 bytes
+    df = spark.createDataFrame(
+        [(1, "video", content, ("raw", None, None, None, 10))], MEDIA_SCHEMA)
+    out = sample_frames(df, every_n=3).collect()[0]
+    kept = bytes(out["content"])
+    # frames 0, 3, 6, 9
+    assert kept == bytes(range(0, 10)) + bytes(range(30, 40)) \
+        + bytes(range(60, 70)) + bytes(range(90, 100))
+    assert out["meta"]["n_frames"] == 4
 
 
 def test_sessionize_batch_gap_semantics(spark):
