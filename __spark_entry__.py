@@ -817,6 +817,23 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+_MIXTURE = {"en": 0.5, "zh": 0.3, "de": 0.2}
+_MIXTURE_TOTAL = 300
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture sampling: thin the corpus toward a 50/30/20
+    en/zh/de mixture of ~300 rows (operators.sampling.sample_to_mixture);
+    membership is hash-deterministic and the per-stratum thresholds are
+    floored to 1/10000 so the oracle reproduces them from the same
+    count arithmetic."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.sample_to_mixture(docs, "doc_id", "lang", _MIXTURE,
+                                 _MIXTURE_TOTAL)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def q_quality_weighted_sample(spark, sf_dir):
     """Quality-weighted deterministic downsampling: each document kept
     with probability = its quality score (operators.sampling.
@@ -992,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": q_keyword_topk,
         "dedup_clusters": q_dedup_clusters,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "mixture_sample": q_mixture_sample,
         "stream_purchase_click_join": q_stream_purchase_click_join,
         "stream_event_counts": q_stream_event_counts,
         "stream_session_windows": q_stream_session_windows,
@@ -1773,6 +1791,18 @@ ORDER BY user_id, session_start
 SELECT event_type, count(*) AS n_keys
 FROM (SELECT DISTINCT user_id, event_type, value FROM events)
 GROUP BY event_type ORDER BY event_type
+""",
+        # --- mixture sampling (thin toward target proportions) ------------
+        "mixture_sample": f"""
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+th AS (SELECT lang,
+  cast(floor(least(1.0, (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3
+                                   WHEN 'de' THEN 0.2 ELSE 0.0 END)
+                        * 300 / n) * 10000) as bigint) AS t
+  FROM cnt)
+SELECT doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
+WHERE {_MD5I.format(x="'mixture:'||cast(doc_id as varchar)")} % 10000 < t
+ORDER BY doc_id
 """,
         # --- quality-weighted deterministic sampling ----------------------
         "quality_weighted_sample": f"""

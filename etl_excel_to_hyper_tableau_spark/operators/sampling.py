@@ -120,6 +120,39 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column,
         hash_bucket(F.col(id_col), salt) < F.floor(w * BUCKETS))
 
 
+def sample_to_mixture(df: DataFrame, id_col: str, strata_col: str,
+                      target_props: dict[str, float], total: int,
+                      salt: str = "mixture") -> DataFrame:
+    """Downsample to approximate a target mixture: ~``total`` rows
+    distributed across strata in ``target_props`` proportions (strata
+    absent from the dict are dropped) — the data-mixing step of a
+    training pipeline ("50% en, 30% zh, 20% de"), with deterministic
+    hash membership like every sampler here.
+
+    Per-stratum keep fraction = ``min(1, share·total / n_stratum)``
+    (an over-represented stratum is thinned, an under-represented one
+    is kept whole — resulting counts then undershoot its target; no
+    upsampling).  The stratum counts are one metadata-sized aggregate
+    collected to the driver; thresholds are floored to 1/10000 so an
+    external engine reproduces membership exactly from the same
+    arithmetic.
+    """
+    counts = {r[strata_col]: r["n"]
+              for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()}
+    bucket = hash_bucket(F.col(id_col), salt)
+    thresh = None
+    for stratum, share in target_props.items():
+        n = counts.get(stratum)
+        if not n:
+            continue
+        t = F.lit(int(min(1.0, share * total / n) * BUCKETS))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    if thresh is None:
+        return df.limit(0)
+    return df.filter(bucket < thresh.otherwise(F.lit(0)))
+
+
 def exact_k_per_stratum(df: DataFrame, id_col: str, strata_col: str,
                         k: int, salt: str = "sample") -> DataFrame:
     """Exactly min(k, n) rows per stratum, chosen by hash order — the

@@ -76,6 +76,26 @@ class TestStratifiedSample:
         again = sp.exact_k_per_stratum(ids, "doc_id", "lang", k=7)
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
+    def test_sample_to_mixture(self, ids):
+        # ids: 500 en / 1500 zh.  Target 50/50 of 400 → keep ~200 of
+        # each; en thinned 200/500, zh 200/1500
+        out = sp.sample_to_mixture(ids, "doc_id", "lang",
+                                   {"en": .5, "zh": .5}, total=400)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert 150 < counts["en"] < 250 and 150 < counts["zh"] < 250
+        # under-represented stratum is kept whole, never upsampled
+        out2 = sp.sample_to_mixture(ids, "doc_id", "lang",
+                                    {"en": .9, "zh": .1}, total=4000)
+        c2 = {r["lang"]: r["n"] for r in
+              out2.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert c2["en"] == 500          # 0.9*4000=3600 > 500 → keep all
+        assert 300 < c2["zh"] < 500     # 0.1*4000=400 of 1500
+        # strata absent from the target are dropped
+        assert sp.sample_to_mixture(ids, "doc_id", "lang",
+                                    {"en": 1.0}, total=100) \
+            .filter(F.col("lang") == "zh").count() == 0
+
     def test_weighted_sample_edges_and_rate(self, ids):
         # w=0 keeps nothing, w=1 keeps everything (floor semantics)
         assert sp.weighted_sample(ids, "doc_id", F.lit(0.0)).count() == 0
