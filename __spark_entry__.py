@@ -817,6 +817,29 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_contamination_check(spark, sf_dir):
+    """Train/test decontamination: corpus docs sharing ≥3 distinct
+    8-grams with any doc of a deterministic 'benchmark' slice
+    (doc_id % 97 == 0) — operators.dedup.contamination_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return (dd.contamination_pairs(corpus, bench, "text", "doc_id",
+                                   n=8, min_common=3)
+            .orderBy("corpus_id", "bench_id"))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """The full C4/Gopher-style cleaning gate over the corpus
+    (operators.text.clean_corpus): quality ≥ 0.4, 20 ≤ tokens ≤ 2000,
+    bigram-repetition ≤ 0.2 — survivors with their gate values."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.clean_corpus(docs, "text", "doc_id")
+            .select("doc_id", "lang", "quality",
+                    "n_tokens", "dup_bigram_frac")
+            .orderBy("doc_id"))
+
+
 _MIXTURE = {"en": 0.5, "zh": 0.3, "de": 0.2}
 _MIXTURE_TOTAL = 300
 
@@ -1010,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "quality_weighted_sample": q_quality_weighted_sample,
         "mixture_sample": q_mixture_sample,
+        "contamination_check": q_contamination_check,
+        "corpus_clean": q_corpus_clean,
         "stream_purchase_click_join": q_stream_purchase_click_join,
         "stream_event_counts": q_stream_event_counts,
         "stream_session_windows": q_stream_session_windows,
@@ -1791,6 +1816,37 @@ ORDER BY user_id, session_start
 SELECT event_type, count(*) AS n_keys
 FROM (SELECT DISTINCT user_id, event_type, value FROM events)
 GROUP BY event_type ORDER BY event_type
+""",
+        # --- decontamination: corpus vs benchmark 8-gram overlap ----------
+        "contamination_check": f"""
+WITH c AS (
+  SELECT doc_id AS corpus_id, unnest(list_distinct({_grams_sql('text', 8)})) AS g
+  FROM documents WHERE doc_id % 97 <> 0),
+b AS (
+  SELECT doc_id AS bench_id, unnest(list_distinct({_grams_sql('text', 8)})) AS g
+  FROM documents WHERE doc_id % 97 = 0)
+SELECT corpus_id, bench_id, count(*) AS n_common
+FROM c JOIN b USING (g)
+GROUP BY corpus_id, bench_id HAVING count(*) >= 3
+ORDER BY corpus_id, bench_id
+""",
+        # --- C4-style cleaning gate ---------------------------------------
+        "corpus_clean": f"""
+WITH t AS (SELECT doc_id, lang, text, {toks} AS toks FROM documents),
+tb AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1]) AS bgs FROM t),
+bf AS (SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM tb) GROUP BY 1, 2),
+ba AS (SELECT doc_id AS ba_id,
+  1.0 - (cast(count(*) as double) / cast(sum(c) as double)) AS dbf
+  FROM bf GROUP BY doc_id)
+SELECT t.doc_id, lang, {quality} AS quality,
+  cast(len(toks) as bigint) AS n_tokens,
+  coalesce(dbf, 0.0) AS dup_bigram_frac
+FROM t LEFT JOIN ba ON t.doc_id = ba.ba_id
+WHERE {quality} >= 0.4 AND len(toks) BETWEEN 20 AND 2000
+  AND coalesce(dbf, 0.0) <= 0.2
+ORDER BY doc_id
 """,
         # --- mixture sampling (thin toward target proportions) ------------
         "mixture_sample": f"""

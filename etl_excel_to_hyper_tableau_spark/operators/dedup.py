@@ -562,6 +562,37 @@ def _sign_lsh_signature(vec_name: str, planes: int, dim: int) -> Column:
     return F.expr("concat(" + ", ".join(parts) + ")")
 
 
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str, id_col: str,
+                        n: int = 8, min_common: int = 3) -> DataFrame:
+    """Train/test decontamination: every (corpus doc, benchmark doc)
+    pair sharing ≥ ``min_common`` distinct character ``n``-grams — the
+    overlap check training pipelines run against eval sets before a
+    corpus ships (flagged corpus docs get dropped or quarantined).
+
+    Plan: distinct-shingle inverted index on both sides, equi-join on
+    the shingle with the benchmark side broadcast (eval sets are small
+    by definition), count per pair.  Long shingles (default n=8) are
+    high-entropy, so per-shingle fan-out stays tiny; the benchmark side
+    bounds join fan-out regardless — each corpus shingle row meets at
+    most |benchmark docs containing that shingle| rows.  At 100 TB the
+    corpus side streams map-only through the broadcast join; the only
+    shuffle is the pair-count aggregate, keyed on (corpus_id, bench_id).
+
+    Output: ``corpus_id, bench_id, n_common``.
+    """
+    c = spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"))
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"))
+    return (c.join(F.broadcast(b), "g")
+            .groupBy("corpus_id", "bench_id")
+            .agg(F.count("*").alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
+
+
 def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, threshold: float = 0.5,
                        max_df: int | None = 100,

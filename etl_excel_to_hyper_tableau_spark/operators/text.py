@@ -251,6 +251,35 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out
 
 
+def clean_corpus(df: DataFrame, text_col: str, id_col: str,
+                 min_quality: float = 0.4, min_tokens: int = 20,
+                 max_tokens: int = 2000,
+                 max_dup_bigram: float = 0.2) -> DataFrame:
+    """C4/Gopher-style cleaning gate in one operator: keep documents
+    passing the classic heuristic trio — quality score ≥
+    ``min_quality``, token count within ``[min_tokens, max_tokens]``,
+    bigram-repetition fraction ≤ ``max_dup_bigram``.  Returns the
+    surviving rows with the gate columns attached (``quality``,
+    ``n_tokens``, ``dup_bigram_frac``) so downstream audits can see why
+    a row survived.
+
+    Plan: the quality/token gates are pure projections over the scan;
+    the repetition signal joins back from :func:`repetition_profile`'s
+    corpus-linear aggregate on the high-entropy id key.  Nothing here
+    is per-doc quadratic, so the gate runs at ingest scale.
+    """
+    rep = repetition_profile(df, text_col, id_col).select(
+        F.col("id").alias("__rid__"), "dup_bigram_frac")
+    q = df.withColumn("quality", quality_score(F.col(text_col))) \
+          .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    out = (q.join(rep, q[id_col] == rep.__rid__, "left").drop("__rid__")
+           .withColumn("dup_bigram_frac",
+                       F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))))
+    return out.filter((F.col("quality") >= min_quality)
+                      & F.col("n_tokens").between(min_tokens, max_tokens)
+                      & (F.col("dup_bigram_frac") <= max_dup_bigram))
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

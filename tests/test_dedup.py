@@ -95,6 +95,21 @@ def test_embedding_cosine_exact_and_lsh(spark):
     assert (1, 4) in lsh_pairs
 
 
+def test_contamination_pairs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally unrelated content here xyz")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")],
+        "doc_id long, text string")
+    out = dd_module.contamination_pairs(corpus, bench, "text", "doc_id",
+                                        n=8, min_common=3)
+    rows = {(r["corpus_id"], r["bench_id"]): r["n_common"] for r in out.collect()}
+    assert (1, 100) in rows and rows[(1, 100)] >= 3  # shares 'quick brown fox jumps'
+    assert not any(c == 2 for c, _ in rows)          # unrelated doc never flags
+
+
 def test_embedding_exact_path_degrades_to_lsh_above_max_exact(spark, monkeypatch):
     """A corpus above max_exact must never reach the driver-collecting
     GEMM prefilter — the default path silently takes the LSH route."""

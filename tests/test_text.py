@@ -71,3 +71,22 @@ def test_text_profile_shape(spark):
                            "n_subtokens", "fingerprint"]
     r = out.collect()[0]
     assert r["n_tokens"] == 4 and r["id"] == 1
+
+
+def test_clean_corpus_gates(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and that is "
+            "a fine thing for it to do with great joy in the sun")
+    short = "too short"
+    junk = "@#$% ^&*! ~~~ @#$% ^&*! ~~~ @#$% ^&*! ~~~ " * 3
+    repetitive = "spam ham " * 40  # dup_bigram_frac near 1
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, junk), (4, repetitive)],
+        "doc_id long, text string")
+    out = clean_corpus(df, "text", "doc_id", min_quality=0.4,
+                       min_tokens=20, max_tokens=2000, max_dup_bigram=0.2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["quality"] >= 0.4 and rows[1]["n_tokens"] >= 20
+    assert rows[1]["dup_bigram_frac"] <= 0.2
