@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_clusters",
     "embedding_near_dup_lsh",
     "groups_frame_window",
+    "contamination_check",
+    "corpus_clean",
 ]
 
 
