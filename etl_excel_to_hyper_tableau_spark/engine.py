@@ -26,7 +26,7 @@ from pyspark.errors.exceptions.captured import AnalysisException
 from .bundles import Query, QueryBundle
 from .operators.combinators import horizontal_concat, pivot_union, prefix_columns
 from .plans.dialect import rewrite_bare_column, sqlite_to_spark
-from .plans.macro import format_query
+from .plans.macro import format_query, sql_table_name
 from .plans.recursive import is_recursive_union, run_recursive_union_sql
 from .sinks.excel import write_excel
 from .sinks.hyper import write_hyper
@@ -45,14 +45,20 @@ class QueryEngine:
 
     def __init__(self, spark: SparkSession, directory: str,
                  bundles: list[QueryBundle], export_dir: str,
-                 dialect: str = "sqlite"):
+                 dialect: str = "sqlite",
+                 stage_format: str = "memory",
+                 stage_dir: str | None = None):
         self.spark = spark
         self.directory = directory
         self.bundles = bundles
         self.export_dir = export_dir.rstrip("/")
         if dialect not in {"sqlite", "spark"}:
             raise ValueError(f"unknown dialect {dialect!r}")
+        if stage_format not in {"memory", "parquet"}:
+            raise ValueError(f"unknown stage_format {stage_format!r}")
         self.dialect = dialect
+        self.stage_format = stage_format
+        self.stage_dir = (stage_dir or f"{self.export_dir}/__stage__").rstrip("/")
         self._registered: list[str] = []
 
     # -- stages -----------------------------------------------------------
@@ -72,9 +78,26 @@ class QueryEngine:
 
     def stage(self, pairs: list[tuple[str, str]]) -> None:
         """Load each (file, sheet) once and register it as a temp view
-        (reference A7; SQLite staging replaced by the Catalyst catalog)."""
+        (reference A7; SQLite staging replaced by the Catalyst catalog).
+
+        ``stage_format="parquet"`` additionally writes each sheet to
+        ``stage_dir`` and registers the parquet read instead of the
+        in-memory frame — the scale path: xlsx (zipped XML, not
+        splittable, no pushdown) is parsed ONCE, and every query then
+        scans columnar parquet with predicate pushdown and column
+        pruning (``PushedFilters``/``ReadSchema`` reach the scan; the
+        plan-property test pins this).  This is the "parse once, query
+        Parquet" layout SCALING.md prescribes for 100 TB workbook
+        ingest; "memory" (default) skips the I/O round-trip for
+        reference-sized inputs.
+        """
         for file_name, sheet in pairs:
             df = read_excel_sheet(self.spark, f"{self.directory}/{file_name}", sheet)
+            if self.stage_format == "parquet":
+                name = sql_table_name(file_name, sheet)
+                path = f"{self.stage_dir}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                df = self.spark.read.parquet(path)
             self._registered.append(
                 register_sheet(self.spark, df, file_name, sheet))
 

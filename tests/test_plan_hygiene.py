@@ -1,0 +1,39 @@
+"""Plan-hygiene sweep over EVERY inventory query: no accidental
+cartesian products or nested-loop joins anywhere in the shipped plans —
+the whole-inventory generalization of the per-operator plan assertions
+(skew, sampling, groups-frames, as-of).
+
+Streaming entries are excluded because constructing them executes the
+stream (availableNow run); their plan properties are pinned by the
+dedicated streaming tests instead.
+"""
+
+import contextlib
+import io
+
+import __spark_entry__ as entry
+
+# the one intentional nested-loop: embedding_topk's exact scan is a
+# crossJoin against the BROADCAST query set — the corpus never shuffles
+# and only (queries × k) rows leave the scan (similarity.py docstring)
+NESTED_LOOP_OK = {"embedding_topk"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
+    bad = []
+    for name, fn in entry.queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert bad == []
