@@ -407,6 +407,20 @@ def q_event_type_pivot(spark, sf_dir):
             .orderBy("hour"))
 
 
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel (view → click → purchase within 4h of the first
+    view): per-user earliest strictly-increasing chain of step
+    timestamps — streaming/events.funnel, the iterative min-timestamp
+    formulation (one partial-agg groupBy + equi-join per step)."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return (funnel(ev, ["view", "click", "purchase"], within_minutes=240)
+            .select("user_id", "t1", "t2", "t3",
+                    "steps_completed")
+            .orderBy("user_id"))
+
+
 def q_avg_qty_correlated(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     quantity is below 1/5 of their part's average quantity.  The
@@ -1003,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_horizontal_concat": q_ref_horizontal_concat,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "funnel_events": q_funnel_events,
         "event_type_pivot": q_event_type_pivot,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1398,6 +1413,26 @@ SELECT event_type, count(*) AS n,
   min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
   max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "funnel_events": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 240 MINUTE
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s1.t1 + INTERVAL 240 MINUTE
+       GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3,
+  cast(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+    AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
 """,
         "event_type_pivot": """
 SELECT cast(hour(ts) as bigint) AS hour,

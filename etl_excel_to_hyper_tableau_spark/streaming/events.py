@@ -218,6 +218,44 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.max("ts").alias("session_end")))
 
 
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts", within_minutes: int | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest strictly-
+    increasing chain of event timestamps matching ``steps`` — the
+    classic iterative min-timestamp formulation (step i's time = the
+    user's earliest ``steps[i]`` event AFTER step i-1's time, all within
+    ``within_minutes`` of step 1 when set).
+
+    One hash aggregate + one equi-join per step, each shuffling on the
+    high-entropy user key — len(steps) is a small constant, so the plan
+    is a fixed pipeline of partial-agg groupBys at any corpus size (no
+    windows over whole user histories, no cross products).
+
+    Output: one row per user that completed step 1, with nullable
+    ``t1..tN`` timestamps and ``steps_completed``.
+    """
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(F.col(user_col).alias("user_id"))
+           .agg(F.min(ts_col).alias("t1")))
+    deadline = (F.col("t1") + F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+                if within_minutes is not None else None)
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("__ts__"))
+        cond = F.col("__ts__") > F.col(f"t{i - 1}")
+        if deadline is not None:
+            cond = cond & (F.col("__ts__") <= deadline)
+        nxt = (ev.join(cur, "user_id")
+               .filter(cond)
+               .groupBy("user_id").agg(F.min("__ts__").alias(f"t{i}")))
+        cur = cur.join(nxt, "user_id", "left")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return cur.withColumn("steps_completed", reached.cast("long"))
+
+
 def purchase_click_join_stream(spark: SparkSession, events_dir: str,
                                lookback_minutes: int = 60,
                                watermark: str = "2 hours") -> DataFrame:

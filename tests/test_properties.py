@@ -62,3 +62,49 @@ def test_perm_constants_shape():
     assert len(consts) == 64 and len(set(consts)) == 64
     assert all(a % 2 == 1 and 0 < a < (1 << 31) and 0 <= b < (1 << 31)
                for a, b in consts)
+
+
+def _groups_frame_reference(rows, preceding, following):
+    """Brute-force GROUPS frame + EXCLUDE on (id, p, k) tuples."""
+    out = {}
+    by_p = {}
+    for rid, p, k in rows:
+        by_p.setdefault(p, []).append((rid, k))
+    for p, items in by_p.items():
+        ks = sorted({k for _, k in items})
+        grp_of = {k: i + 1 for i, k in enumerate(ks)}
+        for rid, k in items:
+            g = grp_of[k]
+            frame = [(r2, k2) for r2, k2 in items
+                     if g - preceding <= grp_of[k2] <= g + following]
+            peers = [(r2, k2) for r2, k2 in items if k2 == k]
+            s = sum(k2 for _, k2 in frame)
+            excl_cur = [x for x in frame if x[0] != rid]
+            excl_grp = [x for x in frame if x[1] != k]
+            out[rid] = (
+                g, float(s), len(frame),
+                float(sum(k2 for _, k2 in excl_cur)) if excl_cur else None,
+                float(sum(k2 for _, k2 in excl_grp)) if excl_grp else None,
+                float(s - sum(k2 for _, k2 in peers) + k),
+            )
+    return out
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from("ab"), st.integers(0, 6)),
+    min_size=1, max_size=15))
+def test_groups_frame_matches_bruteforce(spark, rows):
+    from etl_excel_to_hyper_tableau_spark.plans.groups_frames import (
+        with_groups_frame,
+    )
+    data = [(i, p, k) for i, (p, k) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, p string, k long")
+    got = {r["id"]: (r["grp"],
+                     None if r["s_frame"] is None else float(r["s_frame"]),
+                     r["n_frame"],
+                     None if r["s_excl_current"] is None else float(r["s_excl_current"]),
+                     None if r["s_excl_group"] is None else float(r["s_excl_group"]),
+                     None if r["s_excl_ties"] is None else float(r["s_excl_ties"]))
+           for r in with_groups_frame(df, ["p"], "k", "k", 1, 1).collect()}
+    assert got == _groups_frame_reference(data, 1, 1)
