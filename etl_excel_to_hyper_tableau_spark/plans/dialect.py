@@ -43,6 +43,7 @@ _LIKE_RE = re.compile(r"\bLIKE\b", re.IGNORECASE)
 _GLOB_LIT_RE = re.compile(r"\b(NOT\s+)?GLOB\s*(\x00\d+\x00)", re.IGNORECASE)
 _GLOB_RE = re.compile(r"\bGLOB\b", re.IGNORECASE)
 _GROUP_CONCAT_RE = re.compile(r"\bgroup_concat\s*\(", re.IGNORECASE)
+_PRINTF_RE = re.compile(r"\bprintf\s*\(", re.IGNORECASE)
 _TOTAL_RE = re.compile(r"\btotal\s*\(", re.IGNORECASE)
 _IIF_RE = re.compile(r"\biif\s*\(", re.IGNORECASE)
 _RANDOM_RE = re.compile(r"\brandom\s*\(\s*\)", re.IGNORECASE)
@@ -80,6 +81,18 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
 
 def _unmask(sql: str, literals: list[str]) -> str:
     return _PLACEHOLDER_RE.sub(lambda m: literals[int(m.group(1))], sql)
+
+
+def _unmask_for_spark(sql: str, literals: list[str]) -> str:
+    """Restore literals with backslashes doubled: SQLite string literals
+    treat ``\\`` as an ordinary character (only ``''`` is special), while
+    Spark's default parser processes C-style escapes — ``'\\n'`` is two
+    chars in SQLite but a newline in Spark.  Doubling makes Spark parse
+    back the exact character sequence SQLite saw, and is equally right
+    for the literals this shim *generates* (GLOB→regex patterns whose
+    ``re.escape`` backslashes must survive into the Java regex)."""
+    return _PLACEHOLDER_RE.sub(
+        lambda m: literals[int(m.group(1))].replace("\\", "\\\\"), sql)
 
 
 def glob_to_regex(pattern: str) -> str:
@@ -192,6 +205,12 @@ def sqlite_to_spark(sql: str) -> str:
             f"(unix_timestamp(cast({inner.strip()} as timestamp))"
             " / 86400.0d + 2440587.5d)"))
 
+    # printf('fmt', args…) → format_string('fmt', args…): Spark's
+    # format_string is java.util.Formatter — %s/%d/%f/%x/%% behave as in
+    # SQLite's printf for the common cases (SQLite extensions like %q
+    # are not translated)
+    code = _PRINTF_RE.sub("format_string(", code)
+
     def group_concat_build(m: re.Match, inner: str) -> str:
         parts = _top_level_split(inner)
         expr = parts[0].strip()
@@ -199,7 +218,7 @@ def sqlite_to_spark(sql: str) -> str:
         return f"concat_ws({sep}, collect_list({expr}))"
     code = _balanced_rewrite(code, _GROUP_CONCAT_RE, group_concat_build)
 
-    return _unmask(code, literals)
+    return _unmask_for_spark(code, literals)
 
 
 _SELECT_RE = re.compile(r"\bSELECT\b(\s+(ALL|DISTINCT)\b)?", re.IGNORECASE)

@@ -1,0 +1,81 @@
+"""End-to-end training-data pipeline over the testdata corpus — the
+operators a 100 TB data-curation run chains, on one page:
+
+    clean → exact dedup → near-dup dedup (MinHash-LSH scale path) →
+    decontaminate vs a benchmark slice → PII redact → train/val/test
+    split → mixture-sample → stage to parquet
+
+Every stage is one of the engine's oracle-verified operators; this
+script just composes them.  Run:
+
+    python examples/llm_pipeline_example.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from etl_excel_to_hyper_tableau_spark import get_spark  # noqa: E402
+from etl_excel_to_hyper_tableau_spark.operators import (  # noqa: E402
+    dedup as dd, sampling as sp, text as tx,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/llm_pipeline_out"
+    spark = get_spark(app_name="llm_pipeline_example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gates (C4/Gopher-style trio)
+    cleaned = tx.clean_corpus(docs, "text", "doc_id",
+                              min_quality=0.3, min_tokens=5, max_tokens=5000,
+                              max_dup_bigram=0.5)
+    n1 = cleaned.count()
+
+    # 2. exact dedup, then near-dup dedup on the linear LSH scale path
+    # (wide bands = strict collisions: this synthetic corpus is built
+    # from templates, so narrow bands would collapse it entirely)
+    exact = dd.exact_dedup(cleaned, ["text"], "doc_id")
+    deduped = dd.minhash_dedup(exact, "text", "doc_id", k=32, bands=2,
+                               threshold=None)
+    n2 = deduped.count()
+
+    # 3. decontaminate against a held-out "benchmark" slice (12-gram
+    # overlap — long shingles, so only real template overlap flags)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = dd.contamination_pairs(deduped, bench, "text", "doc_id",
+                                     n=12, min_common=30) \
+        .select(F.col("corpus_id").alias("doc_id")).distinct()
+    decontaminated = deduped.join(flagged, "doc_id", "left_anti")
+    n3 = decontaminated.count()
+
+    # 4. PII scrub
+    scrubbed = decontaminated.withColumn("text", tx.pii_redact(F.col("text")))
+
+    # 5. deterministic split + mixture thinning of the train split
+    split = sp.hash_split(scrubbed, "doc_id",
+                          {"train": 0.9, "val": 0.05, "test": 0.05})
+    train = split.filter(F.col("split") == "train")
+    mixed = sp.sample_to_mixture(train, "doc_id", "lang",
+                                 {"en": 0.4, "zh": 0.3, "de": 0.2, "fr": 0.1},
+                                 total=max(n3 // 2, 1))
+    n4 = mixed.count()
+
+    # 6. stage to parquet partitioned by split (the training-ready layout)
+    split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    print(f"corpus {n0} → cleaned {n1} → deduped {n2} "
+          f"→ decontaminated {n3} → mixed-train {n4}; staged at {out_dir}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

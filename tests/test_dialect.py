@@ -168,6 +168,37 @@ def test_pair_double_quoted_identifier(spark, lite):
     assert a == b == ["('Alpha',)"]
 
 
+def test_pair_printf(spark, lite):
+    sql = "SELECT printf('%s=%d', name, v) FROM t WHERE name IS NOT NULL"
+    a, b = _pair(spark, lite, sql)
+    assert a == b and len(a) == 3
+
+
+def test_pair_like_escape(spark, lite):
+    # ESCAPE clause passes through the LIKE→ILIKE rewrite untouched
+    lite.execute("INSERT INTO t VALUES ('pct_50', 5, NULL)")
+    sql = r"SELECT name FROM t WHERE name LIKE '%\_50' ESCAPE '\'"
+    lite_rows = [tuple(r) for r in lite.execute(sql).fetchall()]
+    df = _spark_t  # reuse builder with the extra row
+    import pyspark.sql.functions as _F  # noqa
+    spark.createDataFrame(
+        [("Alpha", 1, "2023-05-12"), ("beta", 2, "2023-06-01"),
+         ("ALPHABET", 3, "2024-01-31"), (None, 4, None), ("pct_50", 5, None)],
+        "name string, v int, d string").createOrReplaceTempView("t")
+    spark_rows = [tuple(r) for r in spark.sql(sqlite_to_spark(sql)).collect()]
+    assert sorted(lite_rows) == sorted(spark_rows) == [("pct_50",)]
+
+
+def test_pair_backslash_literal(spark, lite):
+    # SQLite string literals keep backslashes verbatim ('\n' is TWO
+    # chars); Spark's parser would eat them as C-escapes — the shim
+    # doubles them at unmask so both engines see the same bytes
+    sql = r"SELECT length('a\nb'), 'x\y' FROM t WHERE v = 1"
+    a, b = _pair(spark, lite, sql)
+    assert a == b  # SQLite: length 4 and a literal backslash in 'x\y'
+    assert "4" in a[0]
+
+
 def test_quirk_literal_adjacent_keyword(spark, lite):
     # the reference's query 1 is concatenated without a space:
     # ...'Bank of America'GROUP BY... — both engines accept it (SURVEY §2B)

@@ -83,6 +83,35 @@ def test_sample_frames_keeps_every_nth(spark):
     assert out["meta"]["n_frames"] == 4
 
 
+def test_funnel_ordered_chain(spark):
+    from etl_excel_to_hyper_tableau_spark.streaming.events import funnel
+
+    rows = [
+        # user 1 completes in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:20:00"),
+        # user 2: purchase BEFORE click → only 2 steps
+        (2, "view", "2024-01-01 09:00:00"),
+        (2, "purchase", "2024-01-01 09:10:00"),
+        (2, "click", "2024-01-01 09:30:00"),
+        # user 3: click outside the window → 1 step
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 12:00:00"),
+        # user 4 never starts the funnel → no row
+        (4, "click", "2024-01-01 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, t string") \
+        .select("user_id", "event_type", F.col("t").cast("timestamp").alias("ts"))
+    out = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"],
+                  within_minutes=60).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 2 and out[2]["t3"] is None
+    assert out[3]["steps_completed"] == 1 and out[3]["t2"] is None
+
+
 def test_sessionize_batch_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session 1
