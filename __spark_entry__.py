@@ -918,6 +918,26 @@ def q_keyword_topk(spark, sf_dir):
             .orderBy("id", "rank"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators.text.chunk_documents):
+    64-token chunks with 16-token overlap — the pre-training/RAG ingest
+    step.  Map-only plan (sequence/explode/slice), zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.chunk_documents(docs, "text", "doc_id",
+                               chunk_tokens=64, overlap=16)
+            .orderBy("doc_id", "start_token"))
+
+
+def q_doc_lm_surprisal(spark, sf_dir):
+    """Corpus-unigram LM surprisal per document
+    (operators.text.unigram_surprisal) — quantized to whole bits
+    (length(bin(N)) − length(bin(cnt))) so every value is exact integer
+    arithmetic, bit-reproducible by the SQL oracle without libm ln."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.unigram_surprisal(docs, "text", "doc_id")
+            .orderBy("doc_id"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the ngram-Jaccard≥0.8 pair graph via
     the iterative-fixpoint recursive-CTE equivalent; oracle is DuckDB's
@@ -1045,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "pii_redaction": q_pii_redaction,
         "keyword_topk": q_keyword_topk,
+        "doc_chunks": q_doc_chunks,
+        "doc_lm_surprisal": q_doc_lm_surprisal,
         "dedup_clusters": q_dedup_clusters,
         "quality_weighted_sample": q_quality_weighted_sample,
         "mixture_sample": q_mixture_sample,
@@ -1777,6 +1799,31 @@ r AS (
   FROM tf JOIN dfq USING (token))
 SELECT id, token, tf, df, cast(rank as bigint) AS rank
 FROM r WHERE rank <= 3 ORDER BY id, rank
+""",
+        # --- document chunking (overlapping token windows) ----------------
+        "doc_chunks": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (SELECT doc_id, toks, unnest(range(0, n, 48)) AS start FROM s)
+SELECT doc_id,
+  cast(start // 48 as bigint) AS chunk_idx,
+  cast(start as bigint) AS start_token,
+  cast(len(toks[start + 1 : start + 64]) as bigint) AS n_tokens,
+  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+FROM st ORDER BY doc_id, start_token
+""",
+        # --- unigram LM surprisal (integer-bit, libm-free) ----------------
+        "doc_lm_surprisal": f"""
+WITH tk AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+tot AS (SELECT sum(cnt) AS n_corpus FROM freq)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_tokens,
+  cast(sum(length(bin(n_corpus)) - length(bin(cnt))) as bigint) AS total_bits,
+  cast(sum(length(bin(n_corpus)) - length(bin(cnt))) as double) / count(*)
+    AS mean_bits
+FROM tk JOIN freq USING (t), tot
+GROUP BY doc_id ORDER BY doc_id
 """,
         # --- duplicate clusters (recursive CTE over the same pair graph) --
         "dedup_clusters": f"""

@@ -357,3 +357,99 @@ def keyword_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("id", "token", "tf", "df", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 128, overlap: int = 32) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-training / RAG-ingest step that turns long documents
+    into model-sized pieces.
+
+    Chunk starts are ``0, step, 2·step, …`` with ``step = chunk_tokens −
+    overlap``; every start < n_tokens emits a chunk of up to
+    ``chunk_tokens`` tokens (the final chunk may be shorter).  Documents
+    with zero tokens emit nothing (consistent with the other text
+    operators' empty-doc contract).
+
+    Plan: tokenize → ``sequence``/``explode`` over the start offsets →
+    ``slice`` + ``array_join`` — entirely map-side Catalyst expressions,
+    ZERO shuffles; fan-out per doc is ⌈n/step⌉ rows, so output size is
+    corpus-linear with factor ``chunk_tokens/step``.  At 100 TB the
+    operator pipelines inside the scan stage; downstream partition
+    sizing is handled by the byte-budget repartition helpers if chunks
+    feed a sink.
+
+    Output: ``doc_id, chunk_idx, start_token, n_tokens, chunk_text``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = (spread(df).select(F.col(id_col).alias("doc_id"),
+                           tokens(F.col(text_col)).alias("__toks__"))
+         .withColumn("__n__", F.size("__toks__"))
+         .filter(F.col("__n__") > 0))
+    starts = F.sequence(F.lit(0), F.col("__n__") - 1, F.lit(step))
+    ex = t.select("doc_id", "__toks__",
+                  F.explode(starts).alias("start_token"))
+    chunk = F.slice(F.col("__toks__"), F.col("start_token") + 1, chunk_tokens)
+    return ex.select(
+        "doc_id",
+        F.expr(f"cast(start_token div {step} as bigint)").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (integer-bit, libm-free)
+# ---------------------------------------------------------------------------
+
+def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-unigram LM scoring (the CCNet/quality-filter signal:
+    documents whose tokens are all corpus-rare are outliers — boilerplate
+    and gibberish score high, typical prose scores low), in **exact
+    integer arithmetic** so an external oracle reproduces every value
+    bit-for-bit.
+
+    Per-token surprisal is quantized to whole bits:
+    ``bits(t) = ⌊log2 N⌋ − ⌊log2 cnt(t)⌋``, computed as
+    ``length(bin(N)) − length(bin(cnt))`` — integer-only, no libm ``ln``
+    (this engine's float-determinism policy excludes libm-dependent
+    functions from value-hashed contracts; see q_math_funcs).  The
+    real-valued ``−ln p`` variant is monotone in the same counts and can
+    be applied downstream where bit-exactness across engines is not
+    required.
+
+    Plan: explode tokens (map-only) → token-frequency groupBy (one
+    shuffle on the token key, map-side combine) → re-join exploded
+    tokens to frequencies (sort-merge on token — the vocabulary is NOT
+    broadcast: at 100 TB the long tail of a web-scale vocabulary is
+    far beyond broadcast size, and the join key is high-entropy) →
+    per-doc aggregate (one shuffle on doc id).  All stages corpus-linear;
+    the corpus total N is a one-row aggregate broadcast via cross join.
+    The exploded token table is persisted because it feeds both the
+    frequency aggregate and the scoring join (Catalyst does not CSE
+    across DataFrame references).
+
+    Output: ``doc_id, n_tokens, total_bits, mean_bits`` (mean is the
+    exact-integer total divided by the exact count — one correctly
+    rounded double op, deterministic).  Zero-token docs emit nothing.
+    """
+    t = (spread(df).select(F.col(id_col).alias("doc_id"),
+                           F.explode(tokens(F.col(text_col))).alias("t"))
+         .persist())
+    freq = t.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_corpus"))
+    bits = F.length(F.bin(F.col("n_corpus"))) - F.length(F.bin(F.col("cnt")))
+    return (t.join(freq, "t")
+            .crossJoin(F.broadcast(total))
+            .select("doc_id", bits.alias("bits"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("bits").cast("long").alias("total_bits"))
+            .withColumn("mean_bits",
+                        F.col("total_bits").cast("double") / F.col("n_tokens")))

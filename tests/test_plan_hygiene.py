@@ -13,10 +13,11 @@ import io
 
 import __spark_entry__ as entry
 
-# the one intentional nested-loop: embedding_topk's exact scan is a
-# crossJoin against the BROADCAST query set — the corpus never shuffles
-# and only (queries × k) rows leave the scan (similarity.py docstring)
-NESTED_LOOP_OK = {"embedding_topk"}
+# intentional nested-loops: embedding_topk's exact scan is a crossJoin
+# against the BROADCAST query set — the corpus never shuffles and only
+# (queries × k) rows leave the scan (similarity.py docstring);
+# doc_lm_surprisal cross-joins the broadcast ONE-ROW corpus total
+NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal"}
 
 
 def _plan(df) -> str:

@@ -90,3 +90,94 @@ def test_clean_corpus_gates(spark):
     assert set(rows) == {1}
     assert rows[1]["quality"] >= 0.4 and rows[1]["n_tokens"] >= 20
     assert rows[1]["dup_bigram_frac"] <= 0.2
+
+
+# ---------------------------------------------------------------------------
+# chunking + unigram surprisal
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_values(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "   ")],
+        "doc_id long, t string")
+    rows = (chunk_documents(df, "t", "doc_id", chunk_tokens=4, overlap=2)
+            .orderBy("doc_id", "start_token").collect())
+    # doc 1: 7 tokens, step 2 → starts 0,2,4,6
+    got = [(r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+           for r in rows]
+    assert got == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 2, 4, "c d e f"),
+        (1, 2, 4, 3, "e f g"),
+        (1, 3, 6, 1, "g"),
+        (2, 0, 0, 1, "x"),          # short doc → one short chunk
+    ]                                # doc 3 (zero tokens) emits nothing
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Every token position of every doc appears in ≥1 chunk, and
+    consecutive chunks overlap by exactly `overlap` (except the tail)."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(57))
+    df = spark.createDataFrame([(1, text)], "doc_id long, t string")
+    rows = (chunk_documents(df, "t", "doc_id", chunk_tokens=16, overlap=4)
+            .orderBy("start_token").collect())
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(57))
+    starts = [r.start_token for r in rows]
+    assert starts == list(range(0, 57, 12))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, t string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "t", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    """The chunker must pipeline inside the scan stage: no Exchange."""
+    import contextlib
+    import io
+    from etl_excel_to_hyper_tableau_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, t string")
+    out = chunk_documents(df, "t", "doc_id", chunk_tokens=4, overlap=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_unigram_surprisal_hand_values(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import unigram_surprisal
+
+    # corpus: the=3, cat=2, rare=1  → N=6, bin(6)='110' len 3
+    # bits(the)=3-2=1, bits(cat)=3-2=1, bits(rare)=3-1=2
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the cat rare"), (3, "the")],
+        "doc_id long, t string")
+    rows = {r.doc_id: r for r in unigram_surprisal(df, "t", "doc_id").collect()}
+    assert rows[1].n_tokens == 2 and rows[1].total_bits == 1 + 1
+    assert rows[2].n_tokens == 3 and rows[2].total_bits == 1 + 1 + 2
+    assert rows[3].n_tokens == 1 and rows[3].total_bits == 1
+    assert rows[2].mean_bits == pytest.approx(4 / 3)
+
+
+def test_unigram_surprisal_rare_scores_higher(spark):
+    """A doc of corpus-unique gibberish must out-score typical prose."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import unigram_surprisal
+
+    common = "the quick brown fox jumps over the lazy dog " * 4
+    rows = spark.createDataFrame(
+        [(i, common) for i in range(10)] + [(99, "zxqv wkjh pqrs mnbv")],
+        "doc_id long, t string")
+    out = {r.doc_id: r.mean_bits
+           for r in unigram_surprisal(rows, "t", "doc_id").collect()}
+    assert out[99] > out[0]
