@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from etl_excel_to_hyper_tableau_spark.functions.event_time import normalize_event_ts
 from etl_excel_to_hyper_tableau_spark.functions.hashing import perm_constants
 from etl_excel_to_hyper_tableau_spark.operators import dedup as dd
 from etl_excel_to_hyper_tableau_spark.operators import similarity as sim
@@ -44,12 +45,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects; read nanos as long and truncate to micros (identical to
-    DuckDB's nanos→micros floor)."""
+    """Normalize ``ts`` to TIMESTAMP(LTZ) whether the parquet stored
+    TIMESTAMP(NANOS) (read as long, floored to micros — DuckDB's floor),
+    TIMESTAMP_NTZ, or plain TIMESTAMP.  See functions/event_time.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _dsum(col, alias: str, scale: str = "decimal(28,4)"):

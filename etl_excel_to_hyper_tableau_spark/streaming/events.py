@@ -17,6 +17,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.event_time import normalize_event_ts
+
 
 def windowed_counts_stream(spark: SparkSession, events_dir: str,
                            window: str = "1 hour",
@@ -35,9 +37,7 @@ def windowed_counts_stream(spark: SparkSession, events_dir: str,
         parent, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = parent
-    stream = reader.parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(reader.parquet(events_dir))
     stream = stream.withWatermark("ts", watermark)
     return (stream
             .groupBy(F.window("ts", window).alias("window"), "event_type")
@@ -79,10 +79,7 @@ def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         parent, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = parent
-    stream = reader.parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(reader.parquet(events_dir))
 
 
 def session_window_stream(spark: SparkSession, events_dir: str,

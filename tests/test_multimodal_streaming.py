@@ -126,10 +126,8 @@ def test_sessionize_batch_gap_semantics(spark):
 
 
 def _batch_events(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return events
+    from etl_excel_to_hyper_tableau_spark.functions.event_time import normalize_event_ts
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def test_streaming_session_windows_match_batch(spark, sf_dir):
@@ -177,10 +175,7 @@ def test_streaming_running_totals_match_batch(spark, sf_dir):
 def test_streaming_windowed_counts_match_batch(spark, sf_dir):
     stream_result = run_windowed_counts_availablenow(
         spark, f"{sf_dir}/events.parquet", window="1 hour")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    batch = (events
+    batch = (_batch_events(spark, sf_dir)
              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
              .agg(F.count("*").alias("n"),
                   F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
