@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_excel_to_hyper_tableau_spark.functions.event_time import normalize_event_ts
+from etl_excel_to_hyper_tableau_spark.operators.cdc import latest_snapshot, scd2_intervals
 from etl_excel_to_hyper_tableau_spark.functions.hashing import perm_constants
 from etl_excel_to_hyper_tableau_spark.operators import dedup as dd
 from etl_excel_to_hyper_tableau_spark.operators import similarity as sim
@@ -999,6 +1000,26 @@ def q_stream_dedup_events(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_cdc_latest_events(spark, sf_dir):
+    """CDC compaction: current state per user from the append-only event
+    log — max(struct) hash aggregate with map-side combine (operators/
+    cdc.py::latest_snapshot), shuffle bounded by |users| not |events|."""
+    ev = _t(spark, sf_dir, "events")
+    return (latest_snapshot(ev, key="user_id", ts="ts", tiebreak="event_id")
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .orderBy("user_id"))
+
+
+def q_scd2_event_history(spark, sf_dir):
+    """SCD type-2 history build: collapse consecutive same-event_type
+    versions per user into valid_from/valid_to intervals (operators/
+    cdc.py::scd2_intervals — both window passes share one Exchange)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return (scd2_intervals(ev, key="user_id", ts="ts",
+                           attrs=["event_type"], tiebreak="event_id")
+            .orderBy("user_id", "valid_from"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -1072,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "contamination_check": q_contamination_check,
         "corpus_clean": q_corpus_clean,
+        "cdc_latest_events": q_cdc_latest_events,
+        "scd2_event_history": q_scd2_event_history,
         "stream_purchase_click_join": q_stream_purchase_click_join,
         "stream_event_counts": q_stream_event_counts,
         "stream_session_windows": q_stream_session_windows,
@@ -1957,4 +1980,31 @@ SELECT doc_id, lang FROM (
 WHERE bucket < floor(least(greatest(q, 0.0), 1.0) * 10000)
 ORDER BY doc_id
 """.replace("{sw_en}", sw["en"]),
+        # --- CDC compaction: latest version per key -----------------------
+        "cdc_latest_events": """
+SELECT user_id, ts, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+""",
+        # --- SCD type-2 history intervals ---------------------------------
+        "scd2_event_history": """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events WHERE user_id % 20 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+points AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM points
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+ORDER BY user_id, valid_from
+""",
     }

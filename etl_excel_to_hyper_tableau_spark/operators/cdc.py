@@ -1,0 +1,90 @@
+"""Change-data-capture compaction operators.
+
+The reference's pipeline is snapshot-in/snapshot-out (every run rebuilds
+its `.hyper` extract from the full Excel inputs — query_iterator.py runs
+each query over freshly-registered sheets).  At 100 TB the input is not
+a snapshot but an append-only change log, and the two ubiquitous
+compactions over such a log are:
+
+* :func:`latest_snapshot` — "current state": one row per key, the
+  newest version.  Implemented as a ``max(struct(...))`` hash aggregate
+  rather than a ``row_number`` window: the aggregate gets a map-side
+  partial (each input partition reduces to ≤ |keys| rows before the
+  exchange), so shuffle traffic is bounded by key cardinality, while a
+  window must shuffle and sort *every* version of every key.  Same
+  single-shuffle count, far fewer shuffled bytes on high-churn logs.
+
+* :func:`scd2_intervals` — "full history, deduplicated": slowly-
+  changing-dimension type-2 intervals.  Consecutive versions whose
+  tracked attributes did not change are collapsed; each surviving
+  change-point becomes a row with ``valid_from`` / ``valid_to``
+  (NULL = still current) and an ``is_current`` flag.  Two window passes
+  over the same ``(key)`` partitioning — Catalyst plans them in one
+  Exchange + one Sort (the second Window reuses the first's ordering),
+  so the whole history build is a single shuffle, linear per key.
+
+Determinism: versions are ordered by ``(ts, tiebreak)``; pass a unique
+``tiebreak`` column (an event id / LSN) whenever one timestamp can hold
+several versions of a key, otherwise which tied version wins is
+unspecified (exactly the contract of SQL ``row_number`` without a total
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_snapshot(df: DataFrame, key: str, ts: str,
+                    tiebreak: str | None = None) -> DataFrame:
+    """One row per ``key``: the version with the greatest
+    ``(ts, tiebreak)``.  Column order is preserved.
+
+    Plan shape: partial hash-aggregate (map-side combine) → single
+    exchange on ``key`` → final aggregate.  No window, no sort of the
+    full history.
+    """
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+    payload = [c for c in df.columns if c != key]
+    packed = F.max(F.struct(*[F.col(c) for c in order_cols],
+                            *[F.col(c) for c in payload
+                              if c not in order_cols])).alias("__m__")
+    agg = df.groupBy(key).agg(packed)
+    return agg.select(key, *[F.col(f"__m__.{c}").alias(c) for c in payload])
+
+
+def scd2_intervals(df: DataFrame, key: str, ts: str, attrs: list[str],
+                   tiebreak: str | None = None) -> DataFrame:
+    """Collapse an append-only change log into SCD type-2 history rows.
+
+    A version is a *change-point* when any column in ``attrs`` differs
+    from the previous version of the same key (NULL-safe comparison;
+    the first version of a key is always a change-point).  Output:
+    ``key``, ``attrs``, ``valid_from`` (the change-point's ``ts``),
+    ``valid_to`` (next change-point's ``ts``, NULL while current) and
+    ``is_current``.
+
+    Both windows partition on ``key`` → one Exchange, one Sort in the
+    physical plan; memory per task is one key-group's history (spillable
+    sort), never the whole table.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # NULL-safe "any attribute changed vs previous version"
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.lag(ts).over(w).isNull() & (
+        F.lit(True) if not tiebreak
+        else F.lag(tiebreak).over(w).isNull())
+    points = (df.withColumn("__chg__", changed | first)
+              .filter(F.col("__chg__"))
+              .select(key, *attrs, F.col(ts).alias("valid_from"),
+                      *( [F.col(tiebreak).alias("__tb__")] if tiebreak else [])))
+    order2 = [F.col("valid_from").asc()] + \
+        ([F.col("__tb__").asc()] if tiebreak else [])
+    w2 = Window.partitionBy(key).orderBy(*order2)
+    out = (points
+           .withColumn("valid_to", F.lead("valid_from").over(w2))
+           .withColumn("is_current", F.col("valid_to").isNull()))
+    return out.drop("__tb__") if tiebreak else out

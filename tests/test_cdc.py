@@ -1,0 +1,82 @@
+"""CDC compaction operators (operators/cdc.py): latest_snapshot and
+scd2_intervals — value semantics on crafted logs plus the plan
+properties the 100 TB story depends on (partial-aggregate snapshot, a
+single Exchange for the two-window history build)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+    latest_snapshot, scd2_intervals,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+LOG = [
+    # (event_id, ts, key, state)
+    (1, 10, "a", "new"),
+    (2, 20, "a", "active"),
+    (3, 30, "a", "active"),   # no change — collapsed in SCD2
+    (4, 40, "a", "churned"),
+    (5, 10, "b", "new"),
+    (6, 10, "b", "active"),   # same ts as 5: event_id breaks the tie
+    (7, 50, "c", None),       # NULL state tracked null-safely
+    (8, 60, "c", None),
+]
+
+
+def _log(spark):
+    return spark.createDataFrame(
+        LOG, "event_id long, ts long, key string, state string")
+
+
+def test_latest_snapshot_values(spark):
+    got = {r["key"]: (r["ts"], r["event_id"], r["state"])
+           for r in latest_snapshot(_log(spark), "key", "ts",
+                                    tiebreak="event_id").collect()}
+    assert got == {"a": (40, 4, "churned"),
+                   "b": (10, 6, "active"),   # tie on ts=10 → event_id 6
+                   "c": (60, 8, None)}
+
+
+def test_latest_snapshot_is_partial_aggregate_not_window(spark):
+    plan = _plan(latest_snapshot(_log(spark), "key", "ts", tiebreak="event_id"))
+    assert "Window" not in plan
+    # map-side combine: a partial_max appears below the exchange
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_scd2_intervals_values(spark):
+    rows = scd2_intervals(_log(spark), "key", "ts", attrs=["state"],
+                          tiebreak="event_id").collect()
+    got = sorted((r["key"], r["state"], r["valid_from"], r["valid_to"],
+                  r["is_current"]) for r in rows)
+    assert got == [
+        ("a", "active", 20, 40, False),    # 30 collapsed into [20, 40)
+        ("a", "churned", 40, None, True),
+        ("a", "new", 10, 20, False),
+        ("b", "active", 10, None, True),   # change within one timestamp
+        ("b", "new", 10, 10, False),
+        ("c", None, 50, None, True),       # NULL==NULL collapses row 8
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    plan = _plan(scd2_intervals(_log(spark), "key", "ts", attrs=["state"],
+                                tiebreak="event_id"))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_multi_attr_change_detection(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "k", "x", 1.0), (2, 2, "k", "x", 2.0), (3, 3, "k", "x", 2.0)],
+        "event_id long, ts long, key string, a string, b double")
+    rows = scd2_intervals(df, "key", "ts", attrs=["a", "b"],
+                          tiebreak="event_id").collect()
+    # b changes at ts=2; ts=3 identical → collapsed
+    assert [(r["valid_from"], r["valid_to"]) for r in
+            sorted(rows, key=lambda r: r["valid_from"])] == [(1, 2), (2, None)]
