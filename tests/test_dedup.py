@@ -124,3 +124,42 @@ def test_embedding_exact_path_degrades_to_lsh_above_max_exact(spark, monkeypatch
                                  use_lsh=False, max_exact=5)
     lsh = embedding_cosine_pairs(df, "vec", "id", threshold=0.99, use_lsh=True)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, lsh.collect()))
+
+
+def test_simhash_matches_per_bit_vote_reference(spark):
+    """The map-only vector-vote signature is bit-identical to the
+    explicit per-bit vote-sum formulation (the relational groupBy form
+    it replaced)."""
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        _MD5_INT64_SQL, with_simhash,
+    )
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with five dozen"),
+         (3, "the quick brown fox"), (4, "a"), (5, "")],
+        "doc_id long, text string")
+    toks = df.select(F.col("doc_id").alias("id"),
+                     F.explode(F.split("text", r"\s+")).alias("t"))
+    hashed = toks.selectExpr("id", f"{_MD5_INT64_SQL.format(x='t')} as h")
+    total = " + ".join(
+        f"(case when sum(case when (h & {1 << j}) <> 0 then 1 else -1 end) > 0 "
+        f"then cast({1 << j} as bigint) else cast(0 as bigint) end)"
+        for j in range(60))
+    ref = {r["id"]: r["simhash"]
+           for r in hashed.groupBy("id").agg(F.expr(total).alias("simhash")).collect()}
+    got = {r["id"]: r["simhash"]
+           for r in with_simhash(df, "text", "doc_id").collect()}
+    assert got == ref
+    assert got[1] == got[3]  # identical docs, identical hash
+
+
+def test_with_simhash_plan_is_shuffle_free(spark):
+    """Signature stage must be pure map work: no Exchange beyond the
+    explicit spread() repartition of the raw input."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import with_simhash
+    df = spark.range(10).selectExpr("id as doc_id", "'a b c' as text")
+    plan = (with_simhash(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    # one round-robin exchange from spread(); no hash-partitioned
+    # aggregate exchange
+    assert "hashpartitioning" not in plan, plan
