@@ -1000,6 +1000,44 @@ def q_stream_dedup_events(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_doc_compression(spark, sf_dir):
+    """zlib compressibility quality signal (Arrow-batched pandas UDF —
+    SQL has no zlib, so this entry is rows-only: no value oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.compression_ratio(docs, "text", "doc_id").orderBy("id")
+
+
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling: 3 hash-derived
+    negatives per document, no RNG (sampling.py::negative_pairs)."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.negative_pairs(docs, "doc_id", k=3)
+            .withColumn("r", F.col("r").cast("long"))
+            .orderBy("id", "r"))
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval over the documents corpus (exact
+    integer tf/df/dl; float score folded in sorted token order).  The
+    score passes through libm ``ln`` — correctly-rounded for rational
+    ops but 1-ulp engine-dependent for transcendentals — so the oracle
+    comparison rounds to 9 decimals on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.bm25_scores(docs, "text", "doc_id",
+                           ["spark", "vector", "stream"])
+            .withColumn("score", F.round("score", 9))
+            .orderBy("id"))
+
+
+def q_vocab_zipf(spark, sf_dir):
+    """Zipf head of the corpus vocabulary: top-25 tokens by occurrence
+    count with document frequency and deterministic rank (distributed
+    top-k; the vocabulary is never globally sorted)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.vocab_topk(docs, "text", "doc_id", top=25).orderBy("rank")
+
+
 def q_cdc_latest_events(spark, sf_dir):
     """CDC compaction: current state per user from the append-only event
     log — max(struct) hash aggregate with map-side combine (operators/
@@ -1093,6 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "contamination_check": q_contamination_check,
         "corpus_clean": q_corpus_clean,
+        "bm25_search": q_bm25_search,
+        "vocab_zipf": q_vocab_zipf,
+        "negative_samples": q_negative_samples,
+        "doc_compression": q_doc_compression,
         "cdc_latest_events": q_cdc_latest_events,
         "scd2_event_history": q_scd2_event_history,
         "stream_purchase_click_join": q_stream_purchase_click_join,
@@ -1980,6 +2022,58 @@ SELECT doc_id, lang FROM (
 WHERE bucket < floor(least(greatest(q, 0.0), 1.0) * 10000)
 ORDER BY doc_id
 """.replace("{sw_en}", sw["en"]),
+        # --- BM25 ranked retrieval ----------------------------------------
+        "bm25_search": f"""
+WITH d2 AS (
+  SELECT doc_id AS id,
+         list_transform({toks}, t -> lower(t)) AS toks,
+         len(list_transform({toks}, t -> lower(t))) AS dl
+  FROM documents),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d2),
+tf AS (
+  SELECT id, dl, token, count(*) AS tf
+  FROM (SELECT id, dl,
+               unnest(list_filter(toks,
+                 t -> list_contains(['spark', 'stream', 'vector'], t))) AS token
+        FROM d2)
+  GROUP BY id, dl, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+per AS (
+  SELECT id, token,
+    ((ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) * tf) * 2.2)
+      / (tf + (1.2 * (0.25 + ((0.75 * dl) / (cast(sum_dl as double) / n_docs))))) AS c
+  FROM tf JOIN dfreq USING (token) CROSS JOIN corpus)
+SELECT id, cast(count(*) as bigint) AS n_terms_hit,
+  round(list_reduce(list_prepend(0.0, list(c ORDER BY token)),
+                    (acc, x) -> acc + x), 9) AS score
+FROM per GROUP BY id ORDER BY id
+""",
+        # --- deterministic negative sampling ------------------------------
+        "negative_samples": f"""
+WITH ids AS (SELECT doc_id AS id FROM documents),
+bounds AS (SELECT max(id) AS max_id FROM ids),
+cand AS (
+  SELECT id, r,
+    1 + ({_MD5I.format(x="'neg:'||cast(id as varchar)||':'||cast(r as varchar)")})
+        % max_id AS neg_id
+  FROM ids CROSS JOIN bounds
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS r))
+SELECT id, r, neg_id FROM cand
+WHERE neg_id <> id AND neg_id IN (SELECT id FROM ids)
+ORDER BY id, r
+""",
+        # --- vocabulary Zipf head -----------------------------------------
+        "vocab_zipf": f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_transform({toks}, t -> lower(t))) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS tf, count(DISTINCT id) AS df
+           FROM toks GROUP BY token),
+head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
+SELECT token, tf, df,
+  cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
+FROM head ORDER BY rank
+""",
         # --- CDC compaction: latest version per key -----------------------
         "cdc_latest_events": """
 SELECT user_id, ts, event_id, event_type, value

@@ -163,3 +163,38 @@ def exact_k_per_stratum(df: DataFrame, id_col: str, strata_col: str,
     w = Window.partitionBy(strata_col).orderBy(bucket.asc(), F.col(id_col).asc())
     return (df.withColumn("__rk__", F.row_number().over(w))
             .filter(F.col("__rk__") <= k).drop("__rk__"))
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
+                   salt: str = "neg") -> DataFrame:
+    """``k`` deterministic pseudo-random negative partners per row —
+    contrastive-training pair generation (anchor, negative) without an
+    RNG, so re-runs and cross-engine audits produce the same pairs.
+
+    Candidate r for anchor i is ``1 + md5(salt:i:r) mod max_id``; a
+    candidate equal to its anchor is dropped, and candidates are
+    semi-joined against the actual id set so sparse id spaces simply
+    yield fewer than ``k`` pairs (dense 1..N ids lose only the
+    self-collisions).  Plan: one-row max aggregate broadcast back via
+    cross join → explode of a k-element sequence (map-only fan-out) →
+    broadcast-able semi join on id.  No RNG, no driver collect, no
+    all-pairs anywhere; output is |rows|·k at most.
+
+    Output: ``id, r, neg_id``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = df.select(F.col(id_col).alias("id"))
+    bounds = ids.agg(F.max("id").alias("__max_id__"))
+    cand = (ids.crossJoin(F.broadcast(bounds))
+            .select("id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r"),
+                    F.col("__max_id__"))
+            .withColumn(
+                "neg_id",
+                F.lit(1) + md5_int64(F.concat(
+                    F.lit(f"{salt}:"), F.col("id").cast("string"),
+                    F.lit(":"), F.col("r").cast("string"))) % F.col("__max_id__"))
+            .filter(F.col("neg_id") != F.col("id"))
+            .select("id", "r", "neg_id"))
+    return cand.join(ids.select(F.col("id").alias("neg_id")), "neg_id", "left_semi") \
+               .select("id", "r", "neg_id")

@@ -8,6 +8,8 @@ arithmetic so an external SQL oracle can reproduce values exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .parallelism import spread
@@ -453,3 +455,128 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.sum("bits").cast("long").alias("total_bits"))
             .withColumn("mean_bits",
                         F.col("total_bits").cast("double") / F.col("n_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_scores(df: DataFrame, text_col: str, id_col: str,
+                query_terms: list[str], k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 scores for ``query_terms`` over a document corpus —
+    the ranking half of quality-aware retrieval (e.g. picking
+    training-set exemplars for a topic).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's +1 form, ≥ 0).
+
+    Plan: docs project to (id, lowered-token array, dl) map-only; the
+    per-term tf explode is pre-filtered to the query terms *inside the
+    array* (F.filter before F.explode), so the exploded intermediate is
+    |docs| · |terms-hit| rows, not |tokens|; one groupBy (id, token)
+    for tf; the per-term document frequency and the corpus (N, Σdl)
+    aggregates are one-row/terms-row results broadcast back by AQE.
+    Per-doc summation folds the per-term contributions in sorted token
+    order (sequential left fold) so the float result is reproducible
+    bit-for-bit by any engine folding in the same order.
+
+    Output: ``id, n_terms_hit, score`` for docs hitting ≥1 term.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    docs = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.transform(tokens(F.col(text_col)),
+                                lambda t: F.lower(t)).alias("toks"))
+            .withColumn("dl", F.size("toks")))
+    corpus = docs.agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("sum_dl"))
+    tf = (docs.select(
+            "id", "dl",
+            F.explode(F.filter(F.col("toks"),
+                               lambda t: F.array_contains(terms_arr, t))
+                      ).alias("token"))
+          .groupBy("id", "dl", "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    j = tf.join(dfreq, "token").crossJoin(F.broadcast(corpus))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                                       * F.col("dl") / avgdl)
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_term = j.select("id", "token", contrib.alias("c"))
+    folded = F.aggregate(
+        F.transform(F.sort_array(F.collect_list(F.struct("token", "c"))),
+                    lambda s: s["c"]),
+        F.lit(0.0), lambda acc, c: acc + c)
+    return (per_term.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                 folded.alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics (Zipf head)
+# ---------------------------------------------------------------------------
+
+def vocab_topk(df: DataFrame, text_col: str, id_col: str,
+               top: int = 200) -> DataFrame:
+    """The ``top`` most frequent lowered tokens with occurrence count,
+    document frequency and Zipf rank (ties broken by token text — fully
+    deterministic).
+
+    Plan: explode → one groupBy on the token key computing both
+    occurrence count and document frequency (Spark expands the distinct
+    aggregate; both stay map-side combinable) → distributed top-k
+    (``TakeOrderedAndProject``, per-partition heaps + driver merge of
+    ``top`` rows — the full web-scale vocabulary is never globally
+    sorted or collected) → rank by ``row_number`` over the ``top``-row
+    result (trivially small).
+    """
+    toks = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.transform(tokens(F.col(text_col)),
+                                          lambda t: F.lower(t))).alias("token")))
+    counts = (toks.groupBy("token")
+              .agg(F.count("*").alias("tf"),
+                   F.countDistinct("id").alias("df")))
+    head = counts.orderBy(F.desc("tf"), F.asc("token")).limit(top)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return head.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """zlib compressibility per document — the Gopher-style quality
+    signal that catches boilerplate/templated text (compresses far
+    below prose) and high-entropy noise (compresses above it).
+
+    This is the one text operator off the Catalyst path: SQL has no
+    zlib, so the ratio comes from an Arrow-batched pandas UDF
+    (vectorized column transfer, never row-at-a-time Python).  zlib
+    level 6 output is deterministic for a given zlib build, and the
+    *ratio* is stable enough across builds for gating; the driver
+    oracle is rows-only by design.  Map-only plan: projection + UDF,
+    no shuffle beyond the spread() guard.
+
+    Output: ``id, n_bytes, z_bytes, ratio`` (ratio = z/max(n,1)).
+    """
+    @F.pandas_udf("long")
+    def zbytes(s: pd.Series) -> pd.Series:
+        import zlib
+        return s.map(lambda t: None if t is None
+                     else len(zlib.compress(t.encode("utf-8"), 6)))
+
+    out = (spread(df)
+           .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+           .withColumn("n_bytes", F.octet_length("__t__").cast("long"))
+           .withColumn("z_bytes", zbytes(F.col("__t__"))))
+    return (out.select(
+        "id", "n_bytes", "z_bytes",
+        (F.col("z_bytes").cast("double")
+         / F.greatest(F.col("n_bytes"), F.lit(1))).alias("ratio")))

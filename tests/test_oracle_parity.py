@@ -54,8 +54,11 @@ def test_inventory_complete():
     # every oracle key corresponds to a real query
     assert set(osql) <= set(qs)
     # every query is oracle-checked (streaming entries included — their
-    # bounded-source results equal batch SQL, which IS the oracle)
-    assert set(qs) - set(osql) == set()
+    # bounded-source results equal batch SQL, which IS the oracle),
+    # except the documented rows-only set: operators whose value comes
+    # from a Python-side library SQL cannot reproduce (zlib)
+    rows_only = {"doc_compression"}
+    assert set(qs) - set(osql) == rows_only
 
 
 def test_entry_smoke(spark):

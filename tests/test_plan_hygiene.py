@@ -16,8 +16,10 @@ import __spark_entry__ as entry
 # intentional nested-loops: embedding_topk's exact scan is a crossJoin
 # against the BROADCAST query set — the corpus never shuffles and only
 # (queries × k) rows leave the scan (similarity.py docstring);
-# doc_lm_surprisal cross-joins the broadcast ONE-ROW corpus total
-NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal"}
+# doc_lm_surprisal / bm25_search / negative_samples cross-join a
+# broadcast ONE-ROW aggregate (corpus totals / id bounds)
+NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
+                  "negative_samples"}
 
 
 def _plan(df) -> str:

@@ -219,3 +219,24 @@ class TestPlanProperties:
     def test_stratified_sample_no_shuffle(self, ids):
         p = self._plan(sp.stratified_sample(ids, "doc_id", "lang", {"en": .5}))
         assert "Exchange" not in p
+
+
+def test_negative_pairs_deterministic_and_valid(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import negative_pairs
+    df = spark.createDataFrame([(i,) for i in range(1, 51)], "doc_id long")
+    a = sorted(map(tuple, negative_pairs(df, "doc_id", k=4).collect()))
+    b = sorted(map(tuple, negative_pairs(df.repartition(7), "doc_id", k=4).collect()))
+    assert a == b  # partitioning-independent
+    ids = set(range(1, 51))
+    for i, r, j in a:
+        assert j in ids and j != i and 0 <= r < 4
+    # dense id space: only self-collisions are lost
+    assert len(a) >= 50 * 4 - 50
+
+
+def test_negative_pairs_sparse_ids_only_join_existing(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import negative_pairs
+    df = spark.createDataFrame([(5,), (900,), (901,)], "doc_id long")
+    rows = negative_pairs(df, "doc_id", k=8).collect()
+    assert all(r["neg_id"] in (5, 900, 901) and r["neg_id"] != r["id"]
+               for r in rows)

@@ -181,3 +181,65 @@ def test_unigram_surprisal_rare_scores_higher(spark):
     out = {r.doc_id: r.mean_bits
            for r in unigram_surprisal(rows, "t", "doc_id").collect()}
     assert out[99] > out[0]
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+    from etl_excel_to_hyper_tableau_spark.operators.text import bm25_scores
+    corpus = [(1, "spark joins data fast spark"),
+              (2, "slow scan of data"),
+              (3, "nothing relevant here"),
+              (4, "spark spark spark streams")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["id"]: (r["n_terms_hit"], r["score"])
+           for r in bm25_scores(df, "text", "doc_id",
+                                ["spark", "data"]).collect()}
+    assert set(got) == {1, 2, 4}  # doc 3 hits nothing
+
+    # independent reference computation
+    docs = {i: t.lower().split() for i, t in corpus}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    k1, b = 1.2, 0.75
+
+    def ref(i):
+        s = 0.0
+        for term in sorted(["spark", "data"]):
+            tf = docs[i].count(term)
+            if tf == 0:
+                continue
+            dfq = sum(1 for t in docs.values() if term in t)
+            idf = math.log(1 + (N - dfq + 0.5) / (dfq + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(docs[i]) / avgdl))
+        return s
+
+    for i in (1, 2, 4):
+        assert abs(got[i][1] - ref(i)) < 1e-12, (i, got[i][1], ref(i))
+    assert got[1][0] == 2 and got[2][0] == 1 and got[4][0] == 1
+
+
+def test_vocab_topk_rank_and_ties(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import vocab_topk
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "c b A")], "doc_id long, text string")
+    rows = vocab_topk(df, "text", "doc_id", top=2).collect()
+    got = [(r["rank"], r["token"], r["tf"], r["df"]) for r in
+           sorted(rows, key=lambda r: r["rank"])]
+    # a: tf=3 (case-folded) df=2; b: tf=2 df=2; c cut by top=2
+    assert got == [(1, "a", 3, 2), (2, "b", 2, 2)]
+
+
+def test_compression_ratio_orders_quality(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import compression_ratio
+    df = spark.createDataFrame(
+        [(1, "spam " * 200),                      # templated → compresses hard
+         (2, "The quick brown fox jumps over the lazy dog. " * 5),
+         (3, "k9$Qz@w8!fLm#2xV&yTj^4uHnRb*6cPd")],  # high entropy
+        "doc_id long, text string")
+    got = {r["id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert all(got[i]["n_bytes"] > 0 and got[i]["z_bytes"] > 0 for i in got)
+    # deterministic under repartitioning
+    again = {r["id"]: r["z_bytes"] for r in
+             compression_ratio(df.repartition(5), "text", "doc_id").collect()}
+    assert again == {i: got[i]["z_bytes"] for i in got}
