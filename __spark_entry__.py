@@ -1000,6 +1000,19 @@ def q_stream_dedup_events(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: LSH candidates between a new batch
+    (doc_id % 10 = 0) and the already-ingested corpus — cross-side
+    pairs only, the corpus is never re-paired against itself."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    return (dd.minhash_incremental_candidates(new, corp, "text", "doc_id",
+                                              k=16, n=3, bands=2)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .orderBy("new_id", "corpus_id"))
+
+
 def q_doc_compression(spark, sf_dir):
     """zlib compressibility quality signal (Arrow-batched pandas UDF —
     SQL has no zlib, so this entry is rows-only: no value oracle)."""
@@ -1135,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_zipf": q_vocab_zipf,
         "negative_samples": q_negative_samples,
         "doc_compression": q_doc_compression,
+        "incremental_dedup": q_incremental_dedup,
         "cdc_latest_events": q_cdc_latest_events,
         "scd2_event_history": q_scd2_event_history,
         "stream_purchase_click_join": q_stream_purchase_click_join,
@@ -2047,6 +2061,29 @@ SELECT id, cast(count(*) as bigint) AS n_terms_hit,
   round(list_reduce(list_prepend(0.0, list(c ORDER BY token)),
                     (acc, x) -> acc + x), 9) AS score
 FROM per GROUP BY id ORDER BY id
+""",
+        # --- incremental-ingestion dedup (new batch vs corpus) ------------
+        "incremental_dedup": f"""
+WITH hs AS (
+  SELECT doc_id AS id,
+    list_apply(list_distinct({_grams_sql('text')}),
+               g -> {_MD5I.format(x='g')} % 2147483648) AS hs
+  FROM documents),
+sig_all AS (
+  SELECT id, {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+sig_new AS (SELECT * FROM sig_all WHERE id % 10 = 0),
+sig_corp AS (SELECT * FROM sig_all WHERE id % 10 <> 0),
+bn AS (
+{banded_union.replace("FROM sig", "FROM sig_new")}),
+bc AS (
+{banded_union.replace("FROM sig", "FROM sig_corp")}),
+pairs AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS corpus_id,
+    {' + '.join(f'(case when a.s{i} = b.s{i} then 1 else 0 end)' for i in range(16))} AS eq
+  FROM bn a JOIN bc b ON a.band = b.band AND a.bh = b.bh AND a.id <> b.id)
+SELECT new_id, corpus_id, eq / 16.0 AS est_jaccard FROM pairs
+WHERE eq / 16.0 >= 0.5 ORDER BY new_id, corpus_id
 """,
         # --- deterministic negative sampling ------------------------------
         "negative_samples": f"""

@@ -252,6 +252,49 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_incremental_candidates(new_df: DataFrame, corpus_df: DataFrame,
+                                   text_col: str, id_col: str,
+                                   k: int = 32, n: int = 3,
+                                   bands: int = 8) -> DataFrame:
+    """Incremental-ingestion dedup: near-duplicate candidates between a
+    NEW batch and the already-ingested corpus — the daily shape of a
+    production pipeline, where re-running the full self-join over the
+    whole corpus per batch would be O(corpus) instead of O(batch).
+
+    Only cross-side pairs are generated: the corpus is never paired
+    against itself, so per-batch cost is the batch's band table joined
+    against the corpus band table (equi-join on (band, digest); at
+    100 TB the corpus band table is computed once, written out
+    partitioned/bucketed by its join key, and re-read per batch —
+    signatures are id + k×8 bytes per doc, a rounding error next to
+    the text).  Ids may overlap between the two sides (a re-ingested
+    doc); identical ids are not reported as pairs.
+
+    Output: ``new_id, corpus_id, est_jaccard``.
+    """
+    r = k // bands
+    ns = (with_minhash(new_df, text_col, id_col, k=k, n=n)
+          .filter(F.size("sig") > 0).persist())
+    cs = (with_minhash(corpus_df, text_col, id_col, k=k, n=n)
+          .filter(F.size("sig") > 0).persist())
+    nb = (ns.selectExpr("id", _band_inline_sql(bands, r))
+          .select(F.col("id").alias("new_id"), "band", "bh"))
+    cb = (cs.selectExpr("id", _band_inline_sql(bands, r))
+          .select(F.col("id").alias("corpus_id"), "band", "bh"))
+    pairs = (nb.join(cb, ["band", "bh"])
+             .filter(F.col("new_id") != F.col("corpus_id"))
+             .select("new_id", "corpus_id")
+             .distinct())
+    pairs = (pairs
+             .join(ns.select(F.col("id").alias("new_id"),
+                             F.col("sig").alias("sig_a")), "new_id")
+             .join(cs.select(F.col("id").alias("corpus_id"),
+                             F.col("sig").alias("sig_b")), "corpus_id"))
+    eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+    return pairs.select("new_id", "corpus_id",
+                        (eq.cast("double") / F.lit(k)).alias("est_jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

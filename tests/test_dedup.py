@@ -163,3 +163,30 @@ def test_with_simhash_plan_is_shuffle_free(spark):
     # one round-robin exchange from spread(); no hash-partitioned
     # aggregate exchange
     assert "hashpartitioning" not in plan, plan
+
+
+def test_incremental_candidates_cross_side_only(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_incremental_candidates, minhash_lsh_candidates,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" variant {i % 3}") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter("doc_id % 5 = 0")
+    corp = df.filter("doc_id % 5 <> 0")
+    got = minhash_incremental_candidates(new, corp, "text", "doc_id",
+                                         k=16, n=3, bands=4).collect()
+    new_ids = {5, 10, 15, 20}
+    assert got, "near-identical variants must produce candidates"
+    for r in got:
+        assert r["new_id"] in new_ids and r["corpus_id"] not in new_ids
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+    # agreement with the self-join formulation restricted to cross pairs
+    full = minhash_lsh_candidates(df, "text", "doc_id",
+                                  k=16, n=3, bands=4).collect()
+    cross_full = {(min(a, b), max(a, b))
+                  for a, b in ((r["id_a"], r["id_b"]) for r in full)
+                  if (a in new_ids) != (b in new_ids)}
+    cross_inc = {(min(r["new_id"], r["corpus_id"]),
+                  max(r["new_id"], r["corpus_id"])) for r in got}
+    assert cross_inc == cross_full
