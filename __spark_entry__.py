@@ -1053,7 +1053,7 @@ def q_vocab_zipf(spark, sf_dir):
 
 def q_cdc_latest_events(spark, sf_dir):
     """CDC compaction: current state per user from the append-only event
-    log — max(struct) hash aggregate with map-side combine (operators/
+    log — max(struct) aggregate with map-side partial (operators/
     cdc.py::latest_snapshot), shuffle bounded by |users| not |events|."""
     ev = _t(spark, sf_dir, "events")
     return (latest_snapshot(ev, key="user_id", ts="ts", tiebreak="event_id")

@@ -58,6 +58,13 @@ HEADLINE = [
     "groups_frame_window",
     "contamination_check",
     "corpus_clean",
+    "bm25_search",
+    "vocab_zipf",
+    "negative_samples",
+    "incremental_dedup",
+    "cdc_latest_events",
+    "scd2_event_history",
+    "doc_compression",
 ]
 
 

@@ -7,12 +7,15 @@ a snapshot but an append-only change log, and the two ubiquitous
 compactions over such a log are:
 
 * :func:`latest_snapshot` — "current state": one row per key, the
-  newest version.  Implemented as a ``max(struct(...))`` hash aggregate
+  newest version.  Implemented as a ``max(struct(...))`` aggregate
   rather than a ``row_number`` window: the aggregate gets a map-side
   partial (each input partition reduces to ≤ |keys| rows before the
   exchange), so shuffle traffic is bounded by key cardinality, while a
   window must shuffle and sort *every* version of every key.  Same
   single-shuffle count, far fewer shuffled bytes on high-churn logs.
+  (Struct max plans as a SortAggregate — the partial pays a per-
+  partition sort instead of a hash table, but the shuffle-bytes bound,
+  the part that matters at scale, is identical.)
 
 * :func:`scd2_intervals` — "full history, deduplicated": slowly-
   changing-dimension type-2 intervals.  Consecutive versions whose
@@ -40,9 +43,9 @@ def latest_snapshot(df: DataFrame, key: str, ts: str,
     """One row per ``key``: the version with the greatest
     ``(ts, tiebreak)``.  Column order is preserved.
 
-    Plan shape: partial hash-aggregate (map-side combine) → single
-    exchange on ``key`` → final aggregate.  No window, no sort of the
-    full history.
+    Plan shape: partial aggregate (map-side combine; sort-based for
+    struct max) → single exchange on ``key`` → final aggregate.  No
+    window, no shuffle of the full history.
     """
     order_cols = [ts] + ([tiebreak] if tiebreak else [])
     payload = [c for c in df.columns if c != key]
