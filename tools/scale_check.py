@@ -23,7 +23,7 @@ stratum matches the original* rather than exploding:
   bit-for-bit; cross-copy pairs land in unrelated LSH buckets.
 * lineitem — 10 copies with offset keys.
 
-Usage: python tools/scale_check.py [out_json]
+Usage: python tools/scale_check.py [out_json] [query ...]
 """
 
 from __future__ import annotations
@@ -52,6 +52,12 @@ QUERIES = [
     "doc_repetition",           # explode + two groupBys
     "ivf_topk",                 # ANN probe
     "embedding_near_dup_lsh",   # sign-LSH bucket join
+    "bm25_search",              # in-array prefilter + tf/df aggregates
+    "vocab_zipf",               # token aggregate + distributed top-k
+    "incremental_dedup",        # new-batch vs corpus band join
+    "cdc_latest_events",        # key-bounded partial aggregate
+    "scd2_event_history",       # single-Exchange two-window history
+    "doc_compression",          # Arrow pandas-UDF throughput
 ]
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
@@ -84,6 +90,13 @@ SCALED_SQL = {
                l_returnflag, l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'),
              (SELECT unnest(range({COPIES})) AS k)""",
+    # 10 disjoint user populations with identical per-user histories —
+    # CDC/SCD2 change-point density per key matches the original
+    "events": f"""
+        SELECT event_id + k * 100000000 AS event_id, ts,
+               user_id + k * 1000000 AS user_id, event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'),
+             (SELECT unnest(range({COPIES})) AS k)""",
 }
 
 
@@ -113,11 +126,11 @@ def _near_dup_lsh_auto(spark, sf_dir):
                                   use_lsh=True)
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = dict(entry.queries())
     qs["embedding_near_dup_lsh"] = _near_dup_lsh_auto
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in names:
         best = None
         for _ in range(2):  # cold then warm; report warm
             t0 = time.perf_counter()
@@ -136,12 +149,13 @@ def main() -> None:
                       extra_conf={"spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    base = time_queries(spark, SRC)
-    scaled = time_queries(spark, DST)
+    names = sys.argv[2:] or QUERIES
+    base = time_queries(spark, SRC, names)
+    scaled = time_queries(spark, DST, names)
     report = {
-        name: {"sf0.1_s": base[name], "sf1_s": scaled[name],
+        name: {"sf0.1_s": base[name], "x10_s": scaled[name],
                "ratio": round(scaled[name] / base[name], 2)}
-        for name in QUERIES
+        for name in names
     }
     print(json.dumps(report, indent=2))
     if len(sys.argv) > 1:
