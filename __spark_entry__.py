@@ -1000,6 +1000,23 @@ def q_stream_dedup_events(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_sketch_profile(spark, sf_dir):
+    """Approximate aggregation sketches — the 100 TB profiling tools:
+    HyperLogLog++ distinct counts (fixed-size state, map-side
+    combinable, exact count-distinct's shuffle-free cousin) and a
+    quantile sketch.  Rows-only entry: sketch estimates are
+    engine-specific by construction; the error bound vs exact values
+    is pinned in tests/test_sketches.py instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
+        F.approx_count_distinct("l_partkey").alias("ndv_parts"),
+        F.approx_count_distinct("l_suppkey").alias("ndv_suppliers"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99],
+                            10000).alias("price_quantiles"),
+        F.count("*").alias("n_rows"))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental-ingestion dedup: LSH candidates between a new batch
     (doc_id % 10 = 0) and the already-ingested corpus — cross-side
@@ -1149,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "doc_compression": q_doc_compression,
         "incremental_dedup": q_incremental_dedup,
+        "sketch_profile": q_sketch_profile,
         "cdc_latest_events": q_cdc_latest_events,
         "scd2_event_history": q_scd2_event_history,
         "stream_purchase_click_join": q_stream_purchase_click_join,

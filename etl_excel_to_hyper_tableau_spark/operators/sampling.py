@@ -180,7 +180,10 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
     broadcast-able semi join on id.  No RNG, no driver collect, no
     all-pairs anywhere; output is |rows|·k at most.
 
-    Output: ``id, r, neg_id``.
+    Output: ``id, r, neg_id``.  Ids must be positive integers (the
+    candidate arithmetic maps into ``1..max_id``); with a non-positive
+    ``max_id`` the modulo yields NULL under non-ANSI mode and the
+    result is empty rather than wrong.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

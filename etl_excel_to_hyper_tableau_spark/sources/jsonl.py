@@ -87,6 +87,11 @@ def read_documents_jsonl(spark: SparkSession, path: str,
     across re-runs and partitionings, with the usual caveat that exact
     duplicate texts collide (which downstream exact-dedup treats as
     the same document anyway).  Returns (documents, quarantine).
+
+    Structurally valid lines *missing* the text field are not corrupt —
+    they pass through with NULL text (and NULL doc_id under the
+    content-hash fallback); gate them downstream with the cleaning
+    operators, which is where empty-document policy belongs.
     """
     extra = extra_fields or {}
     fields = [f"{text_field} string"]

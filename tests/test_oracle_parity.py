@@ -55,9 +55,10 @@ def test_inventory_complete():
     assert set(osql) <= set(qs)
     # every query is oracle-checked (streaming entries included — their
     # bounded-source results equal batch SQL, which IS the oracle),
-    # except the documented rows-only set: operators whose value comes
-    # from a Python-side library SQL cannot reproduce (zlib)
-    rows_only = {"doc_compression"}
+    # except the documented rows-only set: operators whose values SQL
+    # cannot reproduce (zlib; engine-specific sketch estimates) — their
+    # value contracts are pinned by dedicated pytest error bounds
+    rows_only = {"doc_compression", "sketch_profile"}
     assert set(qs) - set(osql) == rows_only
 
 
