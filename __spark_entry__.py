@@ -984,6 +984,18 @@ def q_stream_session_windows(spark, sf_dir):
             .orderBy("user_id", "session_start"))
 
 
+def q_stream_latest_state(spark, sf_dir):
+    """Streaming CDC latest-state (applyInPandasWithState, one tuple
+    per user) over the bounded source == the batch latest-version
+    compaction, which is the SQL oracle."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        run_latest_state_availablenow,
+    )
+    return (run_latest_state_availablenow(spark, f"{sf_dir}/events.parquet")
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .orderBy("user_id"))
+
+
 def q_stream_dedup_events(spark, sf_dir):
     """dropDuplicatesWithinWatermark over the bounded source == batch
     DISTINCT on the key columns; aggregated per event_type so the
@@ -1173,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_counts": q_stream_event_counts,
         "stream_session_windows": q_stream_session_windows,
         "stream_dedup_events": q_stream_dedup_events,
+        "stream_latest_state": q_stream_latest_state,
     }
 
 
@@ -2128,6 +2141,14 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- streaming CDC latest-state (== batch compaction oracle) ------
+        "stream_latest_state": """
+SELECT user_id, ts, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
 """,
         # --- CDC compaction: latest version per key -----------------------
         "cdc_latest_events": """

@@ -463,7 +463,8 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def bm25_scores(df: DataFrame, text_col: str, id_col: str,
                 query_terms: list[str], k1: float = 1.2,
-                b: float = 0.75) -> DataFrame:
+                b: float = 0.75,
+                corpus_stats: tuple[int, int] | None = None) -> DataFrame:
     """Okapi BM25 scores for ``query_terms`` over a document corpus —
     the ranking half of quality-aware retrieval (e.g. picking
     training-set exemplars for a topic).
@@ -481,6 +482,12 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     order (sequential left fold) so the float result is reproducible
     bit-for-bit by any engine folding in the same order.
 
+    ``corpus_stats``: optional precomputed ``(n_docs, sum_dl)``.  The
+    corpus aggregate is a full scan independent of the query; a
+    production deployment computes it once per corpus snapshot and
+    amortizes it across every BM25 query — passing it here removes the
+    second corpus pass, leaving one scan (the term-filtered tf).
+
     Output: ``id, n_terms_hit, score`` for docs hitting ≥1 term.
     """
     terms = sorted({t.lower() for t in query_terms})
@@ -490,8 +497,14 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
                     F.transform(tokens(F.col(text_col)),
                                 lambda t: F.lower(t)).alias("toks"))
             .withColumn("dl", F.size("toks")))
-    corpus = docs.agg(F.count("*").alias("n_docs"),
-                      F.sum("dl").alias("sum_dl"))
+    if corpus_stats is not None:
+        n_docs_v, sum_dl_v = corpus_stats
+        corpus = df.sparkSession.range(1).select(
+            F.lit(int(n_docs_v)).alias("n_docs"),
+            F.lit(int(sum_dl_v)).cast("long").alias("sum_dl"))
+    else:
+        corpus = docs.agg(F.count("*").alias("n_docs"),
+                          F.sum("dl").alias("sum_dl"))
     tf = (docs.select(
             "id", "dl",
             F.explode(F.filter(F.col("toks"),

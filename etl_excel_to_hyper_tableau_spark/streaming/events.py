@@ -195,6 +195,72 @@ def run_running_totals_availablenow(spark: SparkSession, events_dir: str) -> Dat
             .filter(F.col("__rn__") == 1).drop("__rn__"))
 
 
+def latest_state_stream(spark: SparkSession, events_dir: str,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming CDC: the running *latest* version per user — the
+    unbounded counterpart of ``operators/cdc.py::latest_snapshot``.
+    State is one (ts, event_id, event_type, value) tuple per key,
+    replaced whenever a later ``(ts, event_id)`` arrives; arrival order
+    across micro-batches does not matter because the comparison is on
+    event time, not processing time.  ``applyInPandasWithState``
+    because no windowed aggregate expresses "argmax so far forever"
+    (max_by is not supported in streaming update-mode aggregates over
+    an unbounded key lifetime with this output contract)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (row.ts.to_pydatetime(), int(row.event_id),
+                        row.event_type, float(row.value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame({"user_id": [key[0]], "ts": [best[0]],
+                            "event_id": [best[1]], "event_type": [best[2]],
+                            "value": [best[3]]})
+
+    stream = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def run_latest_state_availablenow(spark: SparkSession,
+                                  events_dir: str) -> DataFrame:
+    name = "ev_latest_" + uuid.uuid4().hex[:8]
+    q = (latest_state_stream(spark, events_dir)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # several micro-batches may each emit a row per user; keep the one
+    # with the greatest (ts, event_id) — the final state
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (t.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: a new session starts when a user's gap from
     the previous event exceeds ``gap_minutes``.  Classic lag + running

@@ -184,3 +184,20 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir):
     a = sorted(map(repr, stream_result.collect()))
     b = sorted(map(repr, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_streaming_latest_state_matches_batch_cdc(spark, sf_dir):
+    """Streaming latest-state (applyInPandasWithState) over the bounded
+    source equals the batch CDC compaction."""
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import latest_snapshot
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        run_latest_state_availablenow,
+    )
+    stream = run_latest_state_availablenow(spark, f"{sf_dir}/events.parquet")
+    batch = (latest_snapshot(_batch_events(spark, sf_dir),
+                             key="user_id", ts="ts", tiebreak="event_id")
+             .select("user_id", "ts", "event_id", "event_type", "value"))
+    a = sorted(map(repr, stream.select("user_id", "ts", "event_id",
+                                       "event_type", "value").collect()))
+    b = sorted(map(repr, batch.collect()))
+    assert a == b

@@ -243,3 +243,19 @@ def test_compression_ratio_orders_quality(spark):
     again = {r["id"]: r["z_bytes"] for r in
              compression_ratio(df.repartition(5), "text", "doc_id").collect()}
     assert again == {i: got[i]["z_bytes"] for i in got}
+
+
+def test_bm25_precomputed_corpus_stats_identical(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bm25_scores
+    corpus = [(1, "spark joins data fast spark"),
+              (2, "slow scan of data"),
+              (4, "spark spark spark streams")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    base = {r["id"]: r["score"]
+            for r in bm25_scores(df, "text", "doc_id", ["spark", "data"]).collect()}
+    n_docs = 3
+    sum_dl = sum(len(t.split()) for _, t in corpus)
+    pre = {r["id"]: r["score"]
+           for r in bm25_scores(df, "text", "doc_id", ["spark", "data"],
+                                corpus_stats=(n_docs, sum_dl)).collect()}
+    assert pre == base  # bit-identical, one corpus pass fewer
