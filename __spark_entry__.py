@@ -733,6 +733,25 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_rolling_time_window(spark, sf_dir):
+    """Time-range window frame (RANGE BETWEEN INTERVAL … PRECEDING):
+    per-user rolling 1-hour event count and exact-decimal value sum
+    ordered by event time — the time-series frame shape ROWS frames
+    can't express (the frame width is wall-clock, not row-count).
+    One shuffle on user_id; frames evaluated in a single sorted pass."""
+    _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0) \
+        .createOrReplaceTempView("v_events_rw")
+    return spark.sql("""
+SELECT user_id, event_id, ts,
+  count(*) OVER w AS n_1h,
+  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_1h
+FROM v_events_rw
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+""")
+
+
 def q_limit_offset(spark, sf_dir):
     """LIMIT … OFFSET pagination (SQLite surface; Spark ≥3.4 native)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_lo")
@@ -1157,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "groups_frame_window": q_groups_frame_window,
         "limit_offset": q_limit_offset,
+        "rolling_time_window": q_rolling_time_window,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2141,6 +2161,16 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- time-range window frame --------------------------------------
+        "rolling_time_window": """
+SELECT user_id, event_id, ts,
+  count(*) OVER w AS n_1h,
+  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_1h
+FROM events WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
 """,
         # --- streaming CDC latest-state (== batch compaction oracle) ------
         "stream_latest_state": """
