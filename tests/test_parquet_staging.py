@@ -49,3 +49,22 @@ def test_parquet_staging_matches_memory_and_pushes_down(spark, tmp_path):
     assert "Scan parquet" in pq_plan
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,10)]" in pq_plan
     assert "id" in pq_plan and "val" not in pq_plan.split("ReadSchema")[1][:120]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import (
+        compact_parquet, parquet_file_stats,
+    )
+    src = str(tmp_path / "frag")
+    # simulate an incremental ingest: 40 tiny files
+    spark.range(0, 4000).selectExpr("id", "id % 7 as k", "cast(id as string) as s") \
+        .repartition(40).write.parquet(src)
+    n_in, _ = parquet_file_stats(src)
+    assert n_in >= 40
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, out, target_file_mb=512,
+                            sort_within_by=["k", "id"])
+    assert stats["files_out"] == stats["partitions"] == 1  # tiny data → one file
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert {r["id"] for r in back.collect()} == set(range(4000))
