@@ -656,11 +656,11 @@ def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
     document-frequency cap — an unbounded default would hide a 100 TB
     scale hazard behind an optional knob.
 
-    The closure is **min-label propagation with one label per node per
-    round**: each round joins the current (node → label) relation — one
-    row per node, never the O(|component|²) reachability set — against
-    the symmetric edge list and keeps the minimum of own and
-    neighbor-propagated labels.  Rounds needed = graph diameter, tiny
+    The closure is :func:`..graph.connected_components` — min-label
+    propagation with one label per node per round: each round joins the
+    current (node → label) relation — one row per node, never the
+    O(|component|²) reachability set — against the symmetric edge list
+    and keeps the minimum of own and neighbor-propagated labels.  Rounds needed = graph diameter, tiny
     for near-dup clusters (duplicates of one source document form
     near-cliques — diameter 1-2; a long chain cannot arise when edges
     require ≥threshold Jaccard overlap with transitively-decaying
@@ -674,28 +674,13 @@ def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
     (singletons are their own implicit cluster and are omitted, as in
     the SQL ``WITH RECURSIVE`` formulation the oracle runs).
     """
+    from .graph import connected_components
+
     pairs = (ngram_jaccard_pairs(df, text_col, id_col, n=n,
                                  threshold=threshold, max_df=max_df)
              .select("id_a", "id_b"))
-    edges = (pairs.union(pairs.select(F.col("id_b").alias("id_a"),
-                                      F.col("id_a").alias("id_b")))
-             .toDF("s", "d").persist())
-    labels = (edges.select(F.col("s").alias("id")).distinct()
-              .withColumn("lbl", F.col("id"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iterations):
-        prop = (labels.join(edges, labels.id == edges.s)
-                .select(F.col("d").alias("id"), F.col("lbl")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("id").agg(F.min("lbl").alias("lbl"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("lbl", "old"), "id")
-                   .filter(F.col("lbl") < F.col("old")))
-        if changed.isEmpty():
-            edges.unpersist()
-            return (new_labels.select(F.col("id").alias("doc_id"),
-                                      F.col("lbl").alias("cluster_id"))
-                    .orderBy("doc_id"))
-        labels = new_labels
-    edges.unpersist()
-    raise RuntimeError(f"no fixpoint after {max_iterations} label rounds")
+    return (connected_components(pairs, "id_a", "id_b",
+                                 max_iterations=max_iterations)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+            .orderBy("doc_id"))
