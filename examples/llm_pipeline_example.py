@@ -3,7 +3,8 @@ operators a 100 TB data-curation run chains, on one page:
 
     clean → exact dedup → near-dup dedup (MinHash-LSH scale path) →
     decontaminate vs a benchmark slice → PII redact → train/val/test
-    split → mixture-sample → stage to parquet
+    split → mixture-sample → negative pairs → stage to parquet →
+    compact
 
 Every stage is one of the engine's oracle-verified operators; this
 script just composes them.  Run:
@@ -69,11 +70,22 @@ def main() -> None:
                                  total=max(n3 // 2, 1))
     n4 = mixed.count()
 
-    # 6. stage to parquet partitioned by split (the training-ready layout)
+    # 6. contrastive negatives for the mixed train slice (hash-derived,
+    # reproducible across re-runs and engines)
+    pairs = sp.negative_pairs(mixed, "doc_id", k=2)
+    n5 = pairs.count()
+
+    # 7. stage to parquet partitioned by split (the training-ready
+    # layout), then compact — incremental ingests accrete small files
     split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import compact_parquet
+    stats = compact_parquet(spark, out_dir, out_dir + "_compact",
+                            target_file_mb=512, sort_within_by=["doc_id"])
 
     print(f"corpus {n0} → cleaned {n1} → deduped {n2} "
-          f"→ decontaminated {n3} → mixed-train {n4}; staged at {out_dir}")
+          f"→ decontaminated {n3} → mixed-train {n4} (+{n5} negative pairs); "
+          f"staged at {out_dir} "
+          f"({stats['files_in']}→{stats['files_out']} files compacted)")
     spark.stop()
 
 
