@@ -1,3 +1,4 @@
+from .ingest import curated_ingest
 from .events import (
     dedup_stream_within_watermark, latest_state_stream,
     purchase_click_join_batch,
@@ -17,5 +18,5 @@ __all__ = [
     "latest_state_stream", "run_latest_state_availablenow",
     "sessionize_batch",
     "purchase_click_join_stream", "run_purchase_click_join_availablenow",
-    "purchase_click_join_batch",
+    "purchase_click_join_batch", "curated_ingest",
 ]

@@ -1,0 +1,93 @@
+"""Continuous corpus curation: streaming document ingest with
+per-micro-batch cleaning and deduplication against the growing corpus.
+
+This is the production shape of a training-data pipeline once it goes
+from one-shot to continuous: new document files land in a directory;
+each micro-batch is quality-gated, deduplicated within itself, then
+deduplicated *incrementally* against everything already accepted
+(:func:`..operators.dedup.minhash_incremental_candidates` — cost
+proportional to the batch, the corpus is never re-paired), and the
+survivors append to the corpus.  ``foreachBatch`` is the right tool:
+the dedup logic is a batch computation per micro-batch, and Structured
+Streaming supplies exactly-once file tracking, checkpointed progress,
+and restart recovery around it.
+
+Idempotency note: ``foreachBatch`` bodies can re-run on failure
+recovery; the appends here are therefore at-least-once.  A production
+deployment writes each batch to ``{corpus}/batch_id={id}`` (as done
+here) so a replayed batch overwrites its own partition instead of
+duplicating rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as dd
+from ..operators import text as tx
+
+
+def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
+                   schema: str = "doc_id long, text string",
+                   min_quality: float = 0.0, min_tokens: int = 1,
+                   max_tokens: int = 100_000,
+                   minhash_k: int = 16, bands: int = 4,
+                   threshold: float = 0.7,
+                   max_files_per_trigger: int = 1) -> dict:
+    """Run the curation stream over ``input_dir`` with ``availableNow``
+    (process everything currently present, then stop — the same code
+    path runs unbounded with a live trigger).  Returns
+    ``{"batches", "accepted"}``.
+
+    Per micro-batch: C4-style clean gate → exact self-dedup →
+    MinHash-LSH dedup against the accepted corpus (smaller id is not
+    meaningful across batches — the *corpus* side always wins, because
+    it was accepted first) → append survivors under
+    ``batch_id={epoch}`` for idempotent replay.
+    """
+    import tempfile
+    import uuid
+
+    stats = {"batches": 0, "accepted": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = tx.clean_corpus(batch, "text", "doc_id",
+                                min_quality=min_quality,
+                                min_tokens=min_tokens,
+                                max_tokens=max_tokens,
+                                max_dup_bigram=1.0) \
+            .select("doc_id", "text")
+        batch = dd.exact_dedup(batch, ["text"], "doc_id")
+        batch = dd.minhash_dedup(batch, "text", "doc_id", k=minhash_k,
+                                 bands=bands, threshold=threshold)
+        try:
+            corpus = spark.read.parquet(corpus_dir).select("doc_id", "text")
+            have_corpus = True
+        except Exception:  # first batch: corpus directory doesn't exist
+            have_corpus = False
+        if have_corpus:
+            dup = (dd.minhash_incremental_candidates(
+                       batch, corpus, "text", "doc_id",
+                       k=minhash_k, bands=bands)
+                   .filter(F.col("est_jaccard") >= threshold)
+                   .select(F.col("new_id").alias("doc_id")).distinct())
+            batch = batch.join(dup, "doc_id", "left_anti")
+        n = batch.count()
+        if n:
+            (batch.withColumn("batch_id", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(corpus_dir))
+        stats["batches"] += 1
+        stats["accepted"] += n
+
+    name = "ingest_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ing_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

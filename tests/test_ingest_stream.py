@@ -1,0 +1,57 @@
+"""Continuous-curation ingest stream (streaming/ingest.py): per-batch
+clean + self-dedup + incremental dedup against the growing corpus,
+with idempotent per-batch partitions."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from etl_excel_to_hyper_tableau_spark.streaming.ingest import curated_ingest
+
+BASE = ("the quick brown fox jumps over the lazy dog and keeps "
+        "jumping until the dog finally wakes up and barks loudly")
+
+
+def _write_batch(spark, path, rows, mtime):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string())})
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_curated_ingest_dedups_across_batches(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    t0 = time.time() - 100
+    # batch 1: two distinct docs
+    _write_batch(spark, f"{inp}/b1.parquet",
+                 [(1, BASE), (2, "completely different text about spark "
+                                 "engines and distributed query planning")],
+                 t0)
+    # batch 2: near-dup of doc 1 (must be dropped) + one new doc
+    _write_batch(spark, f"{inp}/b2.parquet",
+                 [(10, BASE + " extra"), (11, "a third subject entirely: "
+                                              "benchmarks of columnar file "
+                                              "formats at petabyte scale")],
+                 t0 + 10)
+    # batch 3: exact dup of doc 11 (dropped) + a fresh doc
+    _write_batch(spark, f"{inp}/b3.parquet",
+                 [(20, "a third subject entirely: benchmarks of columnar "
+                       "file formats at petabyte scale"),
+                  (21, "finally some unrelated prose regarding gardening "
+                       "and the correct watering of tomato plants")],
+                 t0 + 20)
+
+    stats = curated_ingest(spark, inp, corpus, threshold=0.5)
+    assert stats["batches"] == 3
+    accepted = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert accepted == {1, 2, 11, 21}
+    assert stats["accepted"] == 4
+    # batch provenance is recorded for idempotent replay
+    parts = {r["batch_id"] for r in
+             spark.read.parquet(corpus).select("batch_id").distinct().collect()}
+    assert len(parts) == 3
