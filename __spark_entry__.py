@@ -733,6 +733,21 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_nation_balance_full_outer(spark, sf_dir):
+    """FULL OUTER + RIGHT join surface (SQLite ≥3.39 delegated SQL):
+    per-nation customer balances full-outer-joined against per-nation
+    supplier balances — nations with only one side keep NULLs."""
+    cust = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+            .agg(_dsum(F.col("c_acctbal"), "cust_bal")))
+    supp = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000)
+            .groupBy("s_nationkey")
+            .agg(_dsum(F.col("s_acctbal"), "supp_bal")))
+    return (cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+            .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                    "cust_bal", "supp_bal")
+            .orderBy("nationkey"))
+
+
 def q_rolling_time_window(spark, sf_dir):
     """Time-range window frame (RANGE BETWEEN INTERVAL … PRECEDING):
     per-user rolling 1-hour event count and exact-decimal value sum
@@ -1177,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groups_frame_window": q_groups_frame_window,
         "limit_offset": q_limit_offset,
         "rolling_time_window": q_rolling_time_window,
+        "nation_balance_full_outer": q_nation_balance_full_outer,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2161,6 +2177,18 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- FULL OUTER join ----------------------------------------------
+        "nation_balance_full_outer": """
+WITH cust AS (
+  SELECT c_nationkey, cast(sum(cast(c_acctbal as decimal(28,4))) as double) AS cust_bal
+  FROM customer GROUP BY c_nationkey),
+supp AS (
+  SELECT s_nationkey, cast(sum(cast(s_acctbal as decimal(28,4))) as double) AS supp_bal
+  FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, cust_bal, supp_bal
+FROM cust FULL OUTER JOIN supp ON c_nationkey = s_nationkey
+ORDER BY nationkey
 """,
         # --- time-range window frame --------------------------------------
         "rolling_time_window": """

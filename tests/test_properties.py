@@ -108,3 +108,33 @@ def test_groups_frame_matches_bruteforce(spark, rows):
                      None if r["s_excl_ties"] is None else float(r["s_excl_ties"]))
            for r in with_groups_frame(df, ["p"], "k", "k", 1, 1).collect()}
     assert got == _groups_frame_reference(data, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness: every core operator must return an empty,
+# correctly-typed result on an empty frame — not raise
+# ---------------------------------------------------------------------------
+
+def test_operators_on_empty_input(spark):
+    from etl_excel_to_hyper_tableau_spark.operators import (
+        cdc, dedup as dd, sampling as sp, text as tx,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.graph import (
+        connected_components,
+    )
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert dd.ngram_jaccard_pairs(docs, "text", "doc_id").count() == 0
+    assert dd.minhash_lsh_candidates(docs, "text", "doc_id",
+                                     k=16, bands=2).count() == 0
+    assert dd.simhash_pairs(docs, "text", "doc_id").count() == 0
+    assert tx.bm25_scores(docs, "text", "doc_id", ["x"]).count() == 0
+    assert tx.vocab_topk(docs, "text", "doc_id").count() == 0
+    assert tx.clean_corpus(docs, "text", "doc_id").count() == 0
+    assert tx.compression_ratio(docs, "text", "doc_id").count() == 0
+    assert sp.negative_pairs(docs, "doc_id", k=2).count() == 0
+    ev = spark.createDataFrame([], "event_id long, ts long, key string, v double")
+    assert cdc.latest_snapshot(ev, "key", "ts", "event_id").count() == 0
+    assert cdc.scd2_intervals(ev, "key", "ts", ["v"], "event_id").count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
