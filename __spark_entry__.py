@@ -733,6 +733,22 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_data_quality_report(spark, sf_dir):
+    """Declarative data-quality expectations over lineitem — every
+    check (range, null, domain, key-uniqueness) evaluated in ONE
+    aggregate pass (operators/quality.py::check_report)."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import check_report
+    li = _t(spark, sf_dir, "lineitem")
+    return check_report(
+        li,
+        {"qty_in_range": F.col("l_quantity").between(1, 50),
+         "price_positive": F.col("l_extendedprice") > 0,
+         "discount_domain": F.col("l_discount").between(0.0, 0.1),
+         "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+         "shipdate_not_null": F.col("l_shipdate").isNotNull()},
+        unique=["l_orderkey"])  # intentionally failing: orders repeat
+
+
 def q_nation_balance_full_outer(spark, sf_dir):
     """FULL OUTER + RIGHT join surface (SQLite ≥3.39 delegated SQL):
     per-nation customer balances full-outer-joined against per-nation
@@ -1193,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_offset": q_limit_offset,
         "rolling_time_window": q_rolling_time_window,
         "nation_balance_full_outer": q_nation_balance_full_outer,
+        "data_quality_report": q_data_quality_report,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2177,6 +2194,27 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- data-quality expectations (one-pass aggregate) ---------------
+        "data_quality_report": """
+WITH agg AS (
+  SELECT count(*) AS n,
+    sum(case when coalesce(l_quantity BETWEEN 1 AND 50, false) then 0 else 1 end) AS c_qty,
+    sum(case when coalesce(l_extendedprice > 0, false) then 0 else 1 end) AS c_price,
+    sum(case when coalesce(l_discount BETWEEN 0.0 AND 0.1, false) then 0 else 1 end) AS c_disc,
+    sum(case when coalesce(l_returnflag IN ('A','N','R'), false) then 0 else 1 end) AS c_flag,
+    sum(case when l_shipdate IS NOT NULL then 0 else 1 end) AS c_ship,
+    count(l_orderkey) - count(DISTINCT l_orderkey) AS c_uniq
+  FROM lineitem)
+SELECT v."check", cast(case v.i when 0 then c_qty when 1 then c_price when 2 then c_disc
+                              when 3 then c_flag when 4 then c_ship else c_uniq end as bigint) AS n_violations,
+       n AS n_rows,
+       (case v.i when 0 then c_qty when 1 then c_price when 2 then c_disc
+                 when 3 then c_flag when 4 then c_ship else c_uniq end) = 0 AS passed
+FROM agg, (VALUES ('qty_in_range', 0), ('price_positive', 1),
+                  ('discount_domain', 2), ('flag_domain', 3),
+                  ('shipdate_not_null', 4), ('unique(l_orderkey)', 5)) v("check", i)
+ORDER BY "check"
 """,
         # --- FULL OUTER join ----------------------------------------------
         "nation_balance_full_outer": """

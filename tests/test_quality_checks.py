@@ -1,0 +1,51 @@
+"""Data-quality expectations (operators/quality.py): one-pass report,
+NULL-as-violation semantics, uniqueness checks, name escaping, and the
+single-Exchange plan property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.quality import check_report
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -3.0, "B"), (3, None, "A"), (1, 5.0, None)],
+        "id long, v double, cat string")
+
+
+def test_report_values_and_null_semantics(spark):
+    got = {r["check"]: (r["n_violations"], r["passed"])
+           for r in check_report(
+               _df(spark),
+               {"v_positive": F.col("v") > 0,          # NULL v → violation
+                "cat_domain": F.col("cat").isin("A", "B")},
+               unique=["id"]).collect()}
+    assert got == {"v_positive": (2, False),   # -3.0 and NULL
+                   "cat_domain": (1, False),   # NULL cat
+                   "unique(id)": (1, False)}   # id=1 twice
+
+
+def test_all_passing_and_quote_escape(spark):
+    rows = check_report(_df(spark),
+                        {"id's positive": F.col("id") > 0}).collect()
+    assert rows[0]["check"] == "id's positive"
+    assert rows[0]["passed"] and rows[0]["n_violations"] == 0
+    assert rows[0]["n_rows"] == 4
+
+
+def test_single_pass_plan(spark):
+    plan = (check_report(_df(spark),
+                         {"a": F.col("id") > 0, "b": F.col("v") > 0})
+            ._jdf.queryExecution().executedPlan().toString())
+    # all checks share one aggregate: exactly one Exchange (to the
+    # single final-agg partition), no join, no second scan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_no_checks_raises(spark):
+    with pytest.raises(ValueError):
+        check_report(_df(spark), {})
