@@ -65,6 +65,9 @@ HEADLINE = [
     "cdc_latest_events",
     "scd2_event_history",
     "doc_compression",
+    "rolling_time_window",
+    "nation_balance_full_outer",
+    "data_quality_report",
 ]
 
 
