@@ -91,3 +91,56 @@ def scd2_intervals(df: DataFrame, key: str, ts: str, attrs: list[str],
            .withColumn("valid_to", F.lead("valid_from").over(w2))
            .withColumn("is_current", F.col("valid_to").isNull()))
     return out.drop("__tb__") if tiebreak else out
+
+
+def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
+                 ts: str, tiebreak: str | None = None,
+                 delete_col: str | None = None) -> dict:
+    """MERGE INTO emulation for plain parquet tables: union the current
+    table with an updates batch, keep the latest version per key
+    (:func:`latest_snapshot`), and atomically swap the rewritten table
+    into place.
+
+    ``delete_col``: optional boolean tombstone column — a key whose
+    *latest* version carries ``delete_col = true`` is dropped from the
+    result (the CDC delete contract); the column itself is not written.
+
+    The swap is write-to-side-directory + two renames — atomic on a
+    POSIX/HDFS-style filesystem, which is the right local model; on an
+    object store this operator is where a real deployment reaches for a
+    table format (Delta/Iceberg/Hudi) whose MERGE is exactly this plan
+    plus a transactional manifest.  Cost: one full rewrite per merge —
+    correct and simple; production deployments amortize by batching
+    updates (the updates frame can be arbitrarily large) or
+    partitioning the target and merging only touched partitions.
+
+    Returns {"rows", "keys_deleted"}.
+    """
+    import os
+    import shutil
+
+    try:
+        current = spark.read.parquet(target_dir)
+    except Exception:  # first merge: target doesn't exist yet
+        current = None
+    up = updates
+    if delete_col and delete_col not in up.columns:
+        up = up.withColumn(delete_col, F.lit(False))
+    if current is not None:
+        if delete_col and delete_col not in current.columns:
+            current = current.withColumn(delete_col, F.lit(False))
+        up = current.unionByName(up)
+    latest = latest_snapshot(up, key, ts, tiebreak=tiebreak)
+    deleted = 0
+    if delete_col:
+        deleted = latest.filter(F.col(delete_col)).count()
+        latest = latest.filter(~F.col(delete_col)).drop(delete_col)
+    tmp = target_dir.rstrip("/") + "__merge_tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = target_dir.rstrip("/") + "__merge_old"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"rows": n, "keys_deleted": deleted}

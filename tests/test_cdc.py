@@ -80,3 +80,40 @@ def test_scd2_multi_attr_change_detection(spark):
     # b changes at ts=2; ts=3 identical → collapsed
     assert [(r["valid_from"], r["valid_to"]) for r in
             sorted(rows, key=lambda r: r["valid_from"])] == [(1, 2), (2, None)]
+
+
+def test_merge_upsert_round_trips(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    target = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, 10, "a", "x"), (2, 10, "b", "y")],
+        "event_id long, ts long, key string, val string")
+    stats = merge_upsert(spark, target, v1, key="key", ts="ts",
+                         tiebreak="event_id")
+    assert stats == {"rows": 2, "keys_deleted": 0}
+    # upsert: newer version of 'a', brand-new 'c', stale update of 'b'
+    v2 = spark.createDataFrame(
+        [(3, 20, "a", "x2"), (4, 20, "c", "z"), (5, 5, "b", "stale")],
+        "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v2, key="key", ts="ts", tiebreak="event_id")
+    got = {r["key"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a": "x2", "b": "y", "c": "z"}  # stale update lost
+
+
+def test_merge_upsert_tombstone_delete(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    target = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, 10, "a", "x"), (2, 10, "b", "y")],
+        "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v1, key="key", ts="ts",
+                 tiebreak="event_id", delete_col="_deleted")
+    v2 = spark.createDataFrame(
+        [(3, 20, "a", "x", True)],
+        "event_id long, ts long, key string, val string, _deleted boolean")
+    stats = merge_upsert(spark, target, v2, key="key", ts="ts",
+                         tiebreak="event_id", delete_col="_deleted")
+    assert stats["keys_deleted"] == 1
+    rows = spark.read.parquet(target).collect()
+    assert {r["key"] for r in rows} == {"b"}
+    assert "_deleted" not in spark.read.parquet(target).columns
