@@ -252,10 +252,28 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
-def minhash_incremental_candidates(new_df: DataFrame, corpus_df: DataFrame,
+def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 32, n: int = 3,
+                       bands: int = 8) -> DataFrame:
+    """The stageable dedup index: one row per (doc, band) with the band
+    digest and the full signature attached — ``id, band, bh, sig``.
+    Write this partitioned/bucketed by ``(band, bh)`` once per corpus
+    snapshot (or append per accepted batch) and every future
+    incremental dedup joins against it without touching corpus text.
+    Size: docs × bands rows of (2 longs + digest + k longs)."""
+    r = k // bands
+    sigs = (with_minhash(df, text_col, id_col, k=k, n=n)
+            .filter(F.size("sig") > 0))
+    return sigs.selectExpr("id", _band_inline_sql(bands, r), "sig")
+
+
+def minhash_incremental_candidates(new_df: DataFrame,
+                                   corpus_df: DataFrame | None,
                                    text_col: str, id_col: str,
                                    k: int = 32, n: int = 3,
-                                   bands: int = 8) -> DataFrame:
+                                   bands: int = 8,
+                                   corpus_bands: DataFrame | None = None,
+                                   ) -> DataFrame:
     """Incremental-ingestion dedup: near-duplicate candidates between a
     NEW batch and the already-ingested corpus — the daily shape of a
     production pipeline, where re-running the full self-join over the
@@ -263,33 +281,34 @@ def minhash_incremental_candidates(new_df: DataFrame, corpus_df: DataFrame,
 
     Only cross-side pairs are generated: the corpus is never paired
     against itself, so per-batch cost is the batch's band table joined
-    against the corpus band table (equi-join on (band, digest); at
-    100 TB the corpus band table is computed once, written out
-    partitioned/bucketed by its join key, and re-read per batch —
-    signatures are id + k×8 bytes per doc, a rounding error next to
-    the text).  Ids may overlap between the two sides (a re-ingested
-    doc); identical ids are not reported as pairs.
+    against the corpus band table (equi-join on (band, digest)).  Pass
+    ``corpus_bands`` — a staged :func:`minhash_band_table` — instead of
+    ``corpus_df`` to skip re-hashing corpus text entirely: at 100 TB
+    the band table is built once (appended per accepted batch) and the
+    per-batch cost no longer touches the corpus at all.  Ids may
+    overlap between the two sides (a re-ingested doc); identical ids
+    are not reported as pairs.
 
     Output: ``new_id, corpus_id, est_jaccard``.
     """
-    r = k // bands
-    ns = (with_minhash(new_df, text_col, id_col, k=k, n=n)
-          .filter(F.size("sig") > 0).persist())
-    cs = (with_minhash(corpus_df, text_col, id_col, k=k, n=n)
-          .filter(F.size("sig") > 0).persist())
-    nb = (ns.selectExpr("id", _band_inline_sql(bands, r))
-          .select(F.col("id").alias("new_id"), "band", "bh"))
-    cb = (cs.selectExpr("id", _band_inline_sql(bands, r))
-          .select(F.col("id").alias("corpus_id"), "band", "bh"))
+    if (corpus_df is None) == (corpus_bands is None):
+        raise ValueError("pass exactly one of corpus_df / corpus_bands")
+    nbt = minhash_band_table(new_df, text_col, id_col,
+                             k=k, n=n, bands=bands).persist()
+    cbt = (corpus_bands if corpus_bands is not None
+           else minhash_band_table(corpus_df, text_col, id_col,
+                                   k=k, n=n, bands=bands).persist())
+    nb = nbt.select(F.col("id").alias("new_id"), "band", "bh")
+    cb = cbt.select(F.col("id").alias("corpus_id"), "band", "bh")
     pairs = (nb.join(cb, ["band", "bh"])
              .filter(F.col("new_id") != F.col("corpus_id"))
              .select("new_id", "corpus_id")
              .distinct())
-    pairs = (pairs
-             .join(ns.select(F.col("id").alias("new_id"),
-                             F.col("sig").alias("sig_a")), "new_id")
-             .join(cs.select(F.col("id").alias("corpus_id"),
-                             F.col("sig").alias("sig_b")), "corpus_id"))
+    ns = nbt.select(F.col("id").alias("new_id"),
+                    F.col("sig").alias("sig_a")).distinct()
+    cs = cbt.select(F.col("id").alias("corpus_id"),
+                    F.col("sig").alias("sig_b")).distinct()
+    pairs = pairs.join(ns, "new_id").join(cs, "corpus_id")
     eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
     return pairs.select("new_id", "corpus_id",
                         (eq.cast("double") / F.lit(k)).alias("est_jaccard"))

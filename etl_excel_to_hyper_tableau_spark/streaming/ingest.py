@@ -44,10 +44,18 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
     meaningful across batches — the *corpus* side always wins, because
     it was accepted first) → append survivors under
     ``batch_id={epoch}`` for idempotent replay.
+
+    The dedup index is **staged, not recomputed**: each accepted batch
+    also appends its :func:`..operators.dedup.minhash_band_table` rows
+    to ``{corpus}__bands``, and subsequent batches join against that
+    index — per-batch cost never re-reads or re-hashes corpus text, so
+    the stream's work stays proportional to the batch no matter how
+    large the accepted corpus grows.
     """
     import tempfile
     import uuid
 
+    bands_dir = corpus_dir.rstrip("/") + "__bands"
     stats = {"batches": 0, "accepted": 0}
 
     def process(batch: DataFrame, epoch_id: int) -> None:
@@ -61,14 +69,14 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
         batch = dd.minhash_dedup(batch, "text", "doc_id", k=minhash_k,
                                  bands=bands, threshold=threshold)
         try:
-            corpus = spark.read.parquet(corpus_dir).select("doc_id", "text")
-            have_corpus = True
-        except Exception:  # first batch: corpus directory doesn't exist
-            have_corpus = False
-        if have_corpus:
+            staged = spark.read.parquet(bands_dir) \
+                .select("id", "band", "bh", "sig")
+        except Exception:  # first batch: no index yet
+            staged = None
+        if staged is not None:
             dup = (dd.minhash_incremental_candidates(
-                       batch, corpus, "text", "doc_id",
-                       k=minhash_k, bands=bands)
+                       batch, None, "text", "doc_id",
+                       k=minhash_k, bands=bands, corpus_bands=staged)
                    .filter(F.col("est_jaccard") >= threshold)
                    .select(F.col("new_id").alias("doc_id")).distinct())
             batch = batch.join(dup, "doc_id", "left_anti")
@@ -78,6 +86,12 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(corpus_dir))
+            (dd.minhash_band_table(batch, "text", "doc_id",
+                                   k=minhash_k, bands=bands)
+             .withColumn("batch_id", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(bands_dir))
         stats["batches"] += 1
         stats["accepted"] += n
 

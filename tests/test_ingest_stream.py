@@ -55,3 +55,30 @@ def test_curated_ingest_dedups_across_batches(spark, tmp_path):
     parts = {r["batch_id"] for r in
              spark.read.parquet(corpus).select("batch_id").distinct().collect()}
     assert len(parts) == 3
+
+
+def test_band_index_is_staged_and_used(spark, tmp_path):
+    """The staged band index must exist, carry one batch partition per
+    accepted batch, and joining a repeat batch against it (no corpus
+    text) must flag the duplicates."""
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+    inp = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    t0 = time.time() - 50
+    _write_batch(spark, f"{inp}/b1.parquet", [(1, BASE)], t0)
+    _write_batch(spark, f"{inp}/b2.parquet",
+                 [(2, "an unrelated document about compilers and "
+                      "intermediate representations")], t0 + 5)
+    curated_ingest(spark, inp, corpus, threshold=0.5)
+    staged = spark.read.parquet(corpus + "__bands")
+    assert {r["id"] for r in staged.select("id").distinct().collect()} == {1, 2}
+    repeat = spark.createDataFrame([(99, BASE + " slightly")],
+                                   "doc_id long, text string")
+    hits = (minhash_incremental_candidates(
+                repeat, None, "text", "doc_id", k=16, bands=4,
+                corpus_bands=staged.select("id", "band", "bh", "sig"))
+            .filter(F.col("est_jaccard") >= 0.5).collect())
+    assert {r["corpus_id"] for r in hits} == {1}
