@@ -49,9 +49,12 @@ def latest_snapshot(df: DataFrame, key: str, ts: str,
     """
     order_cols = [ts] + ([tiebreak] if tiebreak else [])
     payload = [c for c in df.columns if c != key]
-    packed = F.max(F.struct(*[F.col(c) for c in order_cols],
-                            *[F.col(c) for c in payload
-                              if c not in order_cols])).alias("__m__")
+    # max_by, not max(struct(order, payload)): only the ORDER columns
+    # enter the comparison, so unorderable payload types (maps — a
+    # common CDC attribute shape) work, and payload values never decide
+    # tie winners beyond the documented unspecified-tie contract
+    packed = F.max_by(F.struct(*[F.col(c) for c in payload]),
+                      F.struct(*[F.col(c) for c in order_cols])).alias("__m__")
     agg = df.groupBy(key).agg(packed)
     return agg.select(key, *[F.col(f"__m__.{c}").alias(c) for c in payload])
 
@@ -119,9 +122,25 @@ def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
     import os
     import shutil
 
-    try:
+    tmp = target_dir.rstrip("/") + "__merge_tmp"
+    old = target_dir.rstrip("/") + "__merge_old"
+    # crash recovery from a previous interrupted merge BEFORE reading:
+    # old present + target missing = we died between the two renames →
+    # roll the old table back; old present + target present = we died
+    # after the swap → finish the cleanup.  Stale tmp is always junk.
+    if os.path.exists(old):
+        if not os.path.exists(target_dir):
+            os.rename(old, target_dir)
+        else:
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # only a genuinely absent target means "first merge" — any other
+    # read failure (corrupt footer, transient FS error) must surface,
+    # otherwise the swap below would replace the table with one batch
+    if os.path.exists(target_dir):
         current = spark.read.parquet(target_dir)
-    except Exception:  # first merge: target doesn't exist yet
+    else:
         current = None
     up = updates
     if delete_col and delete_col not in up.columns:
@@ -133,12 +152,19 @@ def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
     latest = latest_snapshot(up, key, ts, tiebreak=tiebreak)
     deleted = 0
     if delete_col:
-        deleted = latest.filter(F.col(delete_col)).count()
-        latest = latest.filter(~F.col(delete_col)).drop(delete_col)
-    tmp = target_dir.rstrip("/") + "__merge_tmp"
+        # NULL tombstone = not a delete (coalesce — a bare ~col drops
+        # NULL rows without counting them)
+        tomb = F.coalesce(F.col(delete_col), F.lit(False))
+        deleted = latest.filter(tomb).count()
+        latest = latest.filter(~tomb).drop(delete_col)
     latest.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = target_dir.rstrip("/") + "__merge_old"
+    # row count from parquet footers — no second scan of the table
+    import pyarrow.parquet as pq
+    n = 0
+    for root, _d, files in os.walk(tmp):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     if os.path.exists(target_dir):
         os.rename(target_dir, old)
     os.rename(tmp, target_dir)

@@ -267,12 +267,13 @@ def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
     return sigs.selectExpr("id", _band_inline_sql(bands, r), "sig")
 
 
-def minhash_incremental_candidates(new_df: DataFrame,
+def minhash_incremental_candidates(new_df: DataFrame | None,
                                    corpus_df: DataFrame | None,
                                    text_col: str, id_col: str,
                                    k: int = 32, n: int = 3,
                                    bands: int = 8,
                                    corpus_bands: DataFrame | None = None,
+                                   new_bands: DataFrame | None = None,
                                    ) -> DataFrame:
     """Incremental-ingestion dedup: near-duplicate candidates between a
     NEW batch and the already-ingested corpus — the daily shape of a
@@ -293,8 +294,15 @@ def minhash_incremental_candidates(new_df: DataFrame,
     """
     if (corpus_df is None) == (corpus_bands is None):
         raise ValueError("pass exactly one of corpus_df / corpus_bands")
-    nbt = minhash_band_table(new_df, text_col, id_col,
-                             k=k, n=n, bands=bands).persist()
+    if (new_df is None) == (new_bands is None):
+        raise ValueError("pass exactly one of new_df / new_bands")
+    # internal persists only when this call derives the band table
+    # itself (one-shot batch usage — each table is referenced twice
+    # below).  Callers in a loop (streaming ingest) pass precomputed
+    # *_bands and own the caching, so nothing leaks per micro-batch.
+    nbt = (new_bands if new_bands is not None
+           else minhash_band_table(new_df, text_col, id_col,
+                                   k=k, n=n, bands=bands).persist())
     cbt = (corpus_bands if corpus_bands is not None
            else minhash_band_table(corpus_df, text_col, id_col,
                                    k=k, n=n, bands=bands).persist())

@@ -37,16 +37,22 @@ def check_report(df: DataFrame, checks: dict[str, Column],
     for name, pred in checks.items():
         names.append(name)
         # NULL predicate result counts as a violation (a row that can't
-        # prove it passes doesn't pass) — coalesce, don't negate
-        aggs.append(F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1))
-                    .cast("long").alias(f"__c_{len(names) - 1}__"))
+        # prove it passes doesn't pass) — coalesce, don't negate; the
+        # outer coalesce makes an EMPTY frame report 0 violations /
+        # passed=true instead of NULLs (sum over zero rows is NULL)
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)),
+            F.lit(0)).cast("long").alias(f"__c_{len(names) - 1}__"))
     for col in unique or []:
         names.append(f"unique({col})")
         aggs.append((F.count(col) - F.countDistinct(col))
                     .cast("long").alias(f"__c_{len(names) - 1}__"))
     one = df.agg(*aggs)
-    stack = ", ".join(f"'{n.replace(chr(39), chr(39) * 2)}', __c_{i}__"
-                      for i, n in enumerate(names))
+
+    def _lit(n: str) -> str:  # escape backslashes, then quotes
+        return n.replace("\\", "\\\\").replace("'", "''")
+
+    stack = ", ".join(f"'{_lit(n)}', __c_{i}__" for i, n in enumerate(names))
     return (one.selectExpr(f"stack({len(names)}, {stack}) as (check, n_violations)",
                            "__n__ as n_rows")
             .withColumn("passed", F.col("n_violations") == 0)

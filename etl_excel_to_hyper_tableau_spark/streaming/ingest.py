@@ -66,8 +66,16 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
                                 max_dup_bigram=1.0) \
             .select("doc_id", "text")
         batch = dd.exact_dedup(batch, ["text"], "doc_id")
-        batch = dd.minhash_dedup(batch, "text", "doc_id", k=minhash_k,
-                                 bands=bands, threshold=threshold)
+        # persist the gated batch: three consumers below (band table,
+        # corpus write, count) would otherwise each re-run the clean +
+        # dedup lineage
+        gated = dd.minhash_dedup(batch, "text", "doc_id", k=minhash_k,
+                                 bands=bands, threshold=threshold).persist()
+        batch = gated
+        # the batch's band table is computed ONCE and reused for both
+        # the incremental join and the staged-index append
+        bt = dd.minhash_band_table(gated, "text", "doc_id",
+                                   k=minhash_k, bands=bands).persist()
         try:
             staged = spark.read.parquet(bands_dir) \
                 .select("id", "band", "bh", "sig")
@@ -75,8 +83,9 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
             staged = None
         if staged is not None:
             dup = (dd.minhash_incremental_candidates(
-                       batch, None, "text", "doc_id",
-                       k=minhash_k, bands=bands, corpus_bands=staged)
+                       None, None, "text", "doc_id",
+                       k=minhash_k, bands=bands,
+                       new_bands=bt, corpus_bands=staged)
                    .filter(F.col("est_jaccard") >= threshold)
                    .select(F.col("new_id").alias("doc_id")).distinct())
             batch = batch.join(dup, "doc_id", "left_anti")
@@ -86,12 +95,15 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(corpus_dir))
-            (dd.minhash_band_table(batch, "text", "doc_id",
-                                   k=minhash_k, bands=bands)
+            # stage only the ACCEPTED docs' band rows
+            accepted = batch.select(F.col("doc_id").alias("id"))
+            (bt.join(accepted, "id", "left_semi")
              .withColumn("batch_id", F.lit(int(epoch_id)))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(bands_dir))
+        bt.unpersist()
+        gated.unpersist()
         stats["batches"] += 1
         stats["accepted"] += n
 

@@ -117,3 +117,40 @@ def test_merge_upsert_tombstone_delete(spark, tmp_path):
     rows = spark.read.parquet(target).collect()
     assert {r["key"] for r in rows} == {"b"}
     assert "_deleted" not in spark.read.parquet(target).columns
+
+
+def test_merge_upsert_null_tombstone_is_not_a_delete(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    target = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, 10, "a", "x", None), (2, 10, "b", "y", None)],
+        "event_id long, ts long, key string, val string, _deleted boolean")
+    stats = merge_upsert(spark, target, v1, key="key", ts="ts",
+                         tiebreak="event_id", delete_col="_deleted")
+    assert stats == {"rows": 2, "keys_deleted": 0}
+    assert {r["key"] for r in spark.read.parquet(target).collect()} == {"a", "b"}
+
+
+def test_merge_upsert_recovers_interrupted_swap(spark, tmp_path):
+    import os
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    target = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, 10, "a", "x")],
+                               "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v1, key="key", ts="ts", tiebreak="event_id")
+    # simulate a crash between the two renames: target gone, old present
+    os.rename(target, target + "__merge_old")
+    v2 = spark.createDataFrame([(2, 20, "b", "y")],
+                               "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v2, key="key", ts="ts", tiebreak="event_id")
+    got = {r["key"] for r in spark.read.parquet(target).collect()}
+    assert got == {"a", "b"}  # the rolled-back table was not lost
+
+
+def test_latest_snapshot_map_payload(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import latest_snapshot
+    df = spark.createDataFrame(
+        [(1, 10, "k", {"a": "1"}), (2, 20, "k", {"b": "2"})],
+        "event_id long, ts long, key string, props map<string,string>")
+    rows = latest_snapshot(df, "key", "ts", tiebreak="event_id").collect()
+    assert len(rows) == 1 and rows[0]["props"] == {"b": "2"}

@@ -49,3 +49,16 @@ def test_single_pass_plan(spark):
 def test_no_checks_raises(spark):
     with pytest.raises(ValueError):
         check_report(_df(spark), {})
+
+
+def test_empty_frame_reports_zero_violations(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    rows = check_report(df, {"v_pos": F.col("v") > 0}, unique=["id"]).collect()
+    for r in rows:
+        assert r["n_violations"] == 0 and bool(r["passed"]) and r["n_rows"] == 0
+
+
+def test_backslash_in_check_name_survives(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    rows = check_report(df, {r"re:\d+ match": F.col("id") > 0}).collect()
+    assert rows[0]["check"] == r"re:\d+ match"
