@@ -533,7 +533,10 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
                       ).alias("token"))
           .groupBy("id", "dl", "token").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    j = tf.join(dfreq, "token").crossJoin(F.broadcast(corpus))
+    # dfreq is ≤ |query terms| rows — statically broadcast so the tf
+    # side never re-exchanges on token (AQE would usually catch this at
+    # runtime; the hint makes it unconditional)
+    j = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(corpus))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
