@@ -138,3 +138,84 @@ def test_operators_on_empty_input(spark):
     assert cdc.scd2_intervals(ev, "key", "ts", ["v"], "event_id").count() == 0
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CDC operators vs brute-force Python models on random change logs
+# ---------------------------------------------------------------------------
+
+_log_rows = st.lists(
+    st.tuples(st.integers(1, 6),                       # key
+              st.integers(0, 8),                       # ts (ties likely)
+              st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))),
+    min_size=1, max_size=25)
+
+
+@settings(**_SETTINGS)
+@given(rows=_log_rows)
+def test_latest_snapshot_matches_python_argmax(spark, rows):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import latest_snapshot
+    log = [(i, k, t, v) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(log, "event_id long, key long, ts long, v string")
+    got = {r["key"]: (r["ts"], r["event_id"], r["v"])
+           for r in latest_snapshot(df, "key", "ts",
+                                    tiebreak="event_id").collect()}
+    want = {}
+    for i, k, t, v in log:
+        if k not in want or (t, i) > (want[k][0], want[k][1]):
+            want[k] = (t, i, v)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=_log_rows)
+def test_scd2_intervals_match_python_model(spark, rows):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import scd2_intervals
+    log = [(i, k, t, v) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(log, "event_id long, key long, ts long, v string")
+    def _k(t):  # None-safe tuple sort
+        return tuple((v is None, v) for v in t)
+
+    got = sorted(((r["key"], r["v"], r["valid_from"], r["valid_to"])
+                  for r in scd2_intervals(df, "key", "ts", attrs=["v"],
+                                          tiebreak="event_id").collect()),
+                 key=_k)
+    # model: per key, order by (ts, event_id); keep change-points; lead()
+    want = []
+    bykey: dict = {}
+    for i, k, t, v in sorted(log, key=lambda r: (r[1], r[2], r[0])):
+        bykey.setdefault(k, []).append((t, v))
+    for k, seq in bykey.items():
+        pts = [seq[0]] + [s for prev, s in zip(seq, seq[1:]) if s[1] != prev[1]]
+        for j, (t, v) in enumerate(pts):
+            vt = pts[j + 1][0] if j + 1 < len(pts) else None
+            want.append((k, v, t, vt))
+    assert got == sorted(want, key=_k)
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12)),
+                      min_size=1, max_size=30))
+def test_connected_components_match_union_find(spark, edges):
+    from etl_excel_to_hyper_tableau_spark.operators.graph import (
+        connected_components,
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df, max_iterations=60).collect()}
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), []).append(node)
+    expected = {n: min(group) for group in want.values() for n in group}
+    assert got == expected
