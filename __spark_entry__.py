@@ -733,6 +733,19 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Hourly regularization of each user's event-value series with
+    forward-fill (operators/timeseries.py — union+window linear plan,
+    no per-grid-point theta join; oracle: DuckDB ASOF LEFT JOIN)."""
+    from etl_excel_to_hyper_tableau_spark.operators.timeseries import (
+        resample_ffill,
+    )
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 15 == 0)
+    return (resample_ffill(ev, "user_id", "ts", "value",
+                           step="1 hour", tiebreak="event_id")
+            .orderBy("user_id", "grid_ts"))
+
+
 def q_data_quality_report(spark, sf_dir):
     """Declarative data-quality expectations over lineitem — every
     check (range, null, domain, key-uniqueness) evaluated in ONE
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time_window": q_rolling_time_window,
         "nation_balance_full_outer": q_nation_balance_full_outer,
         "data_quality_report": q_data_quality_report,
+        "resample_ffill": q_resample_ffill,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2194,6 +2208,23 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- time-series resample + forward fill --------------------------
+        "resample_ffill": """
+WITH src AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE user_id % 15 = 0),
+obs AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM src GROUP BY user_id, ts),
+b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM obs GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS grid_ts
+         FROM b)
+SELECT g.user_id, g.grid_ts, o.value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+ORDER BY g.user_id, g.grid_ts
 """,
         # --- data-quality expectations (one-pass aggregate) ---------------
         "data_quality_report": """
