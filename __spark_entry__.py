@@ -733,6 +733,18 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_price_histogram(spark, sf_dir):
+    """Equi-width histogram of extended prices (width_bucket — the
+    profiling primitive behind every column-stats UI): one map-side-
+    combinable aggregate, bucket bounds as exact decimal arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.expr("width_bucket(l_extendedprice, 900.0, 105000.0, 20)")
+    return (li.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("l_extendedprice"), "total"))
+            .orderBy("bucket"))
+
+
 def q_resample_ffill(spark, sf_dir):
     """Hourly regularization of each user's event-value series with
     forward-fill (operators/timeseries.py — union+window linear plan,
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_balance_full_outer": q_nation_balance_full_outer,
         "data_quality_report": q_data_quality_report,
         "resample_ffill": q_resample_ffill,
+        "price_histogram": q_price_histogram,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2208,6 +2221,16 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- equi-width histogram -----------------------------------------
+        "price_histogram": """
+SELECT (case when l_extendedprice < 900.0 then 0
+      when l_extendedprice >= 105000.0 then 21
+      else cast(floor((l_extendedprice - 900.0)
+                      / ((105000.0 - 900.0) / 20)) as bigint) + 1 end) AS bucket,
+  count(*) AS n,
+  cast(sum(cast(l_extendedprice as decimal(28,4))) as double) AS total
+FROM lineitem GROUP BY 1 ORDER BY bucket
 """,
         # --- time-series resample + forward fill --------------------------
         "resample_ffill": """
