@@ -733,6 +733,44 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_fuzzy_part_pairs(spark, sf_dir):
+    """Entity-resolution primitive: near-identical part names by edit
+    distance ≤ 2, found via blocking (equi-join on the first-8-char
+    block key) — never all-pairs; levenshtein runs only inside blocks.
+    The classic record-linkage plan at any scale."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blocked = p.withColumn("blk", F.substring("p_name", 1, 8))
+    a = blocked.select(F.col("p_partkey").alias("id_a"),
+                       F.col("p_name").alias("name_a"), "blk")
+    b = blocked.select(F.col("p_partkey").alias("id_b"),
+                       F.col("p_name").alias("name_b"), "blk")
+    return (a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 2)
+            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class pooling) with exact-decimal
+    per-dimension accumulation: posexplode → (label, pos) decimal sums
+    — one row per (label, dimension), deterministic under any
+    partitioning (a plain float sum would be order-dependent); the
+    final mean is rounded to 9 decimals for the oracle comparison
+    because DuckDB's decimal→double conversion is not correctly
+    rounded (1-2 ulp)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    sums = (pos.groupBy("label", "pos")
+            .agg(F.sum(F.col("x").cast("double").cast("decimal(28,12)")).alias("s"),
+                 F.count("*").alias("n")))
+    return (sums.select("label", F.col("pos").cast("long").alias("pos"),
+                        F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
+                        F.col("n").cast("long").alias("n_vectors"))
+            .orderBy("label", "pos"))
+
+
 def q_price_histogram(spark, sf_dir):
     """Equi-width histogram of extended prices (width_bucket — the
     profiling primitive behind every column-stats UI): one map-side-
@@ -1237,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": q_data_quality_report,
         "resample_ffill": q_resample_ffill,
         "price_histogram": q_price_histogram,
+        "fuzzy_part_pairs": q_fuzzy_part_pairs,
+        "label_centroids": q_label_centroids,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -2221,6 +2261,29 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- fuzzy matching with blocking ---------------------------------
+        "fuzzy_part_pairs": """
+WITH b AS (SELECT p_partkey, p_name, substring(p_name, 1, 8) AS blk FROM part)
+SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
+       cast(levenshtein(a.p_name, b2.p_name) as bigint) AS dist
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey
+WHERE levenshtein(a.p_name, b2.p_name) <= 2
+ORDER BY id_a, id_b
+""",
+        # --- per-label embedding centroids (exact-decimal pooling) --------
+        "label_centroids": """
+WITH dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(embedding))
+                                          FROM embeddings))) AS i),
+pos AS (
+  SELECT label, i - 1 AS pos, embedding[i] AS x
+  FROM embeddings, dims WHERE i <= len(embedding)),
+sums AS (
+  SELECT label, pos, sum(cast(cast(x as double) as decimal(28,12))) AS s, count(*) AS n
+  FROM pos GROUP BY label, pos)
+SELECT label, cast(pos as bigint) AS pos, round(cast(s as double) / n, 9) AS c,
+       cast(n as bigint) AS n_vectors
+FROM sums ORDER BY label, pos
 """,
         # --- equi-width histogram -----------------------------------------
         "price_histogram": """
