@@ -737,8 +737,16 @@ def q_fuzzy_part_pairs(spark, sf_dir):
     """Entity-resolution primitive: near-identical part names by edit
     distance ≤ 2, found via blocking (equi-join on the first-8-char
     block key) — never all-pairs; levenshtein runs only inside blocks.
-    The classic record-linkage plan at any scale."""
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    Blocking is only as scalable as the key is selective: this
+    synthetic corpus draws names from a tiny template vocabulary, so
+    block sizes grow linearly with the corpus and intra-block pairs
+    quadratically (measured 100× pairs at 10× data) — the entry
+    therefore samples a fixed stratum, and a production deployment
+    tunes key selectivity (longer prefixes, multiple keys, length
+    bands) to hold block sizes constant as the corpus grows."""
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") % 4 == 0)
+         .select("p_partkey", "p_name"))
     blocked = p.withColumn("blk", F.substring("p_name", 1, 8))
     a = blocked.select(F.col("p_partkey").alias("id_a"),
                        F.col("p_name").alias("name_a"), "blk")
@@ -2264,7 +2272,8 @@ FROM head ORDER BY rank
 """,
         # --- fuzzy matching with blocking ---------------------------------
         "fuzzy_part_pairs": """
-WITH b AS (SELECT p_partkey, p_name, substring(p_name, 1, 8) AS blk FROM part)
+WITH b AS (SELECT p_partkey, p_name, substring(p_name, 1, 8) AS blk
+           FROM part WHERE p_partkey % 4 = 0)
 SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
        cast(levenshtein(a.p_name, b2.p_name) as bigint) AS dist
 FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey
