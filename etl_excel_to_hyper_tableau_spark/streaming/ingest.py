@@ -33,7 +33,8 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
                    max_tokens: int = 100_000,
                    minhash_k: int = 16, bands: int = 4,
                    threshold: float = 0.7,
-                   max_files_per_trigger: int = 1) -> dict:
+                   max_files_per_trigger: int = 1,
+                   source_format: str = "parquet") -> dict:
     """Run the curation stream over ``input_dir`` with ``availableNow``
     (process everything currently present, then stop — the same code
     path runs unbounded with a live trigger).  Returns
@@ -108,9 +109,17 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
         stats["accepted"] += n
 
     name = "ingest_" + uuid.uuid4().hex[:8]
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", max_files_per_trigger)
-         .parquet(input_dir)
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if source_format == "parquet":
+        stream = reader.parquet(input_dir)
+    elif source_format in ("json", "jsonl"):
+        # landing corpora usually arrive as JSONL; the file stream
+        # source parses line-delimited JSON natively
+        stream = reader.json(input_dir)
+    else:
+        raise ValueError(f"unsupported source_format: {source_format!r}")
+    q = (stream
          .writeStream.foreachBatch(process).queryName(name)
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ing_"))
          .trigger(availableNow=True)

@@ -82,3 +82,25 @@ def test_band_index_is_staged_and_used(spark, tmp_path):
                 corpus_bands=staged.select("id", "band", "bh", "sig"))
             .filter(F.col("est_jaccard") >= 0.5).collect())
     assert {r["corpus_id"] for r in hits} == {1}
+
+
+def test_curated_ingest_from_jsonl(spark, tmp_path):
+    """The same curation stream over JSONL landing files."""
+    import json
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    t0 = time.time() - 30
+    for i, (name, rows) in enumerate([
+            ("b1.jsonl", [{"doc_id": 1, "text": BASE}]),
+            ("b2.jsonl", [{"doc_id": 2, "text": BASE + " tail"},   # near-dup
+                          {"doc_id": 3, "text": "fresh prose about nothing "
+                                                "in particular at all"}])]):
+        p = os.path.join(inp, name)
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (t0 + i * 5, t0 + i * 5))
+    corpus = str(tmp_path / "corpus")
+    stats = curated_ingest(spark, inp, corpus, threshold=0.5,
+                           source_format="jsonl")
+    assert stats["batches"] == 2
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 3}
