@@ -733,6 +733,33 @@ ORDER BY o_custkey, o_orderkey
 """)
 
 
+def q_event_rate_anomalies(spark, sf_dir):
+    """Monitoring primitive: hours where a user's event count deviates
+    ≥ 2σ from that user's own hourly mean.  Moments via exact decimal
+    sums (Σn, Σn² are integers — bit-exact), variance as E[x²]−E[x]²
+    in doubles, σ via IEEE sqrt (correctly rounded, engine-agnostic) —
+    the whole score is deterministic with no rounding fudge."""
+    ev = _events(spark, sf_dir)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").alias("n")))
+    stats = (hourly.groupBy("user_id")
+             .agg(F.count("*").alias("k"),
+                  F.sum("n").alias("s1"),
+                  F.sum(F.col("n") * F.col("n")).alias("s2")))
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    joined = (hourly.join(stats, "user_id")
+              .withColumn("mean", mean)
+              .withColumn("sd", F.sqrt(var))
+              .filter(F.col("sd") > 0)
+              .withColumn("z", (F.col("n") - F.col("mean")) / F.col("sd"))
+              .filter(F.abs(F.col("z")) >= 2.0))
+    return (joined.select("user_id", F.col("h").alias("hour"), "n",
+                          "mean", "z")
+            .orderBy("user_id", "hour"))
+
+
 def q_fuzzy_part_pairs(spark, sf_dir):
     """Entity-resolution primitive: near-identical part names by edit
     distance ≤ 2, found via blocking (equi-join on the first-8-char
@@ -1284,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
+        "event_rate_anomalies": q_event_rate_anomalies,
         "label_centroids": q_label_centroids,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
@@ -2269,6 +2297,24 @@ head AS (SELECT * FROM counts ORDER BY tf DESC, token LIMIT 25)
 SELECT token, tf, df,
   cast(row_number() OVER (ORDER BY tf DESC, token) as bigint) AS rank
 FROM head ORDER BY rank
+""",
+        # --- event-rate anomaly z-scores ----------------------------------
+        "event_rate_anomalies": """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT user_id, count(*) AS k, sum(n) AS s1, sum(n * n) AS s2
+  FROM hourly GROUP BY user_id),
+j AS (
+  SELECT h.user_id, h.h, h.n,
+    cast(s1 as double) / k AS mean,
+    sqrt(cast(s2 as double) / k
+         - (cast(s1 as double) / k) * (cast(s1 as double) / k)) AS sd
+  FROM hourly h JOIN stats USING (user_id))
+SELECT user_id, h AS hour, n, mean, (n - mean) / sd AS z
+FROM j WHERE sd > 0 AND abs((n - mean) / sd) >= 2.0
+ORDER BY user_id, hour
 """,
         # --- fuzzy matching with blocking ---------------------------------
         "fuzzy_part_pairs": """
