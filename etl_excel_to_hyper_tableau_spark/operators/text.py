@@ -265,42 +265,52 @@ def clean_corpus(df: DataFrame, text_col: str, id_col: str,
     ``n_tokens``, ``dup_bigram_frac``) so downstream audits can see why
     a row survived.
 
-    Plan: **entirely map-only** — every gate, including the bigram-
-    repetition fraction, is a per-row array expression, so the whole
-    cleaning gate fuses into the scan stage with zero shuffles (the
-    gate is the first thing a 100 TB ingest runs; a shuffle here would
-    re-exchange the raw corpus).  The bigram fraction is per-doc
-    arithmetic (1 − distinct/total over the doc's own bigrams) — value-
-    identical to :func:`repetition_profile`'s corpus-wide aggregate
-    formulation, which remains the right tool when the *other*
-    repetition signals (top-token share, dup-token fraction) are also
-    needed.
+    Plan: **entirely map-only** — the whole gate is ONE generator
+    expression, ``inline(filter(transform(array(tokens), ...)))``, so
+    it fuses into the scan stage with zero shuffles (the gate is the
+    first thing a 100 TB ingest runs; a shuffle here would re-exchange
+    the raw corpus).  The token array is bound as a higher-order-
+    function lambda variable, so every signal — token count, stopword
+    hits, bigram-repetition fraction — reads the SAME materialized
+    array: the row tokenizes exactly once.  (The previous formulation
+    computed ``quality`` / ``n_tokens`` / ``dup_bigram_frac`` as three
+    projected columns over independently-derived token arrays, and
+    CollapseProject re-inlined the split per consumer — each row
+    tokenized ~3×; measured 3.7 s vs 1.6 s at sf0.1.)  ``inline`` over
+    the filtered single-element struct array both appends the gate
+    columns and drops failing rows in the same Generate node — no
+    downstream Filter can re-inline the expression.  The bigram
+    fraction is per-doc arithmetic (1 − distinct/total over the doc's
+    own bigrams) — value-identical to :func:`repetition_profile`'s
+    corpus-wide aggregate formulation, which remains the right tool
+    when the *other* repetition signals (top-token share, dup-token
+    fraction) are also needed.
     """
-    # bigrams via zip_with over two slices, never element_at over a
-    # sequence: CollapseProject re-inlines intermediate columns, and an
-    # inlined element_at-per-index re-evaluates the token split per
-    # element — O(len²) re-tokenization per doc, measured 40× slower.
-    # The slice form stays O(len) even fully inlined.
-    t = (df.withColumn("__toks__", tokens(F.col(text_col)))
-         .withColumn("__bgs__", F.when(
-             F.size("__toks__") >= 2,
-             F.zip_with(
-                 F.slice("__toks__", 1, F.size("__toks__") - 1),
-                 F.slice("__toks__", 2, F.size("__toks__") - 1),
-                 lambda a, b: F.concat(a, F.lit(" "), b))
-         ).otherwise(F.array().cast("array<string>"))))
-    dbf = F.when(
-        F.size("__bgs__") >= 1,
-        F.lit(1.0) - (F.size(F.array_distinct("__bgs__")).cast("double")
-                      / F.size("__bgs__").cast("double"))
-    ).otherwise(F.lit(0.0))
-    out = (t.withColumn("quality", quality_score(F.col(text_col)))
-           .withColumn("n_tokens", F.size("__toks__").cast("long"))
-           .withColumn("dup_bigram_frac", dbf)
-           .drop("__toks__", "__bgs__"))
-    return out.filter((F.col("quality") >= min_quality)
-                      & F.col("n_tokens").between(min_tokens, max_tokens)
-                      & (F.col("dup_bigram_frac") <= max_dup_bigram))
+    # Single SQL string (one Py4J round-trip; see with_simhash for the
+    # same pattern).  Bigrams via zip_with over two slices of the
+    # lambda-bound array — O(len) per row even inside the lambda.
+    sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), t -> t <> '')"
+    punct_ratio = (f"(length(regexp_replace({text_col}, '[A-Za-z0-9\\\\s]', ''))"
+                   f" / cast(greatest(length({text_col}), 1) as double))")
+    quality = (
+        "(least(size(toks) / 20.0D, 1.0D) * 0.4D"
+        f" + greatest(1.0D - {punct_ratio} * 4.0D, 0.0D) * 0.3D"
+        f" + least((size(filter(toks, t -> array_contains({sw}, lower(t))))"
+        " / cast(greatest(size(toks), 1) as double)) * 5.0D, 1.0D) * 0.3D)")
+    dbf = ("case when size(toks) >= 2 then"
+           " 1.0D - cast(size(array_distinct(zip_with("
+           "slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+           " (a, b) -> concat(a, ' ', b)))) as double)"
+           " / cast(size(toks) - 1 as double) else 0.0D end")
+    sig = (f"transform(array({toks}), toks -> struct("
+           f"{quality} as quality, "
+           "cast(size(toks) as bigint) as n_tokens, "
+           f"{dbf} as dup_bigram_frac))")
+    gate = (f"inline(filter({sig}, s -> s.quality >= {min_quality!r}D"
+            f" and s.n_tokens >= {min_tokens} and s.n_tokens <= {max_tokens}"
+            f" and s.dup_bigram_frac <= {max_dup_bigram!r}D))")
+    return df.select("*", F.expr(gate))
 
 
 # ---------------------------------------------------------------------------
