@@ -100,14 +100,30 @@ def main() -> None:
               f"({n} rows)", file=sys.stderr)
 
     total = round(sum(warm.values()), 3)
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to a side file: the driver captures only the
+    # tail of stdout, and a 37-query inline dict overflowed it in round 2
+    # (BENCH_r02.json "parsed": null).  The LAST stdout line stays compact.
+    detail = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "cold_total": round(sum(cold.values()), 3),
+        "n_queries": len(warm),
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
     }))
     spark.stop()
 

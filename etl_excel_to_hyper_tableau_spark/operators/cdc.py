@@ -98,15 +98,26 @@ def scd2_intervals(df: DataFrame, key: str, ts: str, attrs: list[str],
 
 def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
                  ts: str, tiebreak: str | None = None,
-                 delete_col: str | None = None) -> dict:
+                 delete_col: str | None = None,
+                 retain_tombstones: bool = True) -> dict:
     """MERGE INTO emulation for plain parquet tables: union the current
     table with an updates batch, keep the latest version per key
     (:func:`latest_snapshot`), and atomically swap the rewritten table
     into place.
 
     ``delete_col``: optional boolean tombstone column — a key whose
-    *latest* version carries ``delete_col = true`` is dropped from the
-    result (the CDC delete contract); the column itself is not written.
+    *latest* version carries ``delete_col = true`` is a CDC delete.
+    With ``retain_tombstones`` (the default) the tombstone row stays in
+    the written table, ``delete_col`` and all, so the delete is durable
+    against out-of-order batches: a later merge carrying an *older*-ts
+    version of the deleted key loses to the tombstone in
+    latest-version-wins and the key stays dead.  Read live rows through
+    :func:`read_merged`, which filters tombstones out.  With
+    ``retain_tombstones=False`` the tombstoned keys are physically
+    dropped and the column is not written (smaller table, but a
+    straggler batch with an older ts can resurrect a deleted key —
+    only safe when upstream guarantees per-key ts monotonicity across
+    batches).
 
     The swap is write-to-side-directory + two renames — atomic on a
     POSIX/HDFS-style filesystem, which is the right local model; on an
@@ -150,13 +161,16 @@ def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
             current = current.withColumn(delete_col, F.lit(False))
         up = current.unionByName(up)
     latest = latest_snapshot(up, key, ts, tiebreak=tiebreak)
-    deleted = 0
-    if delete_col:
-        # NULL tombstone = not a delete (coalesce — a bare ~col drops
-        # NULL rows without counting them)
+    pinned = None
+    if delete_col and not retain_tombstones:
+        # pin ONE snapshot of the merge result so the tombstone count
+        # and the written rows come from the same materialization (two
+        # independent jobs over the lineage could diverge under
+        # nondeterministic tie-breaking).  NULL tombstone = not a
+        # delete (coalesce — a bare ~col drops NULL rows uncounted).
+        pinned = latest.persist()
         tomb = F.coalesce(F.col(delete_col), F.lit(False))
-        deleted = latest.filter(tomb).count()
-        latest = latest.filter(~tomb).drop(delete_col)
+        latest = pinned.filter(~tomb).drop(delete_col)
     latest.write.mode("overwrite").parquet(tmp)
     # row count from parquet footers — no second scan of the table
     import pyarrow.parquet as pq
@@ -165,8 +179,32 @@ def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
         for f in files:
             if f.endswith(".parquet"):
                 n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    deleted = 0
+    if delete_col:
+        tomb = F.coalesce(F.col(delete_col), F.lit(False))
+        if retain_tombstones:
+            # derived from the WRITTEN table (tmp) — the count always
+            # agrees with the bytes on disk
+            deleted = spark.read.parquet(tmp).filter(tomb).count()
+            n -= deleted  # "rows" = live rows in both modes
+        else:
+            deleted = pinned.filter(tomb).count()
+            pinned.unpersist()
     if os.path.exists(target_dir):
         os.rename(target_dir, old)
     os.rename(tmp, target_dir)
     shutil.rmtree(old, ignore_errors=True)
     return {"rows": n, "keys_deleted": deleted}
+
+
+def read_merged(spark, target_dir: str,
+                delete_col: str | None = None) -> DataFrame:
+    """Read the live rows of a :func:`merge_upsert`-maintained table:
+    with ``delete_col`` set, tombstoned keys are filtered out and the
+    tombstone column dropped (parquet predicate pushdown makes the
+    filter scan-time work, no shuffle)."""
+    df = spark.read.parquet(target_dir)
+    if delete_col and delete_col in df.columns:
+        df = (df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+              .drop(delete_col))
+    return df

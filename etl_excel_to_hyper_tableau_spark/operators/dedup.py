@@ -165,6 +165,18 @@ def with_minhash(df: DataFrame, text_col: str, id_col: str,
     return hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
+def _check_bands(k: int, bands: int) -> None:
+    """Banding only covers the whole signature when ``bands`` divides
+    ``k`` — a remainder would silently leave the trailing ``k % bands``
+    signature positions out of every digest while ``est_jaccard`` still
+    divides by ``k``.  Shared by every banding entry point."""
+    if k % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide the signature width k ({k}); "
+            f"a k % bands remainder would drop {k % bands} signature "
+            "positions from the band digests")
+
+
 def _band_inline_sql(bands: int, r: int) -> str:
     """``inline(array(struct(band, bh), ...))`` SQL arm splitting a
     k-wide ``sig`` array into ``bands`` md5 band digests — one
@@ -189,6 +201,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     Output: ``id_a, id_b, est_jaccard`` (estimate = fraction of equal
     signature positions), deduped across bands.
     """
+    _check_bands(k, bands)
     r = k // bands
     # persist: the signature table is referenced four times below (both
     # join sides + both sig lookups); without it Catalyst re-evaluates
@@ -235,6 +248,7 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     collisions are verified against the signature estimate (quadratic in
     cluster size — the verification-grade variant).
     """
+    _check_bands(k, bands)
     if threshold is None:
         sigs = with_minhash(df, text_col, id_col, k=k, n=n).filter(F.size("sig") > 0)
         r = k // bands
@@ -261,6 +275,7 @@ def minhash_band_table(df: DataFrame, text_col: str, id_col: str,
     snapshot (or append per accepted batch) and every future
     incremental dedup joins against it without touching corpus text.
     Size: docs × bands rows of (2 longs + digest + k longs)."""
+    _check_bands(k, bands)
     r = k // bands
     sigs = (with_minhash(df, text_col, id_col, k=k, n=n)
             .filter(F.size("sig") > 0))
@@ -291,6 +306,16 @@ def minhash_incremental_candidates(new_df: DataFrame | None,
     are not reported as pairs.
 
     Output: ``new_id, corpus_id, est_jaccard``.
+
+    Caching contract: when this call derives a band table itself (a
+    ``new_df``/``corpus_df`` argument), that table is persisted and
+    deliberately NOT unpersisted — the returned DataFrame is lazy, and
+    the cache must survive until the caller's action has run.  The
+    entries are scoped to the one-shot batch call and evicted by
+    Spark's LRU store (MEMORY_AND_DISK) or session teardown.  Loop
+    callers (streaming ingest) must pass precomputed ``*_bands`` and
+    own persist/unpersist per micro-batch, as
+    :func:`...streaming.ingest.curated_ingest` does.
     """
     if (corpus_df is None) == (corpus_bands is None):
         raise ValueError("pass exactly one of corpus_df / corpus_bands")
@@ -352,7 +377,12 @@ def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                         "transform(split({t}, '\\\\s+'), t -> {h}) as hs"
                         .format(t=text_col, h=_MD5_INT64_SQL.format(x="t")))
             .selectExpr("id", f"{votes} as v")
-            .selectExpr("id", f"{recomb} as simhash"))
+            .selectExpr("id", f"{recomb} as simhash")
+            # NULL-text docs fold to a NULL signature; the reference
+            # explode/groupBy formulation emitted no row for them, so
+            # drop the NULLs to stay row-for-row equivalent (map-only —
+            # the filter fuses into the same projection stage)
+            .filter(F.col("simhash").isNotNull()))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -41,7 +41,10 @@ def parquet_file_stats(path: str) -> tuple[int, int]:
     n, total = 0, 0
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet") or f.startswith("part-"):
+            # data files only: part-* Spark outputs can carry .crc /
+            # _SUCCESS siblings in mixed dirs — counting those skews
+            # the compaction sizing
+            if f.endswith(".parquet"):
                 n += 1
                 total += os.path.getsize(os.path.join(root, f))
     return n, total
@@ -69,6 +72,11 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
 
     Returns {"files_in", "bytes_in", "files_out", "partitions"}.
     """
+    if os.path.abspath(out_dir) == os.path.abspath(in_dir):
+        # overwrite-in-place would delete the input out from under the
+        # lazy read and destroy the table
+        raise ValueError(
+            f"compact_parquet: out_dir must differ from in_dir ({in_dir})")
     files_in, bytes_in = parquet_file_stats(in_dir)
     parts = max(1, math.ceil(bytes_in / (target_file_mb << 20)))
     df = spark.read.parquet(in_dir).repartition(parts)

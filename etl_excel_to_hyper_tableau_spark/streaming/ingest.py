@@ -21,6 +21,8 @@ duplicating rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as dd
@@ -77,10 +79,19 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
         # the incremental join and the staged-index append
         bt = dd.minhash_band_table(gated, "text", "doc_id",
                                    k=minhash_k, bands=bands).persist()
-        try:
+        # Existence-gated, not exception-gated: a broad except here
+        # would treat corrupt index files / transient FS errors /
+        # schema drift as "first batch" and silently skip cross-batch
+        # dedup, accepting duplicates into the curated corpus.  Only a
+        # genuinely absent index directory means "first batch"; any
+        # read failure on an existing one must surface (same contract
+        # as cdc.merge_upsert's target read).
+        if os.path.isdir(bands_dir) and any(
+                f.endswith(".parquet") or f.startswith("part-")
+                for _r, _d, fs in os.walk(bands_dir) for f in fs):
             staged = spark.read.parquet(bands_dir) \
                 .select("id", "band", "bh", "sig")
-        except Exception:  # first batch: no index yet
+        else:
             staged = None
         if staged is not None:
             dup = (dd.minhash_incremental_candidates(

@@ -113,7 +113,41 @@ def test_merge_upsert_tombstone_delete(spark, tmp_path):
         "event_id long, ts long, key string, val string, _deleted boolean")
     stats = merge_upsert(spark, target, v2, key="key", ts="ts",
                          tiebreak="event_id", delete_col="_deleted")
-    assert stats["keys_deleted"] == 1
+    assert stats["keys_deleted"] == 1 and stats["rows"] == 1
+    # default mode retains the tombstone row (durable delete); live
+    # rows come through read_merged
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import read_merged
+    live = read_merged(spark, target, delete_col="_deleted")
+    assert {r["key"] for r in live.collect()} == {"b"}
+    assert "_deleted" not in live.columns
+    assert "_deleted" in spark.read.parquet(target).columns
+    # durability: a straggler batch with an OLDER ts for the deleted
+    # key must NOT resurrect it — the retained tombstone (ts=20) wins
+    v3 = spark.createDataFrame(
+        [(4, 15, "a", "stale")],
+        "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v3, key="key", ts="ts",
+                 tiebreak="event_id", delete_col="_deleted")
+    live = read_merged(spark, target, delete_col="_deleted")
+    assert {r["key"] for r in live.collect()} == {"b"}
+
+
+def test_merge_upsert_drop_tombstones_mode(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    target = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, 10, "a", "x"), (2, 10, "b", "y")],
+        "event_id long, ts long, key string, val string")
+    merge_upsert(spark, target, v1, key="key", ts="ts",
+                 tiebreak="event_id", delete_col="_deleted",
+                 retain_tombstones=False)
+    v2 = spark.createDataFrame(
+        [(3, 20, "a", "x", True)],
+        "event_id long, ts long, key string, val string, _deleted boolean")
+    stats = merge_upsert(spark, target, v2, key="key", ts="ts",
+                         tiebreak="event_id", delete_col="_deleted",
+                         retain_tombstones=False)
+    assert stats["keys_deleted"] == 1 and stats["rows"] == 1
     rows = spark.read.parquet(target).collect()
     assert {r["key"] for r in rows} == {"b"}
     assert "_deleted" not in spark.read.parquet(target).columns
