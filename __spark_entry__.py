@@ -762,28 +762,54 @@ def q_event_rate_anomalies(spark, sf_dir):
 
 def q_fuzzy_part_pairs(spark, sf_dir):
     """Entity-resolution primitive: near-identical part names by edit
-    distance ≤ 2, found via blocking (equi-join on the first-8-char
-    block key) — never all-pairs; levenshtein runs only inside blocks.
-    Blocking is only as scalable as the key is selective: this
-    synthetic corpus draws names from a tiny template vocabulary, so
-    block sizes grow linearly with the corpus and intra-block pairs
-    quadratically (measured 100× pairs at 10× data) — the entry
-    therefore samples a fixed stratum, and a production deployment
-    tunes key selectivity (longer prefixes, multiple keys, length
-    bands) to hold block sizes constant as the corpus grows."""
-    p = (_t(spark, sf_dir, "part")
-         .filter(F.col("p_partkey") % 4 == 0)
-         .select("p_partkey", "p_name"))
-    blocked = p.withColumn("blk", F.substring("p_name", 1, 8))
-    a = blocked.select(F.col("p_partkey").alias("id_a"),
-                       F.col("p_name").alias("name_a"), "blk")
-    b = blocked.select(F.col("p_partkey").alias("id_b"),
-                       F.col("p_name").alias("name_b"), "blk")
+    distance ≤ 2, matched at the **distinct-value (entity) level**.
+
+    Row-level fuzzy pairing is intrinsically quadratic on a corpus with
+    exact duplicates (this table has 64 distinct names across 2k-20k
+    rows, so one popular name alone contributes O(copies²) row pairs —
+    no blocking key can bound that, because the *answer* is quadratic).
+    The scalable formulation collapses to distinct names first (one
+    corpus-linear groupBy with map-side combine, keeping a
+    deterministic representative id and the occurrence count), then
+    runs blocked levenshtein over the distinct-name table only — whose
+    size is vocabulary-bound and grows sublinearly with the corpus.
+    Output: one row per near-identical name pair with representative
+    ids and the counts needed to expand back to row granularity.
+
+    Blocking: **multi-key union** — each name blocks on both its first
+    and its last whitespace token, so a pair survives as long as either
+    end of the name is untouched by the edits (single-prefix blocking
+    missed every true pair on this corpus: all its dist ≤ 2 variants
+    edit the leading word).  Candidate pairs matched by both keys are
+    collapsed with a distinct on the bare pair before levenshtein runs.
+    Residual recall contract: a pair edited in BOTH its first and last
+    token is not reported — add keys (middle tokens, q-gram keys) to
+    widen recall; block occupancy stays vocabulary-bound either way."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = (p.groupBy("p_name")
+             .agg(F.min("p_partkey").alias("rep_id"),
+                  F.count("*").alias("n_rows")))
+    toks = F.split("p_name", " ")
+    blocked = names.select(
+        "rep_id", "p_name", "n_rows",
+        F.explode(F.array_distinct(F.array(
+            F.element_at(toks, 1),
+            F.element_at(toks, F.size(toks))))).alias("blk"))
+    a = blocked.select(F.col("rep_id").alias("id_a"),
+                       F.col("p_name").alias("name_a"),
+                       F.col("n_rows").alias("rows_a"), "blk")
+    b = blocked.select(F.col("rep_id").alias("id_b"),
+                       F.col("p_name").alias("name_b"),
+                       F.col("n_rows").alias("rows_b"), "blk")
     return (a.join(b, "blk")
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "name_a", "name_b", "rows_a", "rows_b")
+            .distinct()
             .withColumn("dist", F.levenshtein("name_a", "name_b"))
             .filter(F.col("dist") <= 2)
-            .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+            .select("id_a", "id_b",
+                    F.col("dist").cast("long").alias("dist"),
+                    "rows_a", "rows_b")
             .orderBy("id_a", "id_b"))
 
 
@@ -2318,12 +2344,20 @@ ORDER BY user_id, hour
 """,
         # --- fuzzy matching with blocking ---------------------------------
         "fuzzy_part_pairs": """
-WITH b AS (SELECT p_partkey, p_name, substring(p_name, 1, 8) AS blk
-           FROM part WHERE p_partkey % 4 = 0)
-SELECT a.p_partkey AS id_a, b2.p_partkey AS id_b,
-       cast(levenshtein(a.p_name, b2.p_name) as bigint) AS dist
-FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey
-WHERE levenshtein(a.p_name, b2.p_name) <= 2
+WITH names AS (SELECT p_name, min(p_partkey) AS rep_id,
+                      count(*) AS n_rows
+               FROM part GROUP BY p_name),
+b AS (SELECT rep_id, p_name, n_rows, unnest(list_distinct(
+        [string_split(p_name, ' ')[1],
+         string_split(p_name, ' ')[len(string_split(p_name, ' '))]])) AS blk
+      FROM names),
+cand AS (SELECT DISTINCT a.rep_id AS id_a, b2.rep_id AS id_b,
+                a.p_name AS name_a, b2.p_name AS name_b,
+                a.n_rows AS rows_a, b2.n_rows AS rows_b
+         FROM b a JOIN b b2 ON a.blk = b2.blk AND a.rep_id < b2.rep_id)
+SELECT id_a, id_b, cast(levenshtein(name_a, name_b) as bigint) AS dist,
+       rows_a, rows_b
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
 ORDER BY id_a, id_b
 """,
         # --- per-label embedding centroids (exact-decimal pooling) --------

@@ -58,6 +58,7 @@ QUERIES = [
     "cdc_latest_events",        # key-bounded partial aggregate
     "scd2_event_history",       # single-Exchange two-window history
     "doc_compression",          # Arrow pandas-UDF throughput
+    "fuzzy_part_pairs",         # distinct-name collapse + multi-key blocking
 ]
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
@@ -89,6 +90,14 @@ SCALED_SQL = {
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
         FROM read_parquet('{SRC}/lineitem.parquet'),
+             (SELECT unnest(range({COPIES})) AS k)""",
+    # 10 copies with offset keys and the SAME 64-name vocabulary — the
+    # distinct-name table the fuzzy matcher pairs over stays constant
+    # while the row count (and the groupBy's input) grows 10x
+    "part": f"""
+        SELECT p_partkey + k * 100000000 AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice
+        FROM read_parquet('{SRC}/part.parquet'),
              (SELECT unnest(range({COPIES})) AS k)""",
     # 10 disjoint user populations with identical per-user histories —
     # CDC/SCD2 change-point density per key matches the original
