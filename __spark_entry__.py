@@ -581,7 +581,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     driver-collect an unbounded corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     return (dd.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4,
-                                      use_lsh=True, planes=4)
+                                      use_lsh=True, planes=4, dim=64)
             .orderBy("id_a", "id_b"))
 
 

@@ -451,7 +451,8 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                            threshold: float = 0.95,
                            use_lsh: bool = False, planes: int | None = None,
                            max_exact: int = 100_000,
-                           target_bucket: int = 64) -> DataFrame:
+                           target_bucket: int = 64,
+                           dim: int | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine similarity ≥ threshold.
 
     ``use_lsh=False``: exact all-pairs (cross join pruned by id<id) —
@@ -482,6 +483,10 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
+    # NOT persisted: the projection is one cast+norm over the scan —
+    # cheaper to recompute per consumer than to pay the memory-store
+    # write and the InMemoryTableScan barrier (which blocks codegen
+    # fusion with the joins; measured +0.4 s at sf0.1)
     a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     if not use_lsh and v.limit(max_exact + 1).count() > max_exact:
@@ -491,13 +496,19 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
             n = v.count()
             planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket))
                          if n > target_bucket else 4)
-        first = v.select("vec").first()
-        if first is None:
-            return (v.select(F.col("id").alias("id_a"))
-                    .limit(0)
-                    .select("id_a", F.col("id_a").alias("id_b"),
-                            F.lit(0.0).alias("cosine")))
-        sig = _sign_lsh_signature("vec", planes, len(first["vec"]))
+        if dim is None:
+            # dim probe is a one-row job over the projection; pass
+            # ``dim`` when the embedding width is known (a fixed-width
+            # training corpus) to keep the pinned-planes path at
+            # exactly one Spark job
+            first = v.select("vec").first()
+            if first is None:
+                return (v.select(F.col("id").alias("id_a"))
+                        .limit(0)
+                        .select("id_a", F.col("id_a").alias("id_b"),
+                                F.lit(0.0).alias("cosine")))
+            dim = len(first["vec"])
+        sig = _sign_lsh_signature("vec", planes, dim)
         vb_ = v.withColumn("bucket", sig)
         cand = _bucket_gemm_prefilter(vb_, threshold)
         if cand is not None:
