@@ -2,11 +2,13 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side design is fully real — schemas, partition sizing, UDF
-signatures, batch shapes — while the codec step itself is stubbed: this
-container has no image/audio libraries, so ``decode_image`` degrades to
-a clearly-marked deterministic fake (documented per-function).  Swapping
-the fake for Pillow/torchaudio is a one-line change inside the UDF; the
-distributed plumbing does not move.
+signatures, batch shapes — and so is the PNG image path: a pure-stdlib
+PNG codec (:mod:`..functions.png`, zlib inflate + scanline un-filter)
+decodes/encodes real image bytes end-to-end.  Codecs that genuinely
+need native libraries absent from this container (JPEG, audio, video
+demux) degrade to clearly-marked deterministic fakes (documented
+per-function); swapping in Pillow/torchaudio/PyAV is a one-line change
+inside the UDF; the distributed plumbing does not move.
 
 Scale notes: media blobs make rows wide, so the operators repartition by
 byte budget, not row count (`target_partition_bytes`); feature outputs
@@ -48,6 +50,36 @@ def make_fake_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
                      ("png", 32, 24, None, None) if kind == "image"
                      else ("wav", None, None, 16000, 1 + i % 50)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_png_media(spark, n: int = 16, width: int = 32,
+                   height: int = 24) -> DataFrame:
+    """Synthetic media table whose ``content`` is REAL encoded PNG bytes
+    (stdlib codec — :mod:`..functions.png`): deterministic per-id
+    greyscale gradient images, so the full decode→resample→encode path
+    runs on genuine image data with no image library installed."""
+    from ..functions.png import encode_png
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:height, 0:width]
+        arr = ((xx * 7 + yy * 13 + i * 31) % 256).astype(np.uint8)
+        rows.append((i, "image", encode_png(arr),
+                     ("png", width, height, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
+    """Decode dispatcher for the image operators: real PNG bytes (by
+    signature) decode through the stdlib codec; anything else falls back
+    to the deterministic fake (:func:`_fake_decode_gray`), which stands
+    in for the formats whose codecs aren't installable here (JPEG...).
+    """
+    from ..functions.png import _MAGIC, decode_png
+
+    if content[:8] == _MAGIC:
+        return decode_png(content)
+    return _fake_decode_gray(content, width, height)
 
 
 def repartition_by_bytes(df: DataFrame, size_col_bytes: str = "content",
@@ -122,21 +154,25 @@ def _fake_decode_gray(content: bytes, width: int, height: int) -> np.ndarray:
 
 
 def resize_images(df: DataFrame, width: int, height: int,
-                  decode=None, encode=None) -> DataFrame:
+                  decode=None, encode=None,
+                  out_format: str = "raw") -> DataFrame:
     """Resize each image row to ``width×height`` via Arrow-batched
     ``mapInPandas``; ``content`` is replaced by the re-encoded resized
     image and ``meta.width/height/format`` are updated.
 
-    The resampling itself is real (nearest-neighbor index math on the
-    decoded array — the same arithmetic a library resize performs);
-    only the codec boundary is stubbed: ``decode(bytes, w, h) →
-    ndarray`` defaults to the deterministic :func:`_fake_decode_gray`,
-    ``encode(ndarray) → bytes`` defaults to raw row-major bytes
-    (format ``"raw"``).  Swapping in Pillow is
-    ``decode=lambda b, w, h: np.asarray(Image.open(io.BytesIO(b)))``;
-    the distributed plumbing does not move.
+    The resampling is real (nearest-neighbor index math on the decoded
+    array), and so is the PNG half of the codec boundary:
+    ``decode(bytes, w, h) → ndarray`` defaults to
+    :func:`decode_image`, which fully decodes real PNG content through
+    the stdlib codec (:mod:`..functions.png`) and falls back to the
+    deterministic fake only for formats with no installable codec
+    here.  ``encode(ndarray) → bytes`` defaults to raw row-major bytes
+    (format ``"raw"``); pass ``encode=png.encode_png,
+    out_format="png"`` for a real PNG→PNG round trip.  Swapping in
+    Pillow for the other formats is a one-line ``decode=``; the
+    distributed plumbing does not move.
     """
-    decode = decode or _fake_decode_gray
+    decode = decode or decode_image
     encode = encode or (lambda arr: arr.astype(np.uint8).tobytes())
     out_schema = df.schema
 
@@ -158,7 +194,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                                 .astype(np.int64), sw - 1)
                 out = src[np.ix_(yi, xi)]
                 contents.append(encode(out))
-                metas.append({**m, "format": "raw",
+                metas.append({**m, "format": out_format,
                               "width": width, "height": height})
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
