@@ -1123,6 +1123,91 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 # ===========================================================================
+# Round 3: substring dedup, winnowing, packing, LM counts, quantization,
+# cohort analytics, language-ID evaluation
+# ===========================================================================
+
+def q_segment_dedup(spark, sf_dir):
+    """Cross-document repeated-passage removal (chunk-approximated
+    exact-substring dedup, Lee et al.): 10-token segments, corpus-wide
+    first occurrence wins, documents re-assembled from survivors.
+    groupBy(min(struct)) election → partial agg absorbs hot segments."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dd.segment_dedup(docs, "text", "doc_id", seg_tokens=10)
+            .orderBy("doc_id"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03): min-hash-in-window over
+    rolling char 8-gram hashes, window 6.  Map-only, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.winnow_fingerprints(docs, "text", "doc_id", k=8, w=6)
+            .orderBy("id"))
+
+
+def q_seq_packing(spark, sf_dir):
+    """LLM batch construction: documents laid end-to-end in doc_id
+    order and cut into 256-token context windows — a DISTRIBUTED
+    prefix sum (range partition + per-partition offsets), never the
+    single-partition ``sum() OVER (ORDER BY)`` plan."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return (pack_sequences(docs, "text", "doc_id", window_tokens=256)
+            .orderBy("id"))
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus bigram-LM head: top-3 successors per unigram with exact
+    conditional probabilities; vocabulary-bounded window partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.bigram_lm_topk(docs, "text", "doc_id", topk=3)
+            .orderBy("w1", "rank"))
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization with per-dimension corpus calibration
+    + exact reconstruction MSE; stats are a 1-row broadcast, apply is
+    map-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (sim.quantize_embeddings_int8(emb, "embedding", "vec_id")
+            .orderBy("id"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over the events table: first-seen
+    week × active-week distinct-user counts; partial-agg first-seen,
+    no per-user history windows."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import cohort_retention
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the corpus label
+    vs the stopword-heuristic detector — the QA step after any
+    language-ID pass.  One tiny (|langs|² rows) aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.col("lang").alias("labeled"),
+                         tx.detect_language(F.col("text")).alias("detected"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("labeled", "detected"))
+
+
+def q_doc_length_buckets(spark, sf_dir):
+    """Context-length planning histogram: documents bucketed by
+    power-of-two token count (integer log2 via bit length — libm-free),
+    with per-bucket doc and token totals."""
+    docs = _t(spark, sf_dir, "documents")
+    n = tx.token_count(F.col("text")).cast("long")
+    bucket = F.length(F.bin(n)).cast("long").alias("log2_bucket")
+    return (docs.select(n.alias("n"), bucket)
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n").alias("total_tokens"))
+            .orderBy("log2_bucket"))
+
+
+# ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
 
@@ -1284,7 +1369,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness harness records the
+    # FIRST 50 entries in declaration order (CORRECTNESS_r01/r02 key
+    # sets are exactly positions 1-50).  Entries already driver-green
+    # in an archived CORRECTNESS_r{N}.json are moved to the back;
+    # entries without a recorded row yet come first so every operator
+    # accumulates a driver-recorded oracle diff across rounds.
     return {
+        # -- no driver row yet (were positions 51-83 in round 2) -----
+        "price_histogram": q_price_histogram,
+        "fuzzy_part_pairs": q_fuzzy_part_pairs,
+        "event_rate_anomalies": q_event_rate_anomalies,
+        "label_centroids": q_label_centroids,
+        "filter_clause_agg": q_filter_clause_agg,
+        "orders_intersect_all": q_orders_intersect_all,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "media_features": q_media_features,
+        "split_stats": q_split_stats,
+        "stratified_sample": q_stratified_sample,
+        "doc_repetition": q_doc_repetition,
+        "pii_redaction": q_pii_redaction,
+        "keyword_topk": q_keyword_topk,
+        "doc_chunks": q_doc_chunks,
+        "doc_lm_surprisal": q_doc_lm_surprisal,
+        "dedup_clusters": q_dedup_clusters,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "mixture_sample": q_mixture_sample,
+        "contamination_check": q_contamination_check,
+        "corpus_clean": q_corpus_clean,
+        "bm25_search": q_bm25_search,
+        "vocab_zipf": q_vocab_zipf,
+        "negative_samples": q_negative_samples,
+        "doc_compression": q_doc_compression,
+        "incremental_dedup": q_incremental_dedup,
+        "sketch_profile": q_sketch_profile,
+        "cdc_latest_events": q_cdc_latest_events,
+        "scd2_event_history": q_scd2_event_history,
+        "stream_purchase_click_join": q_stream_purchase_click_join,
+        "stream_event_counts": q_stream_event_counts,
+        "stream_session_windows": q_stream_session_windows,
+        "stream_dedup_events": q_stream_dedup_events,
+        "stream_latest_state": q_stream_latest_state,
+        # -- new in round 3 (positions 34+, inside the 50-row window) -
+        "segment_dedup": q_segment_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "seq_packing": q_seq_packing,
+        "bigram_lm": q_bigram_lm,
+        "embedding_quantize": q_embedding_quantize,
+        "cohort_retention": q_cohort_retention,
+        "lang_confusion": q_lang_confusion,
+        "doc_length_buckets": q_doc_length_buckets,
+        # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -1335,39 +1470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_balance_full_outer": q_nation_balance_full_outer,
         "data_quality_report": q_data_quality_report,
         "resample_ffill": q_resample_ffill,
-        "price_histogram": q_price_histogram,
-        "fuzzy_part_pairs": q_fuzzy_part_pairs,
-        "event_rate_anomalies": q_event_rate_anomalies,
-        "label_centroids": q_label_centroids,
-        "filter_clause_agg": q_filter_clause_agg,
-        "orders_intersect_all": q_orders_intersect_all,
-        "lineitem_unpivot": q_lineitem_unpivot,
-        "media_features": q_media_features,
-        "split_stats": q_split_stats,
-        "stratified_sample": q_stratified_sample,
-        "doc_repetition": q_doc_repetition,
-        "pii_redaction": q_pii_redaction,
-        "keyword_topk": q_keyword_topk,
-        "doc_chunks": q_doc_chunks,
-        "doc_lm_surprisal": q_doc_lm_surprisal,
-        "dedup_clusters": q_dedup_clusters,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "mixture_sample": q_mixture_sample,
-        "contamination_check": q_contamination_check,
-        "corpus_clean": q_corpus_clean,
-        "bm25_search": q_bm25_search,
-        "vocab_zipf": q_vocab_zipf,
-        "negative_samples": q_negative_samples,
-        "doc_compression": q_doc_compression,
-        "incremental_dedup": q_incremental_dedup,
-        "sketch_profile": q_sketch_profile,
-        "cdc_latest_events": q_cdc_latest_events,
-        "scd2_event_history": q_scd2_event_history,
-        "stream_purchase_click_join": q_stream_purchase_click_join,
-        "stream_event_counts": q_stream_event_counts,
-        "stream_session_windows": q_stream_session_windows,
-        "stream_dedup_events": q_stream_dedup_events,
-        "stream_latest_state": q_stream_latest_state,
     }
 
 
@@ -2478,5 +2580,133 @@ SELECT user_id, event_type, valid_from,
 FROM points
 WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 ORDER BY user_id, valid_from
+""",
+        # --- round 3: segment-level exact-substring dedup -----------------
+        "segment_dedup": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+st0 AS (SELECT doc_id, toks, unnest(range(0, greatest(n, 1), 10)) AS start FROM s),
+st AS (SELECT doc_id, cast(start // 10 AS bigint) AS seg_idx,
+              array_to_string(toks[start + 1 : start + 10], ' ') AS seg
+       FROM st0),
+segs AS (SELECT * FROM st WHERE seg <> ''),
+k AS (SELECT doc_id, seg_idx, seg,
+             rank() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS r
+      FROM segs),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+        FROM k WHERE r = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, cast(greatest(ceil(n / 10.0), 1) AS bigint) AS n_segments
+        FROM s)
+SELECT tot.doc_id, n_segments,
+       cast(coalesce(n_kept, 0) as bigint) AS n_kept,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+""",
+        # --- round 3: winnowing fingerprints (k=8, w=6) -------------------
+        "winnow_fingerprints": f"""
+WITH g AS (SELECT doc_id, {_grams_sql('text', 8)} AS grams FROM documents),
+h AS (SELECT doc_id,
+             list_apply(grams, x -> {_MD5I.format(x='x')}) AS hs,
+             len(grams) AS n
+      FROM g),
+sel AS (SELECT doc_id, n,
+  CASE WHEN n <= 6 THEN
+         (CASE WHEN n > 0 THEN [list_min(hs)]
+               ELSE cast([] AS BIGINT[]) END)
+       ELSE [list_min(hs[i : i + 5]) for i in range(1, n - 4)] END AS picked
+  FROM h)
+SELECT doc_id AS id, cast(n as bigint) AS n_grams,
+       cast(len(fps) as bigint) AS n_fps, fps AS fingerprints
+FROM (SELECT doc_id, n, list_sort(list_distinct(picked)) AS fps FROM sel)
+ORDER BY id
+""",
+        # --- round 3: sequence packing (global prefix sum) ----------------
+        "seq_packing": f"""
+WITH t AS (SELECT doc_id AS id, cast(len({toks}) as bigint) AS n_tokens
+           FROM documents),
+c AS (SELECT id, n_tokens, sum(n_tokens) OVER (ORDER BY id) AS cum FROM t)
+SELECT id, n_tokens,
+  cast(cum - n_tokens as bigint) AS start_offset,
+  cast((cum - n_tokens) // 256 as bigint) AS start_window,
+  cast((cum - n_tokens) % 256 as bigint) AS offset_in_window,
+  cast(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+            ELSE (cum - n_tokens) // 256 END as bigint) AS end_window,
+  cast(CASE WHEN n_tokens > 0
+            THEN (cum - 1) // 256 - (cum - n_tokens) // 256 + 1
+            ELSE 0 END as bigint) AS n_windows
+FROM c ORDER BY id
+""",
+        # --- round 3: bigram LM head (top-3 successors per unigram) -------
+        "bigram_lm": f"""
+WITH t AS (SELECT {toks} AS toks FROM documents),
+p AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN [struct_pack(w1 := toks[i-1], w2 := toks[i])
+              for i in range(2, len(toks) + 1)]
+        ELSE [] END) AS s FROM t),
+bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cnt FROM p GROUP BY 1, 2),
+r AS (SELECT w1, w2, cnt,
+             sum(cnt) OVER (PARTITION BY w1) AS w1_total,
+             row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rank
+      FROM bi)
+SELECT w1, w2, cast(cnt as bigint) AS cnt,
+       cast(w1_total as bigint) AS w1_total,
+       cnt / cast(w1_total as double) AS p,
+       cast(rank as bigint) AS rank
+FROM r WHERE rank <= 3 ORDER BY w1, rank
+""",
+        # --- round 3: int8 embedding quantization + reconstruction MSE ----
+        "embedding_quantize": """
+WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+stats AS (SELECT dim,
+                 min(cast(e.embedding[dim] as double)) AS lo,
+                 max(cast(e.embedding[dim] as double)) AS hi
+          FROM embeddings e, dims GROUP BY dim),
+sl AS (SELECT list(struct_pack(lo := lo, hi := hi) ORDER BY dim) AS st
+       FROM stats),
+q AS (SELECT vec_id, embedding, st,
+        list_apply(range(1, 65), i ->
+          CASE WHEN st[i].hi - st[i].lo = 0 THEN 0
+               ELSE greatest(0, least(255,
+                 floor((cast(embedding[i] as double) - st[i].lo) * 255.0
+                       / (st[i].hi - st[i].lo) + 0.5))) END) AS codes
+      FROM embeddings, sl)
+SELECT vec_id AS id,
+  cast(codes as SMALLINT[]) AS codes,
+  list_reduce(list_prepend(cast(0.0 as double),
+    list_apply(range(1, 65), i ->
+      (cast(embedding[i] as double)
+       - (st[i].lo + cast(codes[i] as double) * (st[i].hi - st[i].lo) / 255.0))
+      * (cast(embedding[i] as double)
+         - (st[i].lo + cast(codes[i] as double) * (st[i].hi - st[i].lo) / 255.0)))),
+    (a, b) -> a + b) / 64.0 AS mse
+FROM q ORDER BY id
+""",
+        # --- round 3: weekly cohort retention -----------------------------
+        "cohort_retention": """
+WITH f AS (SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS active_week
+      FROM events)
+SELECT cohort_week,
+       cast(date_diff('day', cohort_week, active_week) // 7 as bigint)
+         AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # --- round 3: language-ID confusion matrix ------------------------
+        "lang_confusion": f"""
+WITH t AS (SELECT lang, {toks} AS toks FROM documents)
+SELECT lang AS labeled, {detect} AS detected, count(*) AS n_docs
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # --- round 3: token-length power-of-two histogram -----------------
+        "doc_length_buckets": f"""
+WITH t AS (SELECT len({toks}) AS n FROM documents)
+SELECT cast(length(bin(n)) as bigint) AS log2_bucket,
+       count(*) AS n_docs,
+       cast(sum(n) as bigint) AS total_tokens
+FROM t GROUP BY 1 ORDER BY 1
 """,
     }

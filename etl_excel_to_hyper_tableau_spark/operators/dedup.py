@@ -752,3 +752,84 @@ def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
             .select(F.col("id").alias("doc_id"),
                     F.col("component").alias("cluster_id"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact-substring dedup (cross-document repeated passages)
+# ---------------------------------------------------------------------------
+
+def segment_dedup(df: DataFrame, text_col: str, id_col: str,
+                  seg_tokens: int = 10) -> DataFrame:
+    """Remove passages repeated across the corpus, keeping the first
+    occurrence — the chunk-approximated form of exact-substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), the standard pass that strips licence
+    boilerplate / templated passages from a pre-training corpus.
+
+    Each document is cut into consecutive non-overlapping windows of
+    ``seg_tokens`` whitespace tokens (final partial window kept).  For
+    every distinct segment text the corpus-wide first occurrence —
+    smallest ``(doc_id, seg_idx)`` — survives; later occurrences are
+    dropped, and each document is re-assembled from its surviving
+    segments in order.
+
+    Scale shape (the part that matters at 100 TB):
+
+    * Explode is map-only and corpus-linear (n/seg_tokens rows per doc).
+    * First-occurrence election is ``groupBy(digest).agg(min(struct))``
+      — partial aggregation combines map-side, so a segment duplicated
+      a million times ships ONE row per input partition into the
+      exchange; a window ``rank() OVER (PARTITION BY segment)``
+      formulation would ship all copies to one reducer (skew).  The
+      shuffle key is an md5 digest (16 bytes, high entropy) rather than
+      the segment text, keeping exchange rows narrow.
+    * Survivor filter is an equi-join back on the digest; re-assembly
+      is one groupBy on the id — both on high-entropy keys.
+
+    Output: ``doc_id, n_segments, n_kept, cleaned_text`` (one row per
+    input document; fully-duplicated documents keep ``n_kept = 0`` and
+    an empty string).
+    """
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    segs = (df.select(
+                F.col(id_col),
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0),
+                                   F.greatest(
+                                       (F.size(toks) - 1) / F.lit(seg_tokens),
+                                       F.lit(0)).cast("int"),
+                                   F.lit(1)),
+                        lambda b: F.concat_ws(
+                            " ", F.slice(toks, b * seg_tokens + 1, seg_tokens)),
+                    )).alias("seg_idx", "seg"))
+            .where(F.col("seg") != ""))
+    segs = segs.withColumn("__dig__", F.md5(F.col("seg")))
+
+    first = (segs.groupBy("__dig__")
+             .agg(F.min(F.struct(F.col(id_col).alias("id"),
+                                 F.col("seg_idx").alias("idx"))).alias("w")))
+    kept = (segs.join(first, "__dig__")
+            .where((F.col(id_col) == F.col("w.id"))
+                   & (F.col("seg_idx") == F.col("w.idx"))))
+
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("seg_idx", "seg"))),
+                            lambda s: s["seg"])).alias("cleaned_text")))
+
+    totals = (df.select(F.col(id_col),
+                        F.greatest(
+                            F.ceil(F.size(toks) / F.lit(seg_tokens)),
+                            F.lit(1)).cast("long").alias("n_segments")))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    "n_segments",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+                    F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text")))

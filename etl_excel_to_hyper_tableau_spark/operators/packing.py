@@ -1,0 +1,96 @@
+"""Sequence packing: lay a corpus of tokenized documents end-to-end and
+cut it into fixed-size context windows — the batch-construction step of
+every LLM pre-training pipeline (documents are concatenated in a
+deterministic order and split every ``window_tokens`` tokens; a document
+may span several windows).
+
+The core primitive is a DISTRIBUTED prefix sum.  The naive formulation
+— ``sum(n) OVER (ORDER BY id)`` with no PARTITION BY — collapses to a
+single partition in Spark and is the canonical 100 TB scale-killer.
+Instead this uses the classic two-phase scan:
+
+1. range-repartition + sort within partitions by the order key,
+2. per-partition token totals (one tiny aggregate — #partitions rows),
+3. exclusive partition offsets via a driver-side running sum over that
+   metadata-sized list (same size class as parquet footer stats; this
+   is NOT a data collect),
+4. map-side: window id = (partition offset + within-partition running
+   sum) — the within-partition window is partitioned by
+   ``spark_partition_id`` so no executor ever sees more than one
+   partition's rows.
+
+Equivalent to the single-ordered-window plan row-for-row, but every
+stage is bounded by partition size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokens
+
+
+def pack_sequences(df: DataFrame, text_col: str, id_col: str,
+                   window_tokens: int = 256,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Assign every document its span of fixed-size context windows.
+
+    Documents are ordered by ``id_col``, their whitespace-token counts
+    laid end-to-end, and the stream cut every ``window_tokens`` tokens.
+    For each document: the global offset of its first token, the first
+    and last window it lands in, and its offset within the first
+    window.  Zero-token documents carry their boundary position with an
+    empty span (``start_window = end_window = window of the boundary``).
+
+    Output: ``id, n_tokens, start_offset, start_window, offset_in_window,
+    end_window, n_windows``.
+    """
+    sized = df.select(F.col(id_col).alias("id"),
+                      F.size(tokens(F.col(text_col))).cast("long")
+                       .alias("n_tokens"))
+    if num_partitions:
+        sized = sized.repartitionByRange(num_partitions, "id")
+    else:
+        sized = sized.repartitionByRange("id")
+    # localCheckpoint (eager) pins the partition layout so the totals
+    # job and the downstream scan see identical contents (range
+    # boundaries are sampled, so an unpinned recompute could move
+    # rows); lineage is truncated and the blocks are reclaimed by the
+    # ContextCleaner when the DataFrame is garbage-collected — no
+    # explicit unpersist obligation leaks to the caller.
+    sized = (sized.sortWithinPartitions("id")
+             .withColumn("__pid__", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    # phase 2+3: per-partition totals — #partitions rows, metadata-sized
+    part_totals = (sized.groupBy("__pid__")
+                   .agg(F.sum("n_tokens").alias("t"))
+                   .orderBy("__pid__")
+                   .collect())
+    offsets, acc = {}, 0
+    for r in part_totals:
+        offsets[r["__pid__"]] = acc
+        acc += r["t"] or 0
+    # phase 4: partition offset + within-partition inclusive scan
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]) \
+        if offsets else F.create_map()
+    w = (Window.partitionBy("__pid__").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (off_map[F.col("__pid__")]
+           + F.sum("n_tokens").over(w)).alias("__cum__")
+    out = sized.select("id", "n_tokens", cum)
+    wt = F.lit(window_tokens).cast("long")
+    start_off = (F.col("__cum__") - F.col("n_tokens"))
+    end_win = F.when(F.col("n_tokens") > 0,
+                     F.floor((F.col("__cum__") - 1) / wt)) \
+               .otherwise(F.floor(start_off / wt))
+    return out.select(
+        "id", "n_tokens",
+        start_off.alias("start_offset"),
+        F.floor(start_off / wt).alias("start_window"),
+        (start_off % wt).alias("offset_in_window"),
+        end_win.alias("end_window"),
+        F.when(F.col("n_tokens") > 0,
+               end_win - F.floor(start_off / wt) + 1)
+         .otherwise(F.lit(0)).cast("long").alias("n_windows"),
+    )

@@ -267,3 +267,69 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def quantize_embeddings_int8(df: DataFrame, vec_col: str,
+                             id_col: str) -> DataFrame:
+    """Scalar int8 quantization of an embedding column with per-
+    dimension corpus min/max calibration, plus exact reconstruction
+    error — the storage/serving compression pass (4× smaller vectors)
+    of a large-scale embedding pipeline.
+
+    Two stages, both corpus-linear:
+
+    1. Calibration: ``posexplode`` → ``groupBy(dim)`` min/max.  Partial
+       aggregation means every input partition contributes ``dim`` rows
+       to the exchange regardless of corpus size; the stats table is
+       ``dim`` rows (metadata-sized).
+    2. Apply: the stats collapse to ONE row holding a dim-ordered
+       struct array, broadcast-cross-joined to the corpus (a 1-row
+       broadcast — no shuffle of the corpus side), then a map-only
+       ``transform``: ``q_j = clamp(floor((v_j - lo_j)·255/(hi_j -
+       lo_j) + 0.5), 0, 255)``.
+
+    ``floor(x + 0.5)`` (not ``round``) so the oracle reproduces codes
+    bit-exactly without matching a rounding-mode; reconstruction
+    ``r_j = lo_j + q_j·(hi_j - lo_j)/255`` and the MSE left-fold follow
+    the same operation order as the SQL formulation → identical
+    doubles.  Constant-width dimensions (hi = lo) encode to 0 and
+    reconstruct exactly.
+
+    Output: ``id, codes (array<smallint>), mse (double)``.
+    """
+    v = F.col(vec_col)
+    dims = (df.select(F.posexplode(v).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                 F.max(F.col("x").cast("double")).alias("hi")))
+    stats_row = dims.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "lo", "hi")))
+         .alias("__stats__"))
+
+    def q_at(i):
+        st = F.element_at(F.col("__stats__"), i + 1)
+        x = F.element_at(v, i + 1).cast("double")
+        span = st["hi"] - st["lo"]
+        raw = F.floor((x - st["lo"]) * F.lit(255.0) / span + F.lit(0.5))
+        return F.when(span == 0.0, F.lit(0).cast("long")) \
+                .otherwise(F.greatest(F.lit(0).cast("long"),
+                                      F.least(F.lit(255).cast("long"), raw)))
+
+    base = df.crossJoin(F.broadcast(stats_row))
+    ndim = F.size(F.col("__stats__"))
+    idx = F.sequence(F.lit(0), ndim - 1)
+    codes = F.transform(idx, lambda i: q_at(i))
+
+    def recon_err(i):
+        st = F.element_at(F.col("__stats__"), i + 1)
+        x = F.element_at(v, i + 1).cast("double")
+        q = F.element_at(F.col("__codes__"), i + 1).cast("double")
+        r = st["lo"] + q * (st["hi"] - st["lo"]) / F.lit(255.0)
+        return (x - r) * (x - r)
+
+    return (base.withColumn("__codes__", codes)
+            .select(F.col(id_col).alias("id"),
+                    F.col("__codes__").cast("array<smallint>").alias("codes"),
+                    (F.aggregate(idx, F.lit(0.0),
+                                 lambda acc, i: acc + recon_err(i))
+                     / ndim.cast("double")).alias("mse")))

@@ -627,3 +627,89 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "id", "n_bytes", "z_bytes",
         (F.col("z_bytes").cast("double")
          / F.greatest(F.col("n_bytes"), F.lit(1))).alias("ratio")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 8, w: int = 6) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03) — the MOSS near-dup/plagiarism sketch.
+
+    Rolling char ``k``-gram hashes; over every window of ``w``
+    consecutive hashes the minimum is selected; the distinct selected
+    values (sorted) are the document's fingerprint set.  Guarantees at
+    least one shared fingerprint for any common substring of length
+    ``k + w - 1``.
+
+    Entirely a Catalyst expression (transform/sequence/slice/array_min)
+    — map-only, zero shuffles, O(n·w) per document with w small.  The
+    fingerprint set is what a downstream inverted-index join (same plan
+    as :func:`~.dedup.ngram_jaccard_pairs`) buckets on; at 100 TB the
+    selection step here cuts the index to ~2/(w+1) of the gram count.
+
+    Output: ``id, n_grams, n_fps, fingerprints`` (sorted bigint array).
+    """
+    from ..functions.hashing import char_ngrams, md5_int64
+
+    col = F.col(text_col)
+    grams = char_ngrams(col, k)
+    hashes = F.transform(grams, lambda g: md5_int64(g))
+    n = F.size(hashes)
+    selected = F.when(
+        n <= F.lit(w),
+        F.when(n > 0, F.array(F.array_min(hashes)))
+         .otherwise(F.array().cast("array<bigint>")),
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), n - (w - 1)),
+                    lambda i: F.array_min(F.slice(hashes, i, w))))
+    fps = F.array_sort(F.array_distinct(selected))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        fps.alias("fingerprints"),
+    )
+
+
+def bigram_lm_topk(df: DataFrame, text_col: str, id_col: str,
+                   topk: int = 3) -> DataFrame:
+    """Corpus bigram language-model head: for each unigram ``w1``, the
+    ``topk`` most frequent successors with exact conditional
+    probabilities ``p = count(w1,w2) / count(w1·)``.
+
+    The n-gram-count step every classic LM / data-quality pipeline
+    runs.  Plan: map-only adjacent-pair explode → ``groupBy(w1, w2)``
+    count (partial aggregation absorbs hot bigrams map-side) → one
+    window partitioned by ``w1`` for the successor total + rank.  The
+    window partitions are vocabulary-bounded (≤ distinct successors of
+    one unigram), never corpus-bounded, so no reducer sees more than
+    vocab-sized state at any corpus scale.  Ties rank by ``w2`` asc —
+    fully deterministic.
+
+    Output: ``w1, w2, cnt, w1_total, p, rank`` for rank ≤ topk.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    # guard: Spark's sequence(2, stop) runs DESCENDING when stop < 2,
+    # so short docs must short-circuit to an empty pair list
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.struct(F.element_at(toks, i - 1).alias("w1"),
+                               F.element_at(toks, i).alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (df.select(F.explode(pairs).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")))
+    win = Window.partitionBy("w1")
+    rank = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2"))
+    return (bi.withColumn("w1_total", F.sum("cnt").over(win))
+            .withColumn("rank", F.row_number().over(rank))
+            .where(F.col("rank") <= topk)
+            .select("w1", "w2",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.col("w1_total").cast("long").alias("w1_total"),
+                    (F.col("cnt") / F.col("w1_total")).alias("p"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -404,3 +404,32 @@ def purchase_click_join_batch(events: DataFrame,
     return (purchases.join(clicks, cond, "inner")
             .select("user_id", "purchase_id", "click_id",
                     "purchase_ts", "click_ts", "purchase_value"))
+
+
+def cohort_retention(events: DataFrame,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention matrix: users are grouped by the week of
+    their first event (the cohort) and counted in every subsequent week
+    they were active.
+
+    Plan: one partial-agg ``groupBy(user)`` for first-seen (map-side
+    combine — each user ships one row per input partition, never their
+    event history), one distinct on ``(user, week)``, an equi-join on
+    the high-entropy user key, then the tiny ``(cohort, offset)``
+    aggregate.  No windows over per-user history, so a power user with
+    10^9 events costs the same shuffle bytes as anyone else after
+    combine.  Output: ``cohort_week, week_offset, n_users``.
+    """
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = (events.groupBy(F.col(user_col).alias("u"))
+                  .agg(week(F.min(ts_col)).alias("cohort_week")))
+    active = (events.select(F.col(user_col).alias("u"),
+                            week(F.col(ts_col)).alias("active_week"))
+              .distinct())
+    return (active.join(first_seen, "u")
+            .groupBy("cohort_week",
+                     (F.datediff(F.col("active_week"), F.col("cohort_week"))
+                      / 7).cast("long").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))

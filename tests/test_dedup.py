@@ -190,3 +190,49 @@ def test_incremental_candidates_cross_side_only(spark):
     cross_inc = {(min(r["new_id"], r["corpus_id"]),
                   max(r["new_id"], r["corpus_id"])) for r in got}
     assert cross_inc == cross_full
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact-substring dedup
+# ---------------------------------------------------------------------------
+
+def _seg_docs(spark):
+    boiler = " ".join(f"b{j}" for j in range(10))       # one exact 10-token segment
+    uniq = lambda i: " ".join(f"u{i}_{j}" for j in range(10))  # noqa: E731
+    rows = [
+        (0, boiler + " " + uniq(0)),          # first occurrence of boiler
+        (1, uniq(1) + " " + boiler),          # repeated at aligned offset 10
+        (2, boiler),                          # doc that is ONLY the boilerplate
+        (3, uniq(3) + " tail few"),           # partial final segment
+        (4, ""),                              # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import segment_dedup
+
+    out = {r["doc_id"]: r for r in
+           segment_dedup(_seg_docs(spark), "text", "doc_id",
+                         seg_tokens=10).collect()}
+    boiler = " ".join(f"b{j}" for j in range(10))
+    # doc 0 holds the first (smallest doc_id) copy — everything survives
+    assert out[0]["n_kept"] == 2 and boiler in out[0]["cleaned_text"]
+    # doc 1's aligned repeat of the boilerplate segment is dropped
+    assert out[1]["n_kept"] == 1 and boiler not in out[1]["cleaned_text"]
+    # doc 2 was nothing but the boilerplate: fully deduplicated
+    assert out[2]["n_kept"] == 0 and out[2]["cleaned_text"] == ""
+    # partial final segment survives as its own segment
+    assert out[3]["n_segments"] == 2 and out[3]["n_kept"] == 2
+    # empty doc: 1 nominal segment, nothing kept, still one output row
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+
+
+def test_segment_dedup_reassembles_in_order(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import segment_dedup
+
+    text = " ".join(f"t{j}" for j in range(35))  # 4 segments, last partial
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    row = segment_dedup(df, "text", "doc_id", seg_tokens=10).collect()[0]
+    assert row["cleaned_text"] == text  # no duplicates → identity, in order
+    assert row["n_segments"] == 4 and row["n_kept"] == 4

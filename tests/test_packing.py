@@ -1,0 +1,64 @@
+"""Sequence packing: the distributed prefix sum must equal the naive
+single-window formulation row-for-row, on multi-partition input."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from etl_excel_to_hyper_tableau_spark.operators.packing import pack_sequences
+from etl_excel_to_hyper_tableau_spark.operators.text import tokens
+
+
+def _naive(df, window_tokens):
+    """Single-ordered-window reference (fine at test scale)."""
+    sized = df.select(F.col("id"),
+                      F.size(tokens(F.col("text"))).cast("long").alias("n"))
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    c = sized.withColumn("cum", F.sum("n").over(w))
+    rows = {}
+    for r in c.collect():
+        start = r["cum"] - r["n"]
+        if r["n"] > 0:
+            end_w = (r["cum"] - 1) // window_tokens
+        else:
+            end_w = start // window_tokens
+        rows[r["id"]] = (r["n"], start, start // window_tokens,
+                         start % window_tokens, end_w,
+                         (end_w - start // window_tokens + 1) if r["n"] > 0 else 0)
+    return rows
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    ).repartition(4)  # scatter across partitions before the range sort
+
+
+def test_pack_matches_naive_prefix_sum(spark):
+    texts = [" ".join(f"w{j}" for j in range(n))
+             for n in [5, 0, 300, 17, 256, 1, 511, 2, 40, 256, 0, 700]]
+    df = _docs(spark, texts)
+    got = {r["id"]: (r["n_tokens"], r["start_offset"], r["start_window"],
+                     r["offset_in_window"], r["end_window"], r["n_windows"])
+           for r in pack_sequences(df, "text", "id", window_tokens=256,
+                                   num_partitions=3).collect()}
+    assert got == _naive(df, 256)
+
+
+def test_pack_offsets_are_contiguous(spark):
+    texts = [" ".join(["x"] * n) for n in [10, 20, 1, 99, 256, 3]]
+    df = _docs(spark, texts)
+    rows = sorted(pack_sequences(df, "text", "id", window_tokens=64).collect(),
+                  key=lambda r: r["id"])
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
+
+
+def test_pack_empty_doc_spans_zero_windows(spark):
+    df = _docs(spark, ["a b c", "", "d"])
+    rows = {r["id"]: r for r in
+            pack_sequences(df, "text", "id", window_tokens=4).collect()}
+    assert rows[1]["n_windows"] == 0 and rows[1]["n_tokens"] == 0
+    assert rows[1]["start_offset"] == 3  # carries the boundary position

@@ -45,3 +45,52 @@ def test_ann_topk_subset_of_exact(spark, corpus):
     # rank-1 hit must be the true nearest neighbor (id 0 at ~3°)
     top = min(rows, key=lambda r: r["rank"])
     assert top["id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_codes_bounds_and_extremes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        quantize_embeddings_int8)
+
+    rows = [(0, [0.0, -1.0, 5.0]),
+            (1, [1.0, 1.0, 5.0]),     # dim 2 constant across corpus
+            (2, [0.5, 0.0, 5.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r for r in
+           quantize_embeddings_int8(df, "embedding", "vec_id").collect()}
+    # corpus min → 0, corpus max → 255, midpoint → 128 (floor(127.5+0.5))
+    assert out[0]["codes"][0] == 0 and out[1]["codes"][0] == 255
+    assert out[2]["codes"][0] == 128
+    # constant dimension encodes 0 and reconstructs exactly
+    assert all(out[i]["codes"][2] == 0 for i in out)
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r["codes"])
+
+
+def test_quantize_mse_is_small_and_exact_at_extremes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        quantize_embeddings_int8)
+
+    # two vectors: every dim hits corpus min or max → zero error
+    rows = [(0, [0.0, 10.0]), (1, [2.0, -3.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r["mse"] for r in
+           quantize_embeddings_int8(df, "embedding", "vec_id").collect()}
+    assert out[0] == 0.0 and out[1] == 0.0
+
+
+def test_quantize_reconstruction_error_bound(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        quantize_embeddings_int8)
+
+    # half-step error bound: per-dim |err| <= span/510 → mse <= (span/510)^2
+    rows = [(i, [float(i) * 0.37 % 7.0, float(i * i % 13)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    spans = [max(r[1][d] for r in rows) - min(r[1][d] for r in rows)
+             for d in range(2)]
+    bound = sum((s / 510.0) ** 2 for s in spans) / 2 * 1.0001
+    for r in quantize_embeddings_int8(df, "embedding", "vec_id").collect():
+        assert r["mse"] <= bound

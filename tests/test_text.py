@@ -259,3 +259,80 @@ def test_bm25_precomputed_corpus_stats_identical(spark):
            for r in bm25_scores(df, "text", "doc_id", ["spark", "data"],
                                 corpus_stats=(n_docs, sum_dl)).collect()}
     assert pre == base  # bit-identical, one corpus pass fewer
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_common_substring_shares_fingerprint(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import winnow_fingerprints
+
+    # winnowing guarantee: any common substring of length >= k + w - 1
+    # (8 + 6 - 1 = 13) yields at least one shared fingerprint
+    common = "sharedsubstring13chars"
+    rows = [(0, "prefixAAA " + common + " tailZZZ"),
+            (1, "totally different words " + common)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: set(r["fingerprints"])
+           for r in winnow_fingerprints(df, "text", "doc_id").collect()}
+    assert out[0] & out[1]
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abc"), (2, "")], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           winnow_fingerprints(df, "text", "doc_id", k=8, w=6).collect()}
+    assert out[0]["n_grams"] == 3 and out[0]["n_fps"] == 1  # n <= w → one min
+    assert out[1]["n_grams"] == 0 and out[1]["fingerprints"] == []
+    assert out[2]["n_grams"] == 0 and out[2]["fingerprints"] == []
+
+
+def test_winnow_fingerprints_subset_of_gram_hashes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import winnow_fingerprints
+    from etl_excel_to_hyper_tableau_spark.functions.hashing import (
+        char_ngrams, md5_int64)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    fps = set(winnow_fingerprints(df, "text", "doc_id")
+              .collect()[0]["fingerprints"])
+    all_hashes = set(df.select(
+        F.explode(F.transform(char_ngrams(F.col("text"), 8),
+                              lambda g: md5_int64(g))).alias("h"))
+        .toPandas()["h"])
+    assert fps and fps <= all_hashes
+
+
+# ---------------------------------------------------------------------------
+# bigram LM head
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_counts_and_probabilities(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bigram_lm_topk
+
+    rows = [(0, "a b a b a c"), (1, "a b"), (2, "solo"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r
+           for r in bigram_lm_topk(df, "text", "doc_id", topk=3).collect()}
+    # successors of "a": b (x3: doc0 twice + doc1), c (x1); total 4
+    assert out[("a", "b")]["cnt"] == 3 and out[("a", "b")]["w1_total"] == 4
+    assert out[("a", "b")]["rank"] == 1 and out[("a", "b")]["p"] == 0.75
+    assert out[("a", "c")]["rank"] == 2 and out[("a", "c")]["p"] == 0.25
+    # single-token and empty docs contribute no pairs
+    assert not any(w1 == "solo" for (w1, _) in out)
+
+
+def test_bigram_lm_topk_cut_and_tiebreak(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bigram_lm_topk
+
+    # w1 "x" has 4 distinct successors, all count 1 → rank by w2 asc, keep 3
+    df = spark.createDataFrame([(0, "x d x c x b x a")], ["doc_id", "text"])
+    out = bigram_lm_topk(df, "text", "doc_id", topk=3).collect()
+    xs = sorted([r["w2"] for r in out if r["w1"] == "x"])
+    assert xs == ["a", "b", "c"]

@@ -45,3 +45,30 @@ def test_resample_plan_no_theta_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from etl_excel_to_hyper_tableau_spark.streaming.events import cohort_retention
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [  # user 1: weeks 0 and 2; user 2: week 0 only (same cohort);
+              # user 3: later cohort, weeks 0 and 1
+        (1, d("2024-01-01T10:00:00")), (1, d("2024-01-03T10:00:00")),
+        (1, d("2024-01-15T10:00:00")),
+        (2, d("2024-01-02T09:00:00")),
+        (3, d("2024-01-08T12:00:00")), (3, d("2024-01-14T23:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["cohort_week"].date().isoformat(), r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2   # users 1 and 2 active in cohort week
+    assert out[("2024-01-01", 2)] == 1   # user 1 returns two weeks later
+    assert out[("2024-01-08", 0)] == 1   # user 3's cohort (Jan 8 = Monday)
+    assert ("2024-01-08", 1) not in out  # Jan 14 is the SAME ISO week
+    assert sum(n for (_, off), n in out.items() if off == 0) == 3
