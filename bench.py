@@ -68,6 +68,13 @@ HEADLINE = [
     "rolling_time_window",
     "nation_balance_full_outer",
     "data_quality_report",
+    # round 3 additions
+    "segment_dedup",
+    "winnow_fingerprints",
+    "seq_packing",
+    "bigram_lm",
+    "embedding_quantize",
+    "cohort_retention",
 ]
 
 

@@ -780,40 +780,55 @@ def segment_dedup(df: DataFrame, text_col: str, id_col: str,
       — partial aggregation combines map-side, so a segment duplicated
       a million times ships ONE row per input partition into the
       exchange; a window ``rank() OVER (PARTITION BY segment)``
-      formulation would ship all copies to one reducer (skew).  The
-      shuffle key is an md5 digest (16 bytes, high entropy) rather than
-      the segment text, keeping exchange rows narrow.
-    * Survivor filter is an equi-join back on the digest; re-assembly
-      is one groupBy on the id — both on high-entropy keys.
+      formulation would ship all copies to one reducer (skew).
+    * The winner struct CARRIES the segment text: the election output
+      is row-for-row the kept set, so there is no join back from the
+      exploded corpus to the winners (an earlier formulation re-ran the
+      explode lineage as the probe side of a digest join — one extra
+      corpus-wide shuffle and a second tokenization pass; measured 2.4 s
+      → 1.5 s at sf0.1).  ``(id, seg_idx)`` is unique per occurrence,
+      so appending ``seg`` to the min-struct cannot change the winner.
+    * Re-assembly is one groupBy on the id — a high-entropy key.
 
     Output: ``doc_id, n_segments, n_kept, cleaned_text`` (one row per
     input document; fully-duplicated documents keep ``n_kept = 0`` and
     an empty string).
     """
+    from .parallelism import spread
     from .text import tokens
 
     toks = tokens(F.col(text_col))
-    segs = (df.select(
+
+    # Segment windows read the LAMBDA-BOUND token array: `ts` is a
+    # materialized higher-order-function variable, so each
+    # `slice(ts, ...)` is O(seg_tokens) on the evaluated array.
+    # Slicing the raw `toks` expression from inside the lambda instead
+    # re-runs the tokenization (a full split of the document) once per
+    # segment — O(n²/seg_tokens) per document.
+    def _segments(ts):
+        return F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest((F.size(ts) - 1) / F.lit(seg_tokens),
+                                  F.lit(0)).cast("int"),
+                       F.lit(1)),
+            lambda b: F.concat_ws(
+                " ", F.slice(ts, b * seg_tokens + 1, seg_tokens)))
+
+    seg_arr = F.element_at(F.transform(F.array(toks), _segments), 1)
+    segs = (spread(df).select(
                 F.col(id_col),
-                F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0),
-                                   F.greatest(
-                                       (F.size(toks) - 1) / F.lit(seg_tokens),
-                                       F.lit(0)).cast("int"),
-                                   F.lit(1)),
-                        lambda b: F.concat_ws(
-                            " ", F.slice(toks, b * seg_tokens + 1, seg_tokens)),
-                    )).alias("seg_idx", "seg"))
+                F.posexplode(seg_arr).alias("seg_idx", "seg"))
             .where(F.col("seg") != ""))
     segs = segs.withColumn("__dig__", F.md5(F.col("seg")))
 
-    first = (segs.groupBy("__dig__")
-             .agg(F.min(F.struct(F.col(id_col).alias("id"),
-                                 F.col("seg_idx").alias("idx"))).alias("w")))
-    kept = (segs.join(first, "__dig__")
-            .where((F.col(id_col) == F.col("w.id"))
-                   & (F.col("seg_idx") == F.col("w.idx"))))
+    # Election output == kept set (winner struct carries the text).
+    kept = (segs.groupBy("__dig__")
+            .agg(F.min(F.struct(F.col(id_col).alias("id"),
+                                F.col("seg_idx").alias("seg_idx"),
+                                F.col("seg").alias("seg"))).alias("w"))
+            .select(F.col("w.id").alias(id_col),
+                    F.col("w.seg_idx").alias("seg_idx"),
+                    F.col("w.seg").alias("seg")))
 
     rebuilt = (kept.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_kept"),

@@ -647,6 +647,16 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     as :func:`~.dedup.ngram_jaccard_pairs`) buckets on; at 100 TB the
     selection step here cuts the index to ~2/(w+1) of the gram count.
 
+    The gram-hash array is bound as a higher-order-function lambda
+    variable (``inline(transform(array(hashes), hs -> ...))``): the
+    per-window ``array_min(slice(hs, i, w))`` then reads the SAME
+    materialized array.  Referencing the raw ``hashes`` expression from
+    inside the window lambda instead re-evaluates every md5 per window
+    position — O(n²) hashes per document, a measured hang at sf0.1.
+    ``inline`` expands the result struct in one Generate node so no
+    downstream projection can re-inline the computation (same escapes
+    as :func:`clean_corpus`).
+
     Output: ``id, n_grams, n_fps, fingerprints`` (sorted bigint array).
     """
     from ..functions.hashing import char_ngrams, md5_int64
@@ -654,21 +664,25 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     col = F.col(text_col)
     grams = char_ngrams(col, k)
     hashes = F.transform(grams, lambda g: md5_int64(g))
-    n = F.size(hashes)
-    selected = F.when(
-        n <= F.lit(w),
-        F.when(n > 0, F.array(F.array_min(hashes)))
-         .otherwise(F.array().cast("array<bigint>")),
-    ).otherwise(
-        F.transform(F.sequence(F.lit(1), n - (w - 1)),
-                    lambda i: F.array_min(F.slice(hashes, i, w))))
-    fps = F.array_sort(F.array_distinct(selected))
-    return df.select(
-        F.col(id_col).alias("id"),
-        n.cast("long").alias("n_grams"),
-        F.size(fps).cast("long").alias("n_fps"),
-        fps.alias("fingerprints"),
-    )
+
+    def _winnow(hs):
+        n = F.size(hs)
+        selected = F.when(
+            n <= F.lit(w),
+            F.when(n > 0, F.array(F.array_min(hs)))
+             .otherwise(F.array().cast("array<bigint>")),
+        ).otherwise(
+            F.transform(F.sequence(F.lit(1), n - (w - 1)),
+                        lambda i: F.array_min(F.slice(hs, i, w))))
+        fps = F.array_sort(F.array_distinct(selected))
+        return F.struct(
+            n.cast("long").alias("n_grams"),
+            F.size(fps).cast("long").alias("n_fps"),
+            fps.alias("fingerprints"))
+
+    return (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.inline(F.transform(F.array(hashes), _winnow))))
 
 
 def bigram_lm_topk(df: DataFrame, text_col: str, id_col: str,
@@ -691,20 +705,32 @@ def bigram_lm_topk(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    # guard: Spark's sequence(2, stop) runs DESCENDING when stop < 2,
-    # so short docs must short-circuit to an empty pair list
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(toks)),
-            lambda i: F.struct(F.element_at(toks, i - 1).alias("w1"),
-                               F.element_at(toks, i).alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = (df.select(F.explode(pairs).alias("p"))
+
+    # Adjacent pairs via zip_with over two slices of the LAMBDA-BOUND
+    # token array (the clean_corpus idiom): `ts` is a materialized
+    # higher-order-function variable, so each slice is O(n) on the
+    # evaluated array.  The earlier `element_at(toks, i)`-per-index
+    # form re-evaluated the tokenization (a full split of the document)
+    # for every pair — O(n²) per document.  Short docs (< 2 tokens)
+    # short-circuit to an empty pair list.
+    def _pairs(ts):
+        n = F.size(ts)
+        return F.when(
+            n >= 2,
+            F.zip_with(F.slice(ts, 1, n - 1), F.slice(ts, 2, n - 1),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = F.element_at(F.transform(F.array(toks), _pairs), 1)
+    bi = (spread(df).select(F.explode(pairs).alias("p"))
           .select("p.w1", "p.w2")
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")))
-    win = Window.partitionBy("w1")
+    # Both windows share the same partitioning AND ordering (the total
+    # uses an unbounded frame, so the sort is harmless) — one Exchange,
+    # one Sort, one Window node instead of two.
     rank = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2"))
+    win = rank.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
     return (bi.withColumn("w1_total", F.sum("cnt").over(win))
             .withColumn("rank", F.row_number().over(rank))
             .where(F.col("rank") <= topk)
