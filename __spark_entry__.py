@@ -1207,6 +1207,101 @@ def q_doc_length_buckets(spark, sf_dir):
             .orderBy("log2_bucket"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators.similarity
+    .semantic_dedup): coarse-quantizer cells from the first 16 corpus
+    vectors (deterministic, oracle-reproducible), within-cell drop of
+    any vector with a smaller-id neighbor at cosine ≥ 0.5.  The pair
+    search is per-cell (Σ|cell|² ≪ N²); assignment is a literal-
+    centroid argmax, map-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (sim.semantic_dedup(emb, "embedding", "vec_id",
+                               n_cells=16, threshold=0.5)
+            .orderBy("id"))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (operators
+    .similarity.hard_negatives): per query, top-5 most-similar corpus
+    vectors with a DIFFERENT label; broadcast query side, label filter
+    ahead of the cosine fold, corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.hard_negatives(corpus, queries, "embedding", "vec_id",
+                               "label", "embedding", "vec_id", "label",
+                               k=5)
+            .select("query_id", "id",
+                    F.col("label").cast("long").alias("label"), "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE merge-candidate scan (operators.text.bpe_pair_counts):
+    corpus-weighted adjacent character-pair counts, top-20 merges.
+    One corpus-sized word-count groupBy; pair explosion runs over the
+    distinct vocabulary only (aggregate-then-expand)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, "text", "doc_id", topk=20).orderBy("rank")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF keywords (operators.text.tfidf_topk):
+    smoothed idf from corpus document frequencies, top-3 terms per doc.
+    Score passes through libm ``ln`` → rounded to 9 decimals on both
+    sides (the bm25 precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.tfidf_topk(docs, "text", "doc_id", k=3)
+            .withColumn("score", F.round("score", 9))
+            .orderBy("id", "rank"))
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Prefix-corpus novelty (operators.text.doc_novelty): fraction of
+    each document's distinct bigrams not present in any smaller-id
+    document — three partial-agg exchanges on high-entropy keys."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.doc_novelty(docs, "text", "doc_id").orderBy("id")
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition head over per-user event streams
+    (streaming.events.event_transitions): lag window bounded by one
+    user's history, then vocabulary-sized count + rank aggregates."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import event_transitions
+    ev = _t(spark, sf_dir, "events")
+    return (event_transitions(ev, topk=3)
+            .orderBy("prev_type", "rank"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """α-temperature mixture weights per source (operators.sampling
+    .mixture_weights, α = 0.5 so the exponentiation is IEEE sqrt):
+    token-weighted stratum sizes → share, weight, boost.  One
+    partial-agg groupBy; normalization over the stratum aggregate."""
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import mixture_weights
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_weights(docs, "source", tx.token_count(F.col("text")))
+    # Σ√n is a float sum whose accumulation order differs between
+    # engines (Spark partial agg vs DuckDB sequential) → compare at 9
+    # decimals, the bm25 precedent.
+    return (out.select("stratum", "n_items",
+                       *[F.round(c, 9).alias(c)
+                         for c in ("share", "weight", "boost")])
+            .orderBy("stratum"))
+
+
+def q_window_doc_map(spark, sf_dir):
+    """Window→document feed map (operators.packing.window_doc_map):
+    inverse of seq_packing via a map-only explode over each doc's
+    window span; rows ≈ corpus_tokens/256 + n_docs."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import window_doc_map
+    docs = _t(spark, sf_dir, "documents")
+    return (window_doc_map(docs, "text", "doc_id", window_tokens=256)
+            .orderBy("window_id", "id"))
+
+
 # ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
@@ -1419,6 +1514,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "lang_confusion": q_lang_confusion,
         "doc_length_buckets": q_doc_length_buckets,
+        "semantic_dedup": q_semantic_dedup,
+        "hard_negatives": q_hard_negatives,
+        "bpe_pairs": q_bpe_pairs,
+        "tfidf_topk": q_tfidf_topk,
+        "doc_novelty": q_doc_novelty,
+        "event_transitions": q_event_transitions,
+        "mixture_weights": q_mixture_weights,
+        "window_doc_map": q_window_doc_map,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2708,5 +2811,137 @@ SELECT cast(length(bin(n)) as bigint) AS log2_bucket,
        count(*) AS n_docs,
        cast(sum(n) as bigint) AS total_tokens
 FROM t GROUP BY 1 ORDER BY 1
+""",
+        # --- round 3b: semantic dedup (SemDeDup: cluster then drop) -------
+        "semantic_dedup": f"""
+WITH corpus AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, e AS ce
+  FROM (SELECT id, e FROM corpus ORDER BY id LIMIT 16)),
+assigned AS (
+  SELECT id, e, cell FROM (
+    SELECT c.id, c.e, ct.cell,
+      row_number() OVER (PARTITION BY c.id
+                         ORDER BY {_cos_sql('c.e', 'ct.ce')} DESC, ct.cell ASC) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.id AS id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+  WHERE {_cos_sql('a.e', 'b.e')} >= 0.5)
+SELECT s.id, cast(s.cell as bigint) AS cell, (d.id IS NULL) AS keep
+FROM assigned s LEFT JOIN dup d ON s.id = d.id ORDER BY s.id
+""",
+        # --- round 3b: hard-negative mining ------------------------------
+        "hard_negatives": f"""
+WITH corpus AS (SELECT vec_id AS id, label, embedding AS e
+                FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.id, c.label, {_cos_sql('c.e', 'q.qe')} AS cosine
+  FROM corpus c JOIN q ON c.label <> q.qlabel)
+SELECT query_id, id, cast(label as bigint) AS label, cosine,
+  cast(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, id) as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+        # --- round 3b: BPE merge-candidate pair counts --------------------
+        "bpe_pairs": f"""
+WITH w AS (SELECT unnest({toks}) AS w FROM documents),
+wc AS (SELECT w, count(*) AS wc FROM w GROUP BY w),
+p AS (SELECT wc, unnest(CASE WHEN length(w) >= 2
+        THEN [substring(w, i, 2) for i in range(1, length(w))]
+        ELSE [] END) AS pair FROM wc),
+c AS (SELECT pair, sum(wc) AS cnt FROM p GROUP BY pair)
+SELECT pair, cast(cnt as bigint) AS cnt,
+  cast(row_number() OVER (ORDER BY cnt DESC, pair) as bigint) AS rank
+FROM c QUALIFY rank <= 20 ORDER BY rank
+""",
+        # --- round 3b: per-document TF-IDF keywords -----------------------
+        "tfidf_topk": f"""
+WITH tf AS (
+  SELECT id, term, count(*) AS tf
+  FROM (SELECT doc_id AS id, unnest({toks}) AS term FROM documents)
+  GROUP BY id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT id, term, tf, df,
+    tf * ln((n_docs + 1) / cast(df + 1 as double)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT id, term, cast(tf as bigint) AS tf, cast(df as bigint) AS df,
+  round(score, 9) AS score,
+  cast(row_number() OVER (PARTITION BY id
+                          ORDER BY score DESC, term) as bigint) AS rank
+FROM scored QUALIFY rank <= 3 ORDER BY id, rank
+""",
+        # --- round 3b: prefix-corpus bigram novelty -----------------------
+        "doc_novelty": f"""
+WITH t AS (SELECT doc_id AS id, {toks} AS tk FROM documents),
+bg AS (
+  SELECT DISTINCT id, bg FROM (
+    SELECT id, unnest(CASE WHEN len(tk) >= 2
+      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+      ELSE [] END) AS bg FROM t)),
+first AS (SELECT bg, min(id) AS first_id FROM bg GROUP BY bg),
+per AS (
+  SELECT id, count(*) AS n_bigrams,
+         sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS n_novel
+  FROM bg JOIN first USING (bg) GROUP BY id)
+SELECT t.id,
+  cast(coalesce(n_bigrams, 0) as bigint) AS n_bigrams,
+  cast(coalesce(n_novel, 0) as bigint) AS n_novel,
+  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1.0
+       ELSE cast(n_novel as double) / n_bigrams END AS novelty
+FROM t LEFT JOIN per ON t.id = per.id ORDER BY t.id
+""",
+        # --- round 3b: per-user event transition matrix -------------------
+        "event_transitions": """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS cnt
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, cast(cnt as bigint) AS cnt,
+  cast(sum(cnt) OVER (PARTITION BY prev_type) as bigint) AS prev_total,
+  cnt / cast(sum(cnt) OVER (PARTITION BY prev_type) as double) AS p,
+  cast(row_number() OVER (PARTITION BY prev_type
+                          ORDER BY cnt DESC, next_type) as bigint) AS rank
+FROM c QUALIFY rank <= 3 ORDER BY prev_type, rank
+""",
+        # --- round 3b: alpha-temperature mixture weights ------------------
+        "mixture_weights": f"""
+WITH c AS (
+  SELECT source AS stratum, sum(len({toks})) AS n_items
+  FROM documents GROUP BY source),
+t AS (SELECT cast(sum(n_items) as double) AS tot,
+             sum(sqrt(cast(n_items as double))) AS tot_a FROM c)
+SELECT stratum, cast(n_items as bigint) AS n_items,
+  round(cast(n_items as double) / tot, 9) AS share,
+  round(sqrt(cast(n_items as double)) / tot_a, 9) AS weight,
+  round((sqrt(cast(n_items as double)) / tot_a)
+        / (cast(n_items as double) / tot), 9) AS boost
+FROM c CROSS JOIN t ORDER BY stratum
+""",
+        # --- round 3b: window -> document feed map ------------------------
+        "window_doc_map": f"""
+WITH t AS (SELECT doc_id AS id, cast(len({toks}) as bigint) AS n_tokens
+           FROM documents),
+c AS (SELECT id, n_tokens, sum(n_tokens) OVER (ORDER BY id) AS cum FROM t),
+spans AS (
+  SELECT id, n_tokens,
+    cast((cum - n_tokens) // 256 as bigint) AS start_window,
+    cast((cum - n_tokens) % 256 as bigint) AS offset_in_window,
+    cast((cum - 1) // 256 as bigint) AS end_window
+  FROM c WHERE n_tokens > 0)
+SELECT window_id, id, n_tokens,
+       CASE WHEN start_window = window_id
+            THEN offset_in_window ELSE 0 END AS offset_in_window
+FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
+             id, n_tokens, start_window, offset_in_window
+      FROM spans)
+ORDER BY window_id, id
 """,
     }

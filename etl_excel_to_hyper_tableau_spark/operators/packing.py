@@ -94,3 +94,34 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
                end_win - F.floor(start_off / wt) + 1)
          .otherwise(F.lit(0)).cast("long").alias("n_windows"),
     )
+
+
+def window_doc_map(df: DataFrame, text_col: str, id_col: str,
+                   window_tokens: int = 256,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Inverse of :func:`pack_sequences`: one row per (window, document)
+    overlap — "which documents feed context window w", the lookup a
+    training job needs to materialize batches from packed spans.
+
+    Built on :func:`pack_sequences`' distributed prefix sum; the only
+    extra work is a map-only ``explode(sequence(start_window,
+    end_window))`` per non-empty document — output rows are bounded by
+    Σ n_windows-per-doc ≈ corpus_tokens / window_tokens + n_docs.
+
+    Output: ``window_id, id, n_tokens, offset_in_window`` (the doc's
+    start offset within its FIRST window; later windows it spans start
+    at offset 0 by construction).
+    """
+    packed = pack_sequences(df, text_col, id_col,
+                            window_tokens=window_tokens,
+                            num_partitions=num_partitions)
+    ex = (packed.where(F.col("n_tokens") > 0)
+          .select(F.explode(F.sequence(F.col("start_window"),
+                                       F.col("end_window")))
+                   .alias("window_id"),
+                  "id", "n_tokens", "start_window", "offset_in_window"))
+    return ex.select(
+        "window_id", "id", "n_tokens",
+        F.when(F.col("start_window") == F.col("window_id"),
+               F.col("offset_in_window"))
+         .otherwise(F.lit(0)).cast("long").alias("offset_in_window"))

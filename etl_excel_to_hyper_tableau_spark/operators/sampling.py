@@ -201,3 +201,34 @@ def negative_pairs(df: DataFrame, id_col: str, k: int = 4,
             .select("id", "r", "neg_id"))
     return cand.join(ids.select(F.col("id").alias("neg_id")), "neg_id", "left_semi") \
                .select("id", "r", "neg_id")
+
+
+def mixture_weights(df: DataFrame, strata_col: str, size_col: Column,
+                    alpha_sqrt: bool = True) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — the
+    multilingual/multi-source rebalancing rule (`p_i^α / Σ p_j^α`,
+    Conneau & Lample's XLM α-sampling): up-weights tail
+    sources/languages so a 100:1 head/tail corpus doesn't train a
+    100:1 model.  α is pinned to 0.5 (``sqrt``) so the exponentiation
+    is IEEE ``sqrt`` — bit-identical across engines, unlike a libm
+    ``pow`` with arbitrary exponent (same portability doctrine as the
+    libm-free surprisal operator).
+
+    Plan: ONE partial-agg groupBy over the corpus (each stratum ships
+    one row per input partition), then the α-normalization runs on the
+    stratum-count aggregate — metadata-sized — via a broadcast one-row
+    cross join of the Σ scalars.  Output is one row per stratum:
+    ``stratum, n_items, share, weight, boost`` (boost = weight/share —
+    >1 means the stratum is up-sampled).
+    """
+    counts = (df.groupBy(F.col(strata_col).alias("stratum"))
+              .agg(F.sum(size_col).alias("n_items")))
+    tot = counts.agg(
+        F.sum("n_items").alias("__tot__"),
+        F.sum(F.sqrt(F.col("n_items").cast("double"))).alias("__tot_a__"))
+    share = F.col("n_items").cast("double") / F.col("__tot__")
+    weight = F.sqrt(F.col("n_items").cast("double")) / F.col("__tot_a__")
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("stratum", F.col("n_items").cast("long").alias("n_items"),
+                    share.alias("share"), weight.alias("weight"),
+                    (weight / share).alias("boost")))

@@ -333,3 +333,100 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str,
                     (F.aggregate(idx, F.lit(0.0),
                                  lambda acc, i: acc + recon_err(i))
                      / ndim.cast("double")).alias("mse")))
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style: cluster, then dedup within cells)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   n_cells: int = 16, threshold: float = 0.95) -> DataFrame:
+    """Embedding-space semantic deduplication, the SemDeDup recipe
+    (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", 2023 — public paper): cluster the
+    corpus with a coarse quantizer, then WITHIN each cluster drop every
+    vector that has a near-identical neighbor (cosine ≥ ``threshold``)
+    with a smaller id.  The surviving set keeps exactly one
+    representative — the smallest id — of every near-duplicate chain
+    that shares a cell.
+
+    This is the scale trick that makes embedding dedup tractable: the
+    quadratic pair search runs per-cluster, never corpus-wide, so total
+    work is Σ|cell|² ≪ N².  Cluster-size balance is the operator's
+    contract (same class of guarantee as LSH bucket occupancy — at
+    100 TB the quantizer would be trained so max |cell| is bounded; a
+    cell that grows super-linearly degrades to the documented
+    worst case, and the assignment itself stays map-only either way).
+
+    Coarse quantizer: the first ``n_cells`` corpus vectors by id
+    (deterministic, train_iters=0 — same contract as :func:`ivf_topk`,
+    reproducible by an external SQL oracle).  Assignment is an argmax
+    over literal centroids — a narrow map; the corpus never shuffles
+    until the per-cell pair exchange, whose key (cell id) carries only
+    the cluster's own vectors.
+
+    Output: ``id, cell, keep`` — one row per input vector, ``keep``
+    false iff a same-cell neighbor with smaller id has cosine ≥
+    ``threshold``.
+    """
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    c = (spread(df).select(F.col(id_col).alias("id"),
+                           F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("__nrm__", _norm(F.col("vec"))))
+    seed = c.orderBy("id").limit(n_cells).collect()  # n_cells×dim — metadata-sized
+    if not seed:
+        return c.select("id", F.lit(0).alias("cell"), F.lit(True).alias("keep"))
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
+    assigned = c.select(
+        "id", "vec", "__nrm__",
+        F.element_at(_nearest_cells("vec", "__nrm__", centroids, 1), 1)
+         .alias("cell"))
+    a = assigned.select(F.col("cell"), F.col("id").alias("id_a"),
+                        F.col("vec").alias("va"), F.col("__nrm__").alias("na"))
+    b = assigned.select(F.col("cell"), F.col("id").alias("id_b"),
+                        F.col("vec").alias("vb"), F.col("__nrm__").alias("nb"))
+    # norms are pre-materialized columns on both sides: the join
+    # predicate reads them instead of re-deriving a fold per comparison
+    dup = (a.join(b, "cell")
+           .where(F.col("id_a") < F.col("id_b"))
+           .where(_dot(F.col("va"), F.col("vb"))
+                  / (F.col("na") * F.col("nb")) >= F.lit(threshold))
+           .select(F.col("id_b").alias("id")).distinct()
+           .withColumn("__dup__", F.lit(True)))
+    return (assigned.join(dup, "id", "left")
+            .select("id", F.col("cell").cast("long").alias("cell"),
+                    F.col("__dup__").isNull().alias("keep")))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame,
+                   vec_col: str, id_col: str, label_col: str,
+                   query_vec_col: str, query_id_col: str,
+                   query_label_col: str, k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most cosine-similar corpus vectors whose label
+    DIFFERS from the query's — the negatives that sit closest to the
+    decision boundary, the standard retrieval-training curriculum
+    (in-batch negatives → mined hard negatives).
+
+    Plan: broadcast the (small) query set against the corpus scan, drop
+    same-label candidates BEFORE scoring (the filter is a cheap integer
+    compare, so the cosine fold never runs for excluded rows), then a
+    per-query window rank.  The corpus never shuffles; only
+    (num_queries × k) rows survive the rank.
+
+    Output: ``query_id, id, label, cosine, rank`` (rank ≤ k).
+    """
+    c = spread(corpus).select(F.col(id_col).alias("id"),
+                              F.col(label_col).alias("label"),
+                              F.col(vec_col).cast("array<double>").alias("vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_label_col).alias("query_label"),
+                       F.col(query_vec_col).cast("array<double>").alias("qvec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("label") != F.col("query_label"))
+              .select("query_id", "id", "label",
+                      _cosine(F.col("vec"), F.col("qvec")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -739,3 +739,151 @@ def bigram_lm_topk(df: DataFrame, text_col: str, id_col: str,
                     F.col("w1_total").cast("long").alias("w1_total"),
                     (F.col("cnt") / F.col("w1_total")).alias("p"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer training's inner loop)
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(df: DataFrame, text_col: str, id_col: str,
+                    topk: int = 20) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus vocabulary —
+    the first merge-candidate scan of byte-pair-encoding tokenizer
+    training (Sennrich et al., "Neural Machine Translation of Rare
+    Words with Subword Units", ACL'16): every word contributes its
+    adjacent symbol pairs weighted by the word's corpus frequency; the
+    top pair is the next BPE merge.
+
+    Scale shape: the corpus-sized pass is ONE word-count groupBy
+    (partial aggregation — hot words combine map-side).  Pair explosion
+    then runs over the DISTINCT vocabulary, weighted by the counts, so
+    the quadratic-ish per-word work is vocabulary-bounded, not
+    corpus-bounded — the classic aggregate-then-expand rewrite.  The
+    pair array reads the LAMBDA-BOUND word (``w``) so the substring
+    per position is O(2) on the materialized value.
+
+    Output: ``pair, cnt, rank`` (rank ≤ topk; ties → pair asc).
+    """
+    from pyspark.sql import Window
+
+    words = (spread(df)
+             .select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    pairs = F.when(
+        F.length(F.col("w")) >= 2,
+        F.element_at(
+            F.transform(
+                F.array(F.col("w")),
+                lambda w: F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)))), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (words.select(F.col("wc"), F.explode(pairs).alias("pair"))
+              .groupBy("pair").agg(F.sum("wc").alias("cnt")))
+    rank = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    # the global rank window only ever sees the pair-vocabulary
+    # aggregate (symbol-pair cardinality, not corpus cardinality)
+    return (counts.withColumn("rank", F.row_number().over(rank))
+            .where(F.col("rank") <= topk)
+            .select("pair", F.col("cnt").cast("long").alias("cnt"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
+               k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``tf = count in doc``,
+    ``idf = ln((N + 1) / (df_t + 1))`` (smoothed), score = tf·idf —
+    the classic per-document keyword extractor (idf distinguishes it
+    from :func:`keyword_topk`'s raw-tf form).
+
+    Plan: one explode → per-(doc, term) counts (partial agg); document
+    frequencies from the same aggregate via a second groupBy on term;
+    the N scalar is a broadcast one-row cross join; the idf join keys
+    on the term (high-entropy).  Final per-doc top-k is a window
+    bounded by the document's own distinct-term count.  ``ln`` is IEEE
+    libm on both engines — bit-identical for the same double inputs.
+
+    Output: ``id, term, tf, df, score, rank`` (rank ≤ k; ties → term asc).
+    """
+    from pyspark.sql import Window
+
+    tf = (spread(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n__"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("id", "term", "tf", "df",
+                      (F.col("tf")
+                       * F.log((F.col("__n__") + F.lit(1)).cast("double")
+                               / (F.col("df") + F.lit(1)).cast("double")))
+                      .alias("score")))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document novelty (how much of a doc is already in earlier docs)
+# ---------------------------------------------------------------------------
+
+def doc_novelty(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document novelty against the id-ordered prefix corpus: the
+    fraction of the document's DISTINCT bigrams not seen in any
+    document with a smaller id — the curation signal for incremental
+    ingestion ("how much genuinely new content does this shard add?",
+    the aggregate form of the per-batch dedup decision).
+
+    Plan: bigram explode → distinct (doc, bigram) via groupBy [partial
+    agg] → global first-seer per bigram (``min(doc_id)`` — another
+    partial agg on the bigram digest, so a bigram repeated across the
+    corpus ships one row per input partition) → per-doc mean of
+    ``first_seer == own id``.  Three aggregations, all on high-entropy
+    keys; nothing quadratic, nothing corpus-wide in one reducer.
+
+    Output: ``id, n_bigrams, n_novel, novelty`` (novelty = n_novel /
+    n_bigrams; documents with < 2 tokens report 0 bigrams, novelty 1.0
+    by convention — an empty doc adds nothing but duplicates nothing).
+    """
+    toks = tokens(F.col(text_col))
+
+    def _bigrams(ts):
+        n = F.size(ts)
+        return F.when(
+            n >= 2,
+            F.zip_with(F.slice(ts, 1, n - 1), F.slice(ts, 2, n - 1),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = (spread(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(F.element_at(
+                      F.transform(F.array(toks), _bigrams), 1)).alias("bg"))
+          .groupBy("id", "bg").agg(F.count(F.lit(1)).alias("_c")))
+    first = bg.groupBy("bg").agg(F.min("id").alias("first_id"))
+    per_doc = (bg.join(first, "bg")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum(F.when(F.col("first_id") == F.col("id"), 1)
+                          .otherwise(0)).alias("n_novel")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+                     .alias("n_bigrams"),
+                    F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+                     .alias("n_novel"),
+                    F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0,
+                           F.lit(1.0))
+                     .otherwise(F.col("n_novel").cast("double")
+                                / F.col("n_bigrams").cast("double"))
+                     .alias("novelty")))

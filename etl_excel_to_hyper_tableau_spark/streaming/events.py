@@ -433,3 +433,46 @@ def cohort_retention(events: DataFrame,
                       / 7).cast("long").alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy("cohort_week", "week_offset"))
+
+
+def event_transitions(events: DataFrame,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      topk: int = 3) -> DataFrame:
+    """First-order Markov transition head over per-user event streams:
+    for each event type, the ``topk`` most frequent NEXT types with
+    exact conditional probabilities — the behavioral analogue of
+    :func:`~..operators.text.bigram_lm_topk` (session modeling,
+    funnel discovery, next-action prediction features).
+
+    Plan: ``lag`` window partitioned by user ordered by ``(ts, id)``
+    (the id breaks timestamp ties deterministically) — partition state
+    is one user's history, never corpus-bounded; then a
+    ``groupBy(prev, next)`` count with map-side combine, and a rank
+    window over the type-vocabulary aggregate.
+
+    Output: ``prev_type, next_type, cnt, prev_total, p, rank``.
+    """
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = (events.select(
+                F.lag(type_col).over(seq).alias("prev_type"),
+                F.col(type_col).alias("next_type"))
+             .where(F.col("prev_type").isNotNull()))
+    counts = (steps.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    rank = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), F.col("next_type"))
+    total = rank.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return (counts.withColumn("prev_total", F.sum("cnt").over(total))
+            .withColumn("rank", F.row_number().over(rank))
+            .where(F.col("rank") <= topk)
+            .select("prev_type", "next_type",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.col("prev_total").cast("long").alias("prev_total"),
+                    (F.col("cnt") / F.col("prev_total")).alias("p"),
+                    F.col("rank").cast("long").alias("rank")))

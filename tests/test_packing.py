@@ -62,3 +62,37 @@ def test_pack_empty_doc_spans_zero_windows(spark):
             pack_sequences(df, "text", "id", window_tokens=4).collect()}
     assert rows[1]["n_windows"] == 0 and rows[1]["n_tokens"] == 0
     assert rows[1]["start_offset"] == 3  # carries the boundary position
+
+
+def test_window_doc_map_inverts_packing(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        pack_sequences, window_doc_map,
+    )
+    # 3 docs of 100 tokens each, window 64: doc1 spans w0-w1, doc2
+    # w1-w3, doc3 w3-w4
+    rows = [(i, " ".join(["t"] * 100)) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    packed = {r["id"]: r for r in
+              pack_sequences(df, "text", "id", window_tokens=64).collect()}
+    out = window_doc_map(df, "text", "id", window_tokens=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for doc_id, rws in by_doc.items():
+        wins = sorted(r["window_id"] for r in rws)
+        p = packed[doc_id]
+        assert wins == list(range(p["start_window"], p["end_window"] + 1))
+        for r in rws:
+            expect = (p["offset_in_window"]
+                      if r["window_id"] == p["start_window"] else 0)
+            assert r["offset_in_window"] == expect
+    # every row carries the doc's token count
+    assert all(r["n_tokens"] == 100 for r in out)
+
+
+def test_window_doc_map_skips_empty_docs(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.packing import window_doc_map
+    df = spark.createDataFrame([(1, "a b"), (2, ""), (3, "c")],
+                               "id long, text string")
+    out = window_doc_map(df, "text", "id", window_tokens=4).collect()
+    assert sorted(set(r["id"] for r in out)) == [1, 3]

@@ -13,13 +13,16 @@ import io
 
 import __spark_entry__ as entry
 
-# intentional nested-loops: embedding_topk's exact scan is a crossJoin
-# against the BROADCAST query set — the corpus never shuffles and only
-# (queries × k) rows leave the scan (similarity.py docstring);
-# doc_lm_surprisal / bm25_search / negative_samples cross-join a
-# broadcast ONE-ROW aggregate (corpus totals / id bounds)
+# intentional nested-loops: embedding_topk's / hard_negatives' exact
+# scans are a crossJoin against the BROADCAST query set — the corpus
+# never shuffles and only (queries × k) rows leave the scan
+# (similarity.py docstrings); doc_lm_surprisal / bm25_search /
+# negative_samples / embedding_quantize / tfidf_topk / mixture_weights
+# cross-join a broadcast ONE-ROW aggregate (corpus totals / per-dim
+# calibration stats / doc counts / Σ and Σ√ scalars)
 NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
-                  "negative_samples"}
+                  "negative_samples", "hard_negatives",
+                  "embedding_quantize", "tfidf_topk", "mixture_weights"}
 
 
 def _plan(df) -> str:

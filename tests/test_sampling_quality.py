@@ -240,3 +240,21 @@ def test_negative_pairs_sparse_ids_only_join_existing(spark):
     rows = negative_pairs(df, "doc_id", k=8).collect()
     assert all(r["neg_id"] in (5, 900, 901) and r["neg_id"] != r["id"]
                for r in rows)
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import mixture_weights
+    df = spark.createDataFrame(
+        [("big", 81), ("small", 9)], "src string, n int")
+    out = {r["stratum"]: r
+           for r in mixture_weights(df, "src", F.col("n")).collect()}
+    assert out["big"]["n_items"] == 81 and out["small"]["n_items"] == 9
+    assert out["big"]["share"] == 81 / 90
+    # sqrt temperature: weights 9/12 and 3/12
+    assert out["big"]["weight"] == 9 / 12
+    assert out["small"]["weight"] == 3 / 12
+    # tail stratum is boosted above its share, head damped
+    assert out["small"]["boost"] > 1 > out["big"]["boost"]
+    # weights sum to 1
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12

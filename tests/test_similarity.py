@@ -94,3 +94,54 @@ def test_quantize_reconstruction_error_bound(spark):
     bound = sum((s / 510.0) ** 2 for s in spans) / 2 * 1.0001
     for r in quantize_embeddings_int8(df, "embedding", "vec_id").collect():
         assert r["mse"] <= bound
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import semantic_dedup
+    rows = [
+        (1, [1.0, 0.0]),          # centroid seed / representative
+        (2, [0.999, 0.001]),      # near-dup of 1 -> dropped
+        (3, [0.0, 1.0]),          # different direction, survives
+        (4, [0.001, 0.999]),      # near-dup of 3 -> dropped
+        (5, [-1.0, 0.0]),         # opposite, survives
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    # n_cells=1: everything shares a cell, so the drop rule alone is
+    # under test (cell-boundary behavior is covered separately below)
+    out = {r["id"]: r["keep"]
+           for r in semantic_dedup(df, "emb", "id",
+                                   n_cells=1, threshold=0.99).collect()}
+    assert out[1] is True and out[3] is True and out[5] is True
+    assert out[2] is False and out[4] is False
+    # one row per input, smallest id of each chain survives
+    assert len(out) == 5
+
+
+def test_semantic_dedup_cell_locality_limits_pairs(spark):
+    """Vectors in different cells are never compared: two identical
+    vectors forced into different cells both survive."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import semantic_dedup
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [1.0, 0.0])]  # identical to 1 -> same cell -> dropped
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = {r["id"]: (r["cell"], r["keep"])
+           for r in semantic_dedup(df, "emb", "id",
+                                   n_cells=2, threshold=0.999).collect()}
+    assert out[1][1] is True and out[2][1] is True
+    assert out[3][0] == out[1][0] and out[3][1] is False
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import hard_negatives
+    corpus = spark.createDataFrame(
+        [(10, 0, [1.0, 0.0]), (11, 1, [0.99, 0.01]), (12, 1, [0.0, 1.0]),
+         (13, 0, [0.98, 0.02])],
+        "id long, label int, emb array<double>")
+    qs = spark.createDataFrame([(1, 0, [1.0, 0.0])],
+                               "qid long, qlabel int, qv array<double>")
+    out = hard_negatives(corpus, qs, "emb", "id", "label",
+                         "qv", "qid", "qlabel", k=2).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # only label-1 vectors are candidates; the closest (11) ranks first
+    assert ids == [11, 12]
+    assert all(r["label"] == 1 for r in out)

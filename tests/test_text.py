@@ -336,3 +336,45 @@ def test_bigram_lm_topk_cut_and_tiebreak(spark):
     out = bigram_lm_topk(df, "text", "doc_id", topk=3).collect()
     xs = sorted([r["w2"] for r in out if r["w1"] == "x"])
     assert xs == ["a", "b", "c"]
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab x")],
+        "id long, text string")
+    out = {r["pair"]: r["cnt"]
+           for r in bpe_pair_counts(df, "text", "id", topk=10).collect()}
+    # 'aaab' occurs 3x (pairs aa, aa, ab each once per occurrence),
+    # 'ab' once, 'x' has no pair
+    assert out["aa"] == 3 * 2
+    assert out["ab"] == 3 + 1
+    assert "x" not in out and len(out) == 2
+
+
+def test_tfidf_topk_prefers_rare_terms(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import tfidf_topk
+    df = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common other"), (3, "common third")],
+        "id long, text string")
+    out = [(r["term"], r["rank"]) for r in
+           tfidf_topk(df, "text", "id", k=2).collect() if r["id"] == 1]
+    # 'rare' (df=1) outranks 'common' (df=3, idf=0 with N=3: ln(4/4)=0)
+    assert out[0][0] == "rare" if out[0][1] == 1 else True
+    ranks = {t: k for t, k in out}
+    assert ranks["rare"] == 1 and ranks["common"] == 2
+
+
+def test_doc_novelty_prefix_semantics(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import doc_novelty
+    df = spark.createDataFrame(
+        [(1, "a b c"),        # bigrams {a b, b c} first seen here
+         (2, "a b x"),        # {a b} seen in doc 1, {b x} novel
+         (3, "a b c"),        # all seen before
+         (4, "q")],           # no bigrams -> novelty 1.0 by convention
+        "id long, text string")
+    out = {r["id"]: r for r in doc_novelty(df, "text", "id").collect()}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_bigrams"] == 2
+    assert out[2]["n_novel"] == 1 and out[2]["novelty"] == 0.5
+    assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["novelty"] == 1.0
