@@ -340,7 +340,10 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
-                   n_cells: int = 16, threshold: float = 0.95) -> DataFrame:
+                   n_cells: int = 16, threshold: float = 0.95,
+                   lsh_planes: int | None = 0,
+                   target_bucket: int = 64,
+                   dim: int | None = None) -> DataFrame:
     """Embedding-space semantic deduplication, the SemDeDup recipe
     (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     through semantic deduplication", 2023 — public paper): cluster the
@@ -352,11 +355,19 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
 
     This is the scale trick that makes embedding dedup tractable: the
     quadratic pair search runs per-cluster, never corpus-wide, so total
-    work is Σ|cell|² ≪ N².  Cluster-size balance is the operator's
-    contract (same class of guarantee as LSH bucket occupancy — at
-    100 TB the quantizer would be trained so max |cell| is bounded; a
-    cell that grows super-linearly degrades to the documented
-    worst case, and the assignment itself stays map-only either way).
+    work is Σ|cell|² ≪ N².  With a FIXED cell count, occupancy still
+    grows ∝ N and the in-cell search re-becomes quadratic — exactly
+    the fixed-plane sign-LSH failure mode SCALING.md measured at 88×.
+    ``lsh_planes`` is the scale valve: when non-zero, each cell is
+    sub-bucketed by the deterministic sign-LSH signature (map-only,
+    O(planes·dim) per row) and pairs are compared only within
+    ``(cell, bucket)``; ``lsh_planes=None`` auto-scales the plane
+    count to hold expected bucket occupancy ≈ ``target_bucket``, which
+    keeps total pair work ~linear in N at any corpus size.  The
+    default ``lsh_planes=0`` is the exact-within-cell form — the
+    oracle-reproducible configuration for verification-scale corpora
+    (recall = 1 within a cell; the sub-bucketed path trades recall the
+    same way :func:`~.dedup.embedding_cosine_pairs` documents).
 
     Coarse quantizer: the first ``n_cells`` corpus vectors by id
     (deterministic, train_iters=0 — same contract as :func:`ivf_topk`,
@@ -382,13 +393,31 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
         "id", "vec", "__nrm__",
         F.element_at(_nearest_cells("vec", "__nrm__", centroids, 1), 1)
          .alias("cell"))
-    a = assigned.select(F.col("cell"), F.col("id").alias("id_a"),
+    keys = ["cell"]
+    if lsh_planes is None or lsh_planes > 0:
+        import math
+
+        from .dedup import _sign_lsh_signature
+
+        planes = lsh_planes
+        if planes is None:
+            n = c.count()
+            per_cell = max(n, 1) / max(n_cells, 1)
+            planes = (max(4, math.ceil(math.log2(per_cell / target_bucket)))
+                      if per_cell > target_bucket else 4)
+        if dim is None:
+            first = c.select("vec").first()
+            dim = len(first["vec"]) if first else 0
+        assigned = assigned.withColumn(
+            "__bkt__", _sign_lsh_signature("vec", planes, dim))
+        keys = ["cell", "__bkt__"]
+    a = assigned.select(*keys, F.col("id").alias("id_a"),
                         F.col("vec").alias("va"), F.col("__nrm__").alias("na"))
-    b = assigned.select(F.col("cell"), F.col("id").alias("id_b"),
+    b = assigned.select(*keys, F.col("id").alias("id_b"),
                         F.col("vec").alias("vb"), F.col("__nrm__").alias("nb"))
     # norms are pre-materialized columns on both sides: the join
     # predicate reads them instead of re-deriving a fold per comparison
-    dup = (a.join(b, "cell")
+    dup = (a.join(b, keys)
            .where(F.col("id_a") < F.col("id_b"))
            .where(_dot(F.col("va"), F.col("vb"))
                   / (F.col("na") * F.col("nb")) >= F.lit(threshold))

@@ -145,3 +145,26 @@ def test_hard_negatives_excludes_same_label(spark):
     # only label-1 vectors are candidates; the closest (11) ranks first
     assert ids == [11, 12]
     assert all(r["label"] == 1 for r in out)
+
+
+def test_semantic_dedup_lsh_subbucket_is_subset(spark):
+    """The sub-bucketed scale path drops a SUBSET of what the exact
+    within-cell search drops (same-bucket pairs are a subset of
+    same-cell pairs), and every survivor set contains the smallest id."""
+    import math as m
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import semantic_dedup
+    rows = [(i, [m.cos(m.radians(3 * i)), m.sin(m.radians(3 * i))])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    exact = {r["id"]: r["keep"]
+             for r in semantic_dedup(df, "emb", "id", n_cells=4,
+                                     threshold=0.999).collect()}
+    lsh = {r["id"]: r["keep"]
+           for r in semantic_dedup(df, "emb", "id", n_cells=4,
+                                   threshold=0.999, lsh_planes=None,
+                                   target_bucket=4).collect()}
+    assert set(lsh) == set(exact)
+    dropped_exact = {i for i, k in exact.items() if not k}
+    dropped_lsh = {i for i, k in lsh.items() if not k}
+    assert dropped_lsh <= dropped_exact
+    assert exact[0] is True and lsh[0] is True

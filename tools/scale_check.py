@@ -135,9 +135,25 @@ def _near_dup_lsh_auto(spark, sf_dir):
                                   use_lsh=True)
 
 
+def _semantic_dedup_auto(spark, sf_dir):
+    """semantic_dedup on the sub-bucketed scale path (lsh_planes=None →
+    auto-scaled per-cell sign-LSH) — the production configuration (the
+    queries() entry pins lsh_planes=0 so the DuckDB oracle reproduces
+    the exact within-cell pair set; exact-within-cell with a FIXED cell
+    count is quadratic at scale, the sub-bucketed path is what a 100 TB
+    run uses)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    emb = entry._t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", n_cells=16,
+                          threshold=0.5, lsh_planes=None)
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = dict(entry.queries())
     qs["embedding_near_dup_lsh"] = _near_dup_lsh_auto
+    qs["semantic_dedup"] = _semantic_dedup_auto
     out: dict[str, float] = {}
     for name in names:
         best = None
