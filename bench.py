@@ -75,6 +75,9 @@ HEADLINE = [
     "bigram_lm",
     "embedding_quantize",
     "cohort_retention",
+    "semantic_dedup",
+    "tfidf_topk",
+    "doc_novelty",
 ]
 
 
