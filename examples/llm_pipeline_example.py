@@ -2,8 +2,9 @@
 operators a 100 TB data-curation run chains, on one page:
 
     clean → exact dedup → near-dup dedup (MinHash-LSH scale path) →
-    decontaminate vs a benchmark slice → PII redact → train/val/test
-    split → mixture-sample → negative pairs → stage to parquet →
+    repeated-passage removal → decontaminate vs a benchmark slice →
+    PII redact → train/val/test split → mixture weights + sample →
+    negative pairs → context-window packing → stage to parquet →
     compact
 
 Every stage is one of the engine's oracle-verified operators; this
@@ -49,6 +50,14 @@ def main() -> None:
                                threshold=None)
     n2 = deduped.count()
 
+    # 2b. strip passages repeated ACROSS surviving documents (licence
+    # boilerplate / template blocks), keeping each passage's first
+    # occurrence (Lee et al. exact-substring dedup, chunk-approximated)
+    deduped = (dd.segment_dedup(deduped, "text", "doc_id", seg_tokens=10)
+               .where(F.col("n_kept") > 0)
+               .join(deduped.drop("text"), "doc_id")
+               .withColumnRenamed("cleaned_text", "text"))
+
     # 3. decontaminate against a held-out "benchmark" slice (12-gram
     # overlap — long shingles, so only real template overlap flags)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
@@ -65,6 +74,10 @@ def main() -> None:
     split = sp.hash_split(scrubbed, "doc_id",
                           {"train": 0.9, "val": 0.05, "test": 0.05})
     train = split.filter(F.col("split") == "train")
+    # α-temperature rebalancing report for the sources feeding train
+    # (what a 100 TB run feeds its sampler): share vs √-damped weight
+    weights = sp.mixture_weights(train, "source",
+                                 tx.token_count(F.col("text"))).collect()
     mixed = sp.sample_to_mixture(train, "doc_id", "lang",
                                  {"en": 0.4, "zh": 0.3, "de": 0.2, "fr": 0.1},
                                  total=max(n3 // 2, 1))
@@ -75,6 +88,13 @@ def main() -> None:
     pairs = sp.negative_pairs(mixed, "doc_id", k=2)
     n5 = pairs.count()
 
+    # 6b. context-window packing of the mixed train slice (the batch
+    # layout a training job reads; distributed prefix sum, no global
+    # ordered window)
+    from etl_excel_to_hyper_tableau_spark.operators.packing import pack_sequences
+    packed = pack_sequences(mixed, "text", "doc_id", window_tokens=256)
+    n_windows = packed.agg(F.max("end_window")).first()[0]
+
     # 7. stage to parquet partitioned by split (the training-ready
     # layout), then compact — incremental ingests accrete small files
     split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
@@ -82,8 +102,12 @@ def main() -> None:
     stats = compact_parquet(spark, out_dir, out_dir + "_compact",
                             target_file_mb=512, sort_within_by=["doc_id"])
 
+    mix_report = ", ".join(
+        f"{r['stratum']}: {r['share']:.2f}→{r['weight']:.2f}"
+        for r in sorted(weights, key=lambda r: r["stratum"])[:4])
     print(f"corpus {n0} → cleaned {n1} → deduped {n2} "
-          f"→ decontaminated {n3} → mixed-train {n4} (+{n5} negative pairs); "
+          f"→ decontaminated {n3} → mixed-train {n4} (+{n5} negative pairs, "
+          f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "
           f"staged at {out_dir} "
           f"({stats['files_in']}→{stats['files_out']} files compacted)")
     spark.stop()
