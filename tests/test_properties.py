@@ -219,3 +219,74 @@ def test_connected_components_match_union_find(spark, edges):
         want.setdefault(find(node), []).append(node)
     expected = {n: min(group) for group in want.values() for n in group}
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(
+    st.text(alphabet="ab x", max_size=24), min_size=1, max_size=8))
+def test_doc_novelty_matches_python_model(spark, docs):
+    from etl_excel_to_hyper_tableau_spark.operators.text import doc_novelty
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in doc_novelty(df, "text", "id").collect()}
+    seen: set[str] = set()
+    for i, t in rows:
+        toks = [w for w in t.split() if w]
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        novel = {b for b in bgs if b not in seen}
+        seen |= bgs
+        assert got[i]["n_bigrams"] == len(bgs)
+        assert got[i]["n_novel"] == len(novel)
+        expect = 1.0 if not bgs else len(novel) / len(bgs)
+        assert got[i]["novelty"] == expect
+
+
+@settings(**_SETTINGS)
+@given(lengths=st.lists(st.integers(0, 40), min_size=1, max_size=8),
+       window=st.integers(1, 16))
+def test_pack_and_window_map_consistent(spark, lengths, window):
+    """pack_sequences offsets are a prefix sum of token counts in id
+    order, and window_doc_map emits exactly each doc's window span."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        pack_sequences, window_doc_map,
+    )
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    packed = {r["id"]: r for r in
+              pack_sequences(df, "text", "id",
+                             window_tokens=window).collect()}
+    acc = 0
+    for i, n in enumerate(lengths):
+        p = packed[i]
+        assert p["n_tokens"] == n
+        assert p["start_offset"] == acc
+        assert p["start_window"] == acc // window
+        assert p["offset_in_window"] == acc % window
+        if n > 0:
+            assert p["end_window"] == (acc + n - 1) // window
+            assert p["n_windows"] == p["end_window"] - p["start_window"] + 1
+        else:
+            assert p["n_windows"] == 0
+        acc += n
+    mapped = window_doc_map(df, "text", "id", window_tokens=window).collect()
+    span = {(r["window_id"], r["id"]) for r in mapped}
+    expect = {(w, i) for i, n in enumerate(lengths) if n > 0
+              for w in range(packed[i]["start_window"],
+                             packed[i]["end_window"] + 1)}
+    assert span == expect
+
+
+@settings(**_SETTINGS)
+@given(words=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12))
+def test_bpe_pair_counts_match_python_model(spark, words):
+    from collections import Counter
+    from etl_excel_to_hyper_tableau_spark.operators.text import bpe_pair_counts
+    df = spark.createDataFrame([(0, " ".join(words))], "id long, text string")
+    got = {r["pair"]: r["cnt"]
+           for r in bpe_pair_counts(df, "text", "id", topk=1000).collect()}
+    model: Counter = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            model[w[i:i + 2]] += 1
+    assert got == dict(model)
