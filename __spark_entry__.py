@@ -1302,6 +1302,20 @@ def q_window_doc_map(spark, sf_dir):
             .orderBy("window_id", "id"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality gauge (operators.similarity.ann_recall_report):
+    recall@5 of the sign-LSH path (planes=8, no multiprobe — the
+    bucket-exact oracle configuration) against the exact top-5.  Two
+    broadcast-query scans; the evaluation join touches queries×k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.ann_recall_report(corpus, queries, "embedding", "vec_id",
+                                  "embedding", "vec_id", k=5, planes=8,
+                                  multiprobe=False)
+            .orderBy("query_id"))
+
+
 # ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
@@ -1522,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "mixture_weights": q_mixture_weights,
         "window_doc_map": q_window_doc_map,
+        "ann_recall": q_ann_recall,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2943,5 +2958,41 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: ANN recall@k evaluation ----------------------------
+        "ann_recall": f"""
+WITH corpus AS (SELECT vec_id AS id, embedding AS e
+                FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 3),
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT q.query_id, c.id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos_sql('c.e', 'q.qe')} DESC, c.id) AS rn
+    FROM corpus c CROSS JOIN q) WHERE rn <= 5),
+cb AS (SELECT vec_id AS id, embedding AS e,
+              {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+       FROM embeddings WHERE vec_id >= 3),
+qb AS (SELECT vec_id AS query_id, embedding AS qe,
+              {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+       FROM embeddings WHERE vec_id < 3),
+ann AS (
+  SELECT query_id, id FROM (
+    SELECT qb.query_id, cb.id,
+      row_number() OVER (PARTITION BY qb.query_id
+                         ORDER BY {_cos_sql('cb.e', 'qb.qe')} DESC, cb.id) AS rn
+    FROM cb JOIN qb USING (bucket)) WHERE rn <= 5),
+hits AS (
+  SELECT a.query_id, count(*) AS n_ann,
+         sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM ann a LEFT JOIN exact e ON a.query_id = e.query_id AND a.id = e.id
+  GROUP BY a.query_id)
+SELECT q.query_id,
+  cast(coalesce(n_ann, 0) as bigint) AS n_ann,
+  cast(coalesce(n_hits, 0) as bigint) AS n_hits,
+  coalesce(n_hits, 0) / 5.0 AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3) q
+LEFT JOIN hits ON q.query_id = hits.query_id ORDER BY q.query_id
 """,
     }

@@ -459,3 +459,46 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ann_recall_report(corpus: DataFrame, queries: DataFrame,
+                      vec_col: str, id_col: str,
+                      query_vec_col: str, query_id_col: str,
+                      k: int = 5, planes: int = 8,
+                      multiprobe: bool = False) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path against the exact top-k — the
+    standard quality gauge every ANN deployment tracks (what you watch
+    while tuning ``planes``/multiprobe; recall trades against the
+    ~2^planes search-space reduction).
+
+    Per query: ``n_ann`` rows the ANN path returned (< k when the
+    bucket is small), ``n_hits`` of them inside the true top-k,
+    ``recall = n_hits / k``.  Both operands broadcast the (small) query
+    set against one corpus scan each; the final join touches only
+    (queries × k) rows — evaluation cost is two scans regardless of
+    corpus size, which is what makes the gauge cheap enough to run on
+    a sampled query set continuously.
+
+    Output: ``query_id, n_ann, n_hits, recall``.
+    """
+    exact = topk_cosine_batch(corpus, queries, vec_col, id_col,
+                              query_vec_col, query_id_col, k=k) \
+        .select("query_id", "id")
+    ann = ann_topk_lsh(corpus, queries, vec_col, id_col,
+                       query_vec_col, query_id_col, k=k, planes=planes,
+                       multiprobe=multiprobe) \
+        .select("query_id", "id")
+    hits = (ann.join(exact.withColumn("__hit__", F.lit(1)),
+                     ["query_id", "id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_ann"),
+                 F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_hits")))
+    base = queries.select(F.col(query_id_col).alias("query_id")).distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_ann"), F.lit(0)).cast("long")
+                     .alias("n_ann"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                     .alias("n_hits"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                     / F.lit(float(k))).alias("recall")))

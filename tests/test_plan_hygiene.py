@@ -22,7 +22,8 @@ import __spark_entry__ as entry
 # calibration stats / doc counts / Σ and Σ√ scalars)
 NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "negative_samples", "hard_negatives",
-                  "embedding_quantize", "tfidf_topk", "mixture_weights"}
+                  "embedding_quantize", "tfidf_topk", "mixture_weights",
+                  "ann_recall"}
 
 
 def _plan(df) -> str:

@@ -168,3 +168,22 @@ def test_semantic_dedup_lsh_subbucket_is_subset(spark):
     dropped_lsh = {i for i, k in lsh.items() if not k}
     assert dropped_lsh <= dropped_exact
     assert exact[0] is True and lsh[0] is True
+
+
+def test_ann_recall_report_bounds_and_perfect_case(spark, corpus):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ann_recall_report,
+    )
+    qs = spark.createDataFrame([(1, [1.0, 0.05]), (2, [0.0, 1.0])],
+                               "qid long, qv array<double>")
+    out = {r["query_id"]: r
+           for r in ann_recall_report(corpus, qs, "emb", "id", "qv", "qid",
+                                      k=3, planes=2,
+                                      multiprobe=True).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert 0 <= r["n_hits"] <= r["n_ann"] <= 3
+        assert r["recall"] == r["n_hits"] / 3.0
+    # multiprobe over 2 planes covers 3 of 4 buckets of a 10-vector
+    # corpus: the top hit is essentially always retrieved
+    assert out[1]["n_hits"] >= 1
