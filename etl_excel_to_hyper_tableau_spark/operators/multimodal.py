@@ -2,13 +2,16 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side design is fully real — schemas, partition sizing, UDF
-signatures, batch shapes — and so is the PNG image path: a pure-stdlib
+signatures, batch shapes — and so are two codec paths: a pure-stdlib
 PNG codec (:mod:`..functions.png`, zlib inflate + scanline un-filter)
-decodes/encodes real image bytes end-to-end.  Codecs that genuinely
-need native libraries absent from this container (JPEG, audio, video
-demux) degrade to clearly-marked deterministic fakes (documented
-per-function); swapping in Pillow/torchaudio/PyAV is a one-line change
-inside the UDF; the distributed plumbing does not move.
+and a pure-stdlib WAV codec (:mod:`..functions.wav`, RIFF/PCM16 chunk
+walker) decode/encode real image and audio bytes end-to-end
+(:func:`resize_images`, :func:`audio_features`).  Codecs that
+genuinely need native libraries absent from this container (JPEG,
+MP3/AAC, video demux) degrade to clearly-marked deterministic fakes
+(documented per-function); swapping in Pillow/torchaudio/PyAV is a
+one-line change inside the UDF; the distributed plumbing does not
+move.
 
 Scale notes: media blobs make rows wide, so the operators repartition by
 byte budget, not row count (`target_partition_bytes`); feature outputs
@@ -235,3 +238,88 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                                 "content": contents, "meta": metas})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def make_wav_media(spark, n: int = 16, sample_rate: int = 8000,
+                   duration_s: float = 0.05) -> DataFrame:
+    """Synthetic media table whose ``content`` is REAL encoded WAV bytes
+    (stdlib RIFF/PCM16 codec — :mod:`..functions.wav`): deterministic
+    per-id sine tones at distinct frequencies, so the full decode →
+    sample-math path runs on genuine audio data with no audio library
+    installed."""
+    from ..functions.wav import encode_wav
+
+    n_samp = int(sample_rate * duration_s)
+    rows = []
+    for i in range(n):
+        freq = 200.0 + 100.0 * i
+        t = np.arange(n_samp) / sample_rate
+        samples = (np.sin(2 * np.pi * freq * t) * 12000.0).astype(np.int16)
+        rows.append((i, "audio", encode_wav(samples, sample_rate),
+                     ("wav", None, None, sample_rate, n_samp)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+    T.StructField("zero_crossing_rate", T.DoubleType(), True),
+])
+
+
+def audio_features(df: DataFrame,
+                   target_partition_bytes: int = 64 * 1024 * 1024
+                   ) -> DataFrame:
+    """REAL audio feature extraction over WAV-encoded binary rows: the
+    stdlib RIFF/PCM16 decoder (:mod:`..functions.wav`) parses genuine
+    encoded bytes inside the Arrow batch, then the features are plain
+    sample math — duration, RMS, peak amplitude, zero-crossing rate
+    (the classic cheap audio-quality / silence-detection signals a
+    curation pipeline gates on).
+
+    Same distributed shape as :func:`extract_features`: byte-budget
+    repartition ahead of the map (media rows are wide), Arrow-batched
+    ``mapInPandas``, narrow feature output that shuffles freely
+    downstream.  Rows whose bytes are not decodable PCM16 WAV yield
+    NULL features rather than failing the batch (quarantine-and-
+    continue, the same contract as the JSONL source's corrupt-line
+    handling).
+    """
+    from ..functions.wav import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                                   "channels", "duration_s", "rms", "peak",
+                                   "zero_crossing_rate")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    arr, sr = decode_wav(bytes(content))
+                except (ValueError, TypeError):
+                    for k in ("sample_rate", "n_samples", "channels",
+                              "duration_s", "rms", "peak",
+                              "zero_crossing_rate"):
+                        out[k].append(None)
+                    continue
+                mono = arr.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                signs = np.signbit(mono[mono != 0.0])
+                zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["channels"].append(arr.shape[1])
+                out["duration_s"].append(n / sr if sr else None)
+                out["rms"].append(float(np.sqrt(np.mean(mono ** 2)))
+                                  if n else 0.0)
+                out["peak"].append(int(np.abs(arr).max()) if n else 0)
+                out["zero_crossing_rate"].append(zc / n if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return (repartition_by_bytes(df, target_partition_bytes=target_partition_bytes)
+            .mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA))

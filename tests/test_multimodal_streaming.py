@@ -291,3 +291,66 @@ def test_streaming_latest_state_matches_batch_cdc(spark, sf_dir):
                                        "event_type", "value").collect()))
     b = sorted(map(repr, batch.collect()))
     assert a == b
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.wav import (
+        decode_wav, encode_wav,
+    )
+    mono = (np.sin(np.linspace(0, 20, 400)) * 30000).astype(np.int16)
+    arr, sr = decode_wav(encode_wav(mono, 16000))
+    assert sr == 16000 and arr.shape == (400, 1)
+    assert np.array_equal(arr[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    arr2, sr2 = decode_wav(encode_wav(stereo, 44100))
+    assert sr2 == 44100 and np.array_equal(arr2, stereo)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    import struct
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.wav import (
+        decode_wav, encode_wav,
+    )
+    base = encode_wav(np.arange(10, dtype=np.int16), 8000)
+    # splice a LIST chunk between fmt and data (real files do this)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    arr, sr = decode_wav(spliced)
+    assert sr == 8000 and list(arr[:, 0]) == list(range(10))
+
+
+def test_audio_features_real_decode(spark):
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.wav import decode_wav
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        audio_features, make_wav_media,
+    )
+    media = make_wav_media(spark, n=6, sample_rate=8000, duration_s=0.05)
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        arr, sr = decode_wav(src[mid])
+        mono = arr.astype(np.float64).mean(axis=1)
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 400
+        assert r["duration_s"] == 400 / 8000
+        assert abs(r["rms"] - float(np.sqrt(np.mean(mono ** 2)))) < 1e-9
+        assert r["peak"] == int(np.abs(arr).max())
+        # a ~(200+100*id) Hz tone crosses zero ~2*freq times per second
+        freq = 200.0 + 100.0 * mid
+        expect_zcr = 2 * freq / 8000
+        assert abs(r["zero_crossing_rate"] - expect_zcr) < 0.02
+
+
+def test_audio_features_quarantines_bad_bytes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features,
+    )
+    rows = [(1, "audio", b"not a wav at all", ("wav", None, None, 8000, 1))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_features(df).collect()
+    assert len(out) == 1
+    assert out[0]["rms"] is None and out[0]["n_samples"] is None
