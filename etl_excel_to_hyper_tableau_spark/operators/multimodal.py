@@ -2,13 +2,15 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side design is fully real — schemas, partition sizing, UDF
-signatures, batch shapes — and so are two codec paths: a pure-stdlib
-PNG codec (:mod:`..functions.png`, zlib inflate + scanline un-filter)
-and a pure-stdlib WAV codec (:mod:`..functions.wav`, RIFF/PCM16 chunk
-walker) decode/encode real image and audio bytes end-to-end
-(:func:`resize_images`, :func:`audio_features`).  Codecs that
+signatures, batch shapes — and so is one codec per modality: a
+pure-stdlib PNG codec (:mod:`..functions.png`, zlib inflate + scanline
+un-filter), a pure-stdlib WAV codec (:mod:`..functions.wav`,
+RIFF/PCM16 chunk walker), and a pure-stdlib Y4M video codec
+(:mod:`..functions.y4m`, YUV4MPEG2 demux) decode/encode real image,
+audio, and video bytes end-to-end (:func:`resize_images`,
+:func:`audio_features`, :func:`sample_frames_y4m`).  Codecs that
 genuinely need native libraries absent from this container (JPEG,
-MP3/AAC, video demux) degrade to clearly-marked deterministic fakes
+MP3/AAC, H.264/VP9) degrade to clearly-marked deterministic fakes
 (documented per-function); swapping in Pillow/torchaudio/PyAV is a
 one-line change inside the UDF; the distributed plumbing does not
 move.
@@ -323,3 +325,62 @@ def audio_features(df: DataFrame,
 
     return (repartition_by_bytes(df, target_partition_bytes=target_partition_bytes)
             .mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA))
+
+
+def make_y4m_media(spark, n: int = 8, width: int = 32, height: int = 24,
+                   n_frames: int = 12) -> DataFrame:
+    """Synthetic media table whose ``content`` is REAL encoded Y4M video
+    bytes (stdlib YUV4MPEG2 codec — :mod:`..functions.y4m`):
+    deterministic per-id moving-gradient frames, so the full demux →
+    frame-sample → re-encode path runs on genuine container bytes with
+    no video library installed."""
+    from ..functions.y4m import encode_y4m
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:height, 0:width]
+        frames = np.stack([
+            ((xx * 5 + yy * 11 + i * 17 + f * 29) % 256).astype(np.uint8)
+            for f in range(n_frames)])
+        rows.append((i, "video", encode_y4m(frames),
+                     ("y4m", width, height, None, n_frames)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sample_frames_y4m(df: DataFrame, every_n: int = 10,
+                      target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """REAL video frame sampling: demux genuine Y4M container bytes
+    (stdlib codec), keep every ``every_n``-th frame, re-encode — the
+    actual decode→select→encode pipeline :func:`sample_frames` stubs
+    for opaque compressed formats.  Same distributed shape: byte-budget
+    repartition, Arrow-batched ``mapInPandas``, output rows carry the
+    re-encoded container with updated ``meta.n_frames``.  Undecodable
+    rows pass through unchanged with ``meta`` intact (quarantine-and-
+    continue)."""
+    from ..functions.y4m import decode_y4m, encode_y4m
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                if c is None:
+                    contents.append(None)
+                    metas.append(m)
+                    continue
+                try:
+                    frames, fps = decode_y4m(bytes(c))
+                except ValueError:
+                    contents.append(bytes(c))
+                    metas.append(m)
+                    continue
+                kept = frames[::every_n]
+                contents.append(encode_y4m(kept, fps=fps))
+                metas.append({**(m or {}), "n_frames": int(len(kept))})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "content": contents, "meta": metas})
+
+    return (repartition_by_bytes(df, target_partition_bytes=target_partition_bytes)
+            .mapInPandas(run, schema=out_schema))

@@ -354,3 +354,60 @@ def test_audio_features_quarantines_bad_bytes(spark):
     out = audio_features(df).collect()
     assert len(out) == 1
     assert out[0]["rms"] is None and out[0]["n_samples"] is None
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.y4m import (
+        decode_y4m, encode_y4m,
+    )
+    frames = np.arange(3 * 4 * 5, dtype=np.uint8).reshape(3, 4, 5)
+    out, fps = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert np.array_equal(out, frames)
+
+
+def test_y4m_decodes_c420_luma():
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.y4m import decode_y4m
+    # hand-built C420 stream: luma plane + u/v planes per frame
+    w, h = 4, 2
+    luma = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    chroma = bytes((w // 2) * (h // 2)) * 2
+    data = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + luma.tobytes() + chroma
+            + b"FRAME\n" + luma.tobytes() + chroma)
+    out, fps = decode_y4m(data)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[0], luma) and np.array_equal(out[1], luma)
+
+
+def test_sample_frames_y4m_real_demux(spark):
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.y4m import decode_y4m
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_y4m_media, sample_frames_y4m,
+    )
+    media = make_y4m_media(spark, n=3, width=8, height=6, n_frames=10)
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = {r["media_id"]: r
+           for r in sample_frames_y4m(media, every_n=4).collect()}
+    for mid, r in out.items():
+        orig, _ = decode_y4m(src[mid])
+        kept, _ = decode_y4m(bytes(r["content"]))
+        assert r["meta"]["n_frames"] == 3          # frames 0, 4, 8 of 10
+        assert np.array_equal(kept, orig[::4])     # exact demuxed frames
+    # non-sampled metadata fields survive
+    assert all(r["meta"]["width"] == 8 for r in out.values())
+
+
+def test_sample_frames_y4m_quarantines_bad_bytes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, sample_frames_y4m,
+    )
+    rows = [(7, "video", b"not video", ("y4m", 4, 4, None, 3))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames_y4m(df, every_n=2).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["content"]) == b"not video"
+    assert out[0]["meta"]["n_frames"] == 3  # untouched
