@@ -801,11 +801,16 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
     from :func:`keyword_topk`'s raw-tf form).
 
     Plan: one explode → per-(doc, term) counts (partial agg); document
-    frequencies from the same aggregate via a second groupBy on term;
-    the N scalar is a broadcast one-row cross join; the idf join keys
-    on the term (high-entropy).  Final per-doc top-k is a window
-    bounded by the document's own distinct-term count.  ``ln`` is IEEE
-    libm on both engines — bit-identical for the same double inputs.
+    frequencies as ``count(*) OVER (PARTITION BY term)`` over that SAME
+    aggregate — one lineage, so the corpus is exploded once (a separate
+    ``groupBy(term)`` + join back re-evaluates the explode as the probe
+    side: one extra corpus scan and one extra exchange for identical
+    shuffle bytes — the tf rows are already one-per-(doc,term), so
+    partial aggregation has nothing to combine for the df count
+    either way).  The N scalar is a broadcast one-row cross join.
+    Final per-doc top-k is a window bounded by the document's own
+    distinct-term count.  ``ln`` is IEEE libm on both engines —
+    bit-identical for the same double inputs.
 
     Output: ``id, term, tf, df, score, rank`` (rank ≤ k; ties → term asc).
     """
@@ -815,9 +820,9 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
           .select(F.col(id_col).alias("id"),
                   F.explode(tokens(F.col(text_col))).alias("term"))
           .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n__"))
-    scored = (tf.join(dfreq, "term")
+    dfw = Window.partitionBy("term")
+    scored = (tf.withColumn("df", F.count(F.lit(1)).over(dfw))
               .crossJoin(F.broadcast(n_docs))
               .select("id", "term", "tf", "df",
                       (F.col("tf")
@@ -844,11 +849,14 @@ def doc_novelty(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the aggregate form of the per-batch dedup decision).
 
     Plan: bigram explode → distinct (doc, bigram) via groupBy [partial
-    agg] → global first-seer per bigram (``min(doc_id)`` — another
-    partial agg on the bigram digest, so a bigram repeated across the
-    corpus ships one row per input partition) → per-doc mean of
-    ``first_seer == own id``.  Three aggregations, all on high-entropy
-    keys; nothing quadratic, nothing corpus-wide in one reducer.
+    agg] → global first-seer per bigram as ``min(id) OVER (PARTITION BY
+    bg)`` over that SAME aggregate — one lineage, so the corpus is
+    exploded once (a separate ``groupBy(bg)`` + join back re-evaluates
+    the explode as the probe side; the distinct rows offer the min
+    nothing to combine map-side either way) → per-doc mean of
+    ``first_seer == own id``.  Nothing quadratic, nothing corpus-wide
+    in one reducer; the widest window partition is a bigram's document
+    frequency.
 
     Output: ``id, n_bigrams, n_novel, novelty`` (novelty = n_novel /
     n_bigrams; documents with < 2 tokens report 0 bigrams, novelty 1.0
@@ -864,13 +872,15 @@ def doc_novelty(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                        lambda a, b: F.concat(a, F.lit(" "), b)),
         ).otherwise(F.array().cast("array<string>"))
 
+    from pyspark.sql import Window
+
     bg = (spread(df)
           .select(F.col(id_col).alias("id"),
                   F.explode(F.element_at(
                       F.transform(F.array(toks), _bigrams), 1)).alias("bg"))
           .groupBy("id", "bg").agg(F.count(F.lit(1)).alias("_c")))
-    first = bg.groupBy("bg").agg(F.min("id").alias("first_id"))
-    per_doc = (bg.join(first, "bg")
+    first_id = F.min("id").over(Window.partitionBy("bg"))
+    per_doc = (bg.withColumn("first_id", first_id)
                .groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_bigrams"),
                     F.sum(F.when(F.col("first_id") == F.col("id"), 1)
