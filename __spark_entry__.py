@@ -1302,6 +1302,16 @@ def q_window_doc_map(spark, sf_dir):
             .orderBy("window_id", "id"))
 
 
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnostics (operators.skew.key_skew_report) over
+    lineitem.l_orderkey: top-10 heaviest keys with share and
+    hot-factor.  Partial-agg key counts; top-k via TakeOrderedAndProject
+    (never a global rank over corpus-cardinality keys)."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import key_skew_report
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN quality gauge (operators.similarity.ann_recall_report):
     recall@5 of the sign-LSH path (planes=8, no multiprobe — the
@@ -1537,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "window_doc_map": q_window_doc_map,
         "ann_recall": q_ann_recall,
+        "key_skew": q_key_skew,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2958,6 +2969,18 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: join-key skew diagnostics --------------------------
+        "key_skew": """
+WITH c AS (SELECT cast(l_orderkey as varchar) AS key_value,
+                  count(*) AS n_rows
+           FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT key_value, cast(n_rows as bigint) AS n_rows,
+  n_rows / cast(total as double) AS share,
+  n_rows * n_keys / cast(total as double) AS hot_factor,
+  cast(row_number() OVER (ORDER BY n_rows DESC, key_value) as bigint) AS rank
+FROM c CROSS JOIN t QUALIFY rank <= 10 ORDER BY rank
 """,
         # --- round 3b: ANN recall@k evaluation ----------------------------
         "ann_recall": f"""

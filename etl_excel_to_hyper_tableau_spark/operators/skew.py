@@ -63,3 +63,46 @@ def stage_bucketed(df: DataFrame, table_name: str, key: str,
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def key_skew_report(df: DataFrame, key: str, topk: int = 10) -> DataFrame:
+    """Skew diagnostics for a prospective join/groupBy key: the ``topk``
+    heaviest key values with their row counts, share of the table, and
+    the multiple of a perfectly-uniform key's load — the report you
+    read BEFORE choosing between a plain join, AQE skew splitting, and
+    :func:`salted_join` (a key whose ``hot_factor`` exceeds the
+    executor-partition budget needs salting; AQE can split a partition
+    but not a key).
+
+    Plan: one partial-agg ``groupBy(key)`` (hot keys combine map-side —
+    the diagnostic never amplifies the skew it measures), the totals as
+    a broadcast one-row aggregate over the SAME key-count lineage, and
+    the top-k via sort+limit — Spark's ``TakeOrderedAndProject``
+    (per-partition partial top-k, no full sort): a near-unique key has
+    corpus-scale cardinality, so a global rank window here would be the
+    single-reducer plan this module exists to avoid.  The row_number
+    runs on the ≤ topk survivors only.
+
+    Output: ``key_value (string), n_rows, share, hot_factor, rank``
+    (``hot_factor`` = n_rows × n_distinct_keys / total_rows; 1.0 ⇒
+    perfectly uniform).
+    """
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(key).cast("string").alias("key_value"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    totals = counts.agg(F.sum("n_rows").alias("__total__"),
+                        F.count(F.lit(1)).alias("__n_keys__"))
+    top = (counts.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+           .limit(topk))
+    rank = Window.orderBy(F.col("n_rows").desc(), F.col("key_value"))
+    return (top.crossJoin(F.broadcast(totals))
+            .select("key_value",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    (F.col("n_rows") / F.col("__total__").cast("double"))
+                    .alias("share"),
+                    (F.col("n_rows") * F.col("__n_keys__")
+                     / F.col("__total__").cast("double")).alias("hot_factor"))
+            .withColumn("rank", F.row_number().over(rank))
+            .select("key_value", "n_rows", "share", "hot_factor",
+                    F.col("rank").cast("long").alias("rank")))

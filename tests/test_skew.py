@@ -91,3 +91,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
 
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_cust")
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.skew import key_skew_report
+    rows = [(1, "hot")] * 60 + [(i, f"k{i}") for i in range(2, 42)]
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k string")
+    out = key_skew_report(df, "k", topk=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["key_value"] == "hot" and top["n_rows"] == 60
+    assert top["share"] == 60 / 100
+    # 41 distinct keys; uniform load would be 100/41 rows per key
+    assert top["hot_factor"] == 60 * 41 / 100
+    # the uniform tail keys sit at hot_factor < 1
+    assert all(r["hot_factor"] < 1 for r in out[1:])
+
+
+def test_key_skew_report_plan_is_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject, not a global-rank
+    window (single reducer over key cardinality)."""
+    import contextlib, io
+    from etl_excel_to_hyper_tableau_spark.operators.skew import key_skew_report
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        key_skew_report(df, "k", topk=3).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
