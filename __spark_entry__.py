@@ -1500,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
         "event_rate_anomalies": q_event_rate_anomalies,
         "label_centroids": q_label_centroids,
+        "key_skew": q_key_skew,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
@@ -1507,7 +1508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_stats": q_split_stats,
         "stratified_sample": q_stratified_sample,
         "doc_repetition": q_doc_repetition,
-        "pii_redaction": q_pii_redaction,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1547,7 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "window_doc_map": q_window_doc_map,
         "ann_recall": q_ann_recall,
-        "key_skew": q_key_skew,
+        "pii_redaction": q_pii_redaction,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
