@@ -1312,6 +1312,22 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators.similarity.pq_topk): m=4
+    subspaces × 8 codes seeded from the first 8 corpus vectors
+    (iters=0 — oracle-reproducible), asymmetric-distance search via a
+    per-query LUT.  Encode is map-only with codebook literals; the
+    corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.pq_topk(corpus, queries, "embedding", "vec_id",
+                        "embedding", "vec_id", k=5, m=4, n_codes=8)
+            .select("query_id", "id", "adc_dist",
+                    F.col("rank").cast("long").alias("rank"))
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN quality gauge (operators.similarity.ann_recall_report):
     recall@5 of the sign-LSH path (planes=8, no multiprobe — the
@@ -1501,13 +1517,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_anomalies": q_event_rate_anomalies,
         "label_centroids": q_label_centroids,
         "key_skew": q_key_skew,
+        "pq_topk": q_pq_topk,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
         "media_features": q_media_features,
         "split_stats": q_split_stats,
         "stratified_sample": q_stratified_sample,
-        "doc_repetition": q_doc_repetition,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1548,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_doc_map": q_window_doc_map,
         "ann_recall": q_ann_recall,
         "pii_redaction": q_pii_redaction,
+        "doc_repetition": q_doc_repetition,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2969,6 +2986,56 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: product-quantization ANN (ADC search) --------------
+        # m=4 subspaces of 16 dims, 8 codes seeded from the first 8
+        # corpus vectors (iters=0).  Every float fold is a sequential
+        # left fold from 0.0 — bit-identical to the engine's aggregate()
+        # and driver-LUT arithmetic; the 4-term ADC sum folds in
+        # subspace order via list_reduce(list_prepend(0.0, list(...
+        # ORDER BY s))), the bm25 idiom.  Code argmin ties break toward
+        # the smaller code via (d ASC, j ASC) — the least+CASE-chain
+        # semantics of the engine's encoder.
+        "pq_topk": """
+WITH corpus AS (
+  SELECT vec_id AS id, list_apply(embedding, x -> cast(x as double)) AS e
+  FROM embeddings WHERE vec_id >= 3),
+cb AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS j, e AS ce
+  FROM (SELECT id, e FROM corpus ORDER BY id LIMIT 8)),
+sub AS (SELECT unnest(range(4)) AS s),
+cdist AS (
+  SELECT c.id, sub.s, cb.j,
+    list_reduce(list_prepend(0.0, list_apply(range(1, 17),
+      i -> (c.e[sub.s * 16 + i] - cb.ce[sub.s * 16 + i])
+         * (c.e[sub.s * 16 + i] - cb.ce[sub.s * 16 + i]))),
+      (x, y) -> x + y) AS d
+  FROM corpus c CROSS JOIN sub CROSS JOIN cb),
+codes AS (
+  SELECT id, s, j AS code FROM (
+    SELECT id, s, j,
+      row_number() OVER (PARTITION BY id, s ORDER BY d ASC, j ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id,
+             list_apply(embedding, x -> cast(x as double)) AS qe
+      FROM embeddings WHERE vec_id < 3),
+qdist AS (
+  SELECT q.query_id, sub.s, cb.j,
+    list_reduce(list_prepend(0.0, list_apply(range(1, 17),
+      i -> (q.qe[sub.s * 16 + i] - cb.ce[sub.s * 16 + i])
+         * (q.qe[sub.s * 16 + i] - cb.ce[sub.s * 16 + i]))),
+      (x, y) -> x + y) AS d
+  FROM q CROSS JOIN sub CROSS JOIN cb),
+adc AS (
+  SELECT qd.query_id, codes.id,
+    list_reduce(list_prepend(0.0, list(qd.d ORDER BY qd.s)),
+                (x, y) -> x + y) AS adc_dist
+  FROM codes JOIN qdist qd ON qd.s = codes.s AND qd.j = codes.code
+  GROUP BY 1, 2)
+SELECT query_id, id, adc_dist,
+  cast(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, id ASC) as bigint) AS rank
+FROM adc QUALIFY rank <= 5 ORDER BY query_id, rank
 """,
         # --- round 3b: join-key skew diagnostics --------------------------
         "key_skew": """

@@ -502,3 +502,127 @@ def ann_recall_report(corpus: DataFrame, queries: DataFrame,
                      .alias("n_hits"),
                     (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
                      / F.lit(float(k))).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS-style compressed ANN representation
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str,
+                       m: int = 4, k: int = 8
+                       ) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): the vector
+    space is split into ``m`` contiguous subspaces; subspace ``s``'s
+    codebook is the ``s``-th slice of the first ``k`` corpus vectors by
+    id — the iters=0 seeding contract shared with :func:`ivf_topk` /
+    :func:`semantic_dedup`, reproducible by an external SQL oracle.
+    Returns ``codebooks[s][j] = centroid j of subspace s`` (a
+    metadata-sized driver list: m×k×(dim/m) floats)."""
+    rows = (corpus.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).cast("array<double>").alias("vec"))
+            .orderBy("id").limit(k).collect())
+    if not rows:
+        raise ValueError("train_pq_codebooks on an empty corpus")
+    dim = len(rows[0]["vec"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [[list(r["vec"][s * dsub:(s + 1) * dsub]) for r in rows]
+            for s in range(m)]
+
+
+def _pq_sub_dist(vec_name: str, s: int, dsub: int, cvec: list[float]) -> str:
+    """SQL text of the squared L2 distance between subspace ``s`` of
+    column ``vec_name`` and the literal centroid — sequential left fold
+    starting at 0.0, the engine-portable order every oracle shares."""
+    arr = "array(" + ",".join(f"{x!r}D" for x in cvec) + ")"
+    return (f"aggregate(zip_with(slice({vec_name}, {s * dsub + 1}, {dsub}), "
+            f"{arr}, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode every corpus vector as ``m`` codebook indices (argmin
+    squared-L2 per subspace; ties break toward the smaller code via a
+    least+CASE chain checked in ascending code order — the same
+    formulation the SQL oracle uses, so codes are bit-identical).
+
+    Map-only: the codebooks ride along as literals inside ONE
+    ``F.expr`` per subspace (the :func:`_nearest_cells` Py4J-cost
+    doctrine); the corpus never shuffles.  Output: ``id, codes
+    (array<int>)`` — m small ints per vector, the ~dim×32/(m×log2 k)
+    compression that lets a 100 TB vector corpus fit a memory budget.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    c = spread(corpus).select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>").alias("vec"))
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        dists = [_pq_sub_dist("vec", s, dsub, cv) for cv in book]
+        named = ", ".join(f"'d{j}', {d}" for j, d in enumerate(dists))
+        # the named_struct binds every subspace distance as a lambda
+        # variable field, so each d_j is computed once even though the
+        # least()+CASE chain reads it up to k+1 times
+        least = "least(" + ", ".join(f"s.d{j}" for j in range(len(book))) + ")"
+        case = "case " + " ".join(
+            f"when s.d{j} = {least} then {j}" for j in range(len(book))) + " end"
+        expr = f"element_at(transform(array(named_struct({named})), s -> {case}), 1)"
+        code_cols.append(F.expr(expr).cast("int").alias(f"c{s}"))
+    enc = c.select("id", "vec", *code_cols)
+    return enc.select("id", "vec",
+                      F.array(*[F.col(f"c{s}") for s in range(m)]).alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            vec_col: str, id_col: str,
+            query_vec_col: str, query_id_col: str,
+            k: int = 5, m: int = 4, n_codes: int = 8) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an m×n_codes lookup table of squared distances to every centroid
+    (driver-computed — queries are small by the same contract as
+    :func:`topk_cosine_batch`; the LUT is metadata-sized), and a corpus
+    vector's approximate distance is the SUM of m table lookups on its
+    codes — no per-pair float folds at search time, the property that
+    makes PQ search memory-bandwidth-bound instead of FLOP-bound.
+
+    Plan: encode (map-only, codebook literals) → broadcast the LUT rows
+    → per-query top-k via the rank window over (queries × corpus)
+    lookup sums.  The corpus never shuffles.  Output: ``query_id, id,
+    adc_dist, rank`` (rank ≤ k; ties → id asc).
+    """
+    codebooks = train_pq_codebooks(corpus, vec_col, id_col, m=m, k=n_codes)
+    enc = pq_encode(corpus, vec_col, id_col, codebooks).select("id", "codes")
+    qrows = (queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(query_vec_col).cast("array<double>")
+                             .alias("qvec"))
+             .orderBy("query_id").collect())
+    dsub = len(codebooks[0][0])
+    lut_rows = []
+    for r in qrows:
+        qv = list(r["qvec"])
+        lut = []
+        for s, book in enumerate(codebooks):
+            qs = qv[s * dsub:(s + 1) * dsub]
+            for cv in book:
+                acc = 0.0
+                for x, y in zip(qs, cv):
+                    acc += (x - y) * (x - y)
+                lut.append(acc)
+        lut_rows.append((r["query_id"], lut))
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            (F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1)
+            .cast("int"))
+        score = term if score is None else score + term
+    scored = (enc.crossJoin(F.broadcast(luts))
+              .select("query_id", "id", score.alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -187,3 +187,50 @@ def test_ann_recall_report_bounds_and_perfect_case(spark, corpus):
     # multiprobe over 2 planes covers 3 of 4 buckets of a 10-vector
     # corpus: the top hit is essentially always retrieved
     assert out[1]["n_hits"] >= 1
+
+
+def test_pq_encode_codes_select_nearest_centroid(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks,
+    )
+    # 4-dim vectors, m=2 subspaces of 2 dims; codebooks seeded from
+    # ids 0..1, so every vector's code is its nearest seed per subspace
+    rows = [(0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [0.1, -0.1, 0.2, 0.1]),    # near seed 0 / near seed 1
+            (3, [4.9, 5.2, 9.8, 10.1])]    # near seed 1 / near seed 0
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    books = train_pq_codebooks(df, "emb", "id", m=2, k=2)
+    assert books[0] == [[0.0, 0.0], [5.0, 5.0]]
+    out = {r["id"]: list(r["codes"])
+           for r in pq_encode(df, "emb", "id", books).collect()}
+    assert out[0] == [0, 0] and out[1] == [1, 1]
+    assert out[2] == [0, 1] and out[3] == [1, 0]
+
+
+def test_pq_encode_tie_breaks_to_smaller_code(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import pq_encode
+    df = spark.createDataFrame([(9, [1.0, 1.0])], "id long, emb array<double>")
+    # duplicate centroids -> equal distances -> code 0 wins
+    books = [[[1.0, 1.0], [1.0, 1.0]]]
+    out = pq_encode(df, "emb", "id", books).collect()
+    assert list(out[0]["codes"]) == [0]
+
+
+def test_pq_topk_finds_exact_neighbor_of_a_seed(spark):
+    import math as m
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import pq_topk
+    # corpus on a ring; queries sit exactly on two corpus points, so
+    # ADC with codes from nearby seeds must rank those points first
+    rows = [(i + 10, [m.cos(m.radians(30 * i)), m.sin(m.radians(30 * i)),
+                      m.cos(m.radians(60 * i)), m.sin(m.radians(60 * i))])
+            for i in range(12)]
+    corpus = spark.createDataFrame(rows, "id long, emb array<double>")
+    qs = spark.createDataFrame([(1, rows[0][1]), (2, rows[5][1])],
+                               "qid long, qv array<double>")
+    out = pq_topk(corpus, qs, "emb", "id", "qv", "qid",
+                  k=3, m=2, n_codes=4)
+    top = {r["query_id"]: r["id"] for r in out.collect() if r["rank"] == 1}
+    # the query IS a corpus point -> its ADC distance equals the
+    # quantization distance of that point, minimal among candidates
+    assert top[1] == 10 and top[2] == 15
