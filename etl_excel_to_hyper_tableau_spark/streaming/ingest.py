@@ -137,3 +137,77 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
          .start())
     q.awaitTermination()
     return stats
+
+
+def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
+                        centroids: list[tuple[int, list[float]]],
+                        schema: str = "vec_id long, embedding array<float>",
+                        dedup_threshold: float | None = None,
+                        max_files_per_trigger: int = 1) -> dict:
+    """Continuous embedding-index maintenance — the vector analogue of
+    :func:`curated_ingest`: new embedding files land in ``input_dir``;
+    each micro-batch is assigned to IVF cells against FROZEN centroids
+    (the production discipline — retraining the quantizer would
+    invalidate every staged cell id, so centroids come from
+    :func:`..operators.similarity.stage_ivf` or an offline training
+    run), optionally near-dup-gated against the vectors already staged
+    in the SAME cells, and appended to the partitioned index that
+    :func:`..operators.similarity.ivf_topk_staged` probes.
+
+    Scale shape: assignment is a map over literal centroids (no
+    shuffle); the dedup join is cell-scoped (batch rows only meet
+    staged rows sharing a cell — never the whole index); the append
+    writes ``cell=…/batch_id=…`` partitions so a replayed micro-batch
+    overwrites itself (same idempotency contract as
+    :func:`curated_ingest`), and probes keep pruning by cell directory
+    regardless of how many batches accreted.
+
+    Returns ``{"batches", "accepted"}``.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import _dot, _norm
+    from ..operators.similarity import _nearest_cells
+
+    stats = {"batches": 0, "accepted": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        b = (batch.select(F.col("vec_id").alias("id"),
+                          F.col("embedding").cast("array<double>")
+                           .alias("vec"))
+             .withColumn("__nrm__", _norm(F.col("vec")))
+             .withColumn("cell",
+                         _nearest_cells("vec", "__nrm__", centroids, 1)[0]))
+        if dedup_threshold is not None and os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") or f.startswith("part-")
+                for _r, _d, fs in os.walk(index_dir) for f in fs):
+            staged = (spark.read.parquet(index_dir)
+                      .select("cell", F.col("vec").alias("sv"))
+                      .withColumn("__snrm__", _norm(F.col("sv"))))
+            dup = (b.join(staged, "cell")
+                   .where(_dot(F.col("vec"), F.col("sv"))
+                          / (F.col("__nrm__") * F.col("__snrm__"))
+                          >= F.lit(dedup_threshold))
+                   .select("id").distinct())
+            b = b.join(dup, "id", "left_anti")
+        b = b.drop("__nrm__")
+        n = b.count()
+        if n:
+            (b.withColumn("batch_id", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cell", "batch_id").parquet(index_dir))
+        stats["batches"] += 1
+        stats["accepted"] += n
+
+    name = "vecingest_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_vec_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

@@ -104,3 +104,50 @@ def test_curated_ingest_from_jsonl(spark, tmp_path):
                            source_format="jsonl")
     assert stats["batches"] == 2
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 3}
+
+
+def test_vector_index_ingest_cross_batch_dedup_and_probe(spark, tmp_path):
+    import time
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivf_topk_staged,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        vector_index_ingest,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    index = str(tmp_path / "vecindex")
+    centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}"))
+        import shutil, glob, os
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    # batch 1: two vectors, one per cell
+    write_batch([(1, [1.0, 0.02]), (2, [0.05, 1.0])], "b1")
+    s1 = vector_index_ingest(spark, str(land), index, centroids,
+                             dedup_threshold=0.999)
+    assert s1["accepted"] == 2
+
+    # batch 2: a near-duplicate of vec 1 (same cell -> dropped) and a
+    # genuinely new vector (accepted)
+    time.sleep(1.1)  # distinct file mtime for the stream source
+    write_batch([(3, [1.0, 0.0201]), (4, [-1.0, 0.1])], "b2")
+    s2 = vector_index_ingest(spark, str(land), index, centroids,
+                             dedup_threshold=0.999)
+    assert s2["accepted"] == 1
+
+    staged = spark.read.parquet(index)
+    ids = sorted(r["id"] for r in staged.collect())
+    assert ids == [1, 2, 4]
+
+    # probes work against the accreted index with the frozen centroids
+    qs = spark.createDataFrame([(100, [1.0, 0.01])],
+                               "qid long, qv array<double>")
+    out = ivf_topk_staged(spark, index, centroids, qs, "qv", "qid",
+                          k=2, nprobe=1).collect()
+    assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
