@@ -1312,6 +1312,24 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators.graph.pagerank, 2 synchronous
+    updates, d=0.85, no dangling redistribution) over the bipartite
+    customer→supplier purchase graph from orders⋈lineitem; supplier
+    node ids offset so the two key spaces stay disjoint.  Contribution
+    sums are shuffle-order float adds → compared at 9 decimals (the
+    bm25 precedent)."""
+    from etl_excel_to_hyper_tableau_spark.operators.graph import pagerank
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + F.lit(1000000)).alias("dst")))
+    return (pagerank(edges, iterations=2)
+            .select("id", F.round("pagerank", 9).alias("pagerank"))
+            .orderBy("id"))
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators.similarity.pq_topk): m=4
     subspaces × 8 codes seeded from the first 8 corpus vectors
@@ -1518,12 +1536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "key_skew": q_key_skew,
         "pq_topk": q_pq_topk,
+        "pagerank": q_pagerank,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
         "media_features": q_media_features,
         "split_stats": q_split_stats,
-        "stratified_sample": q_stratified_sample,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1565,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "pii_redaction": q_pii_redaction,
         "doc_repetition": q_doc_repetition,
+        "stratified_sample": q_stratified_sample,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2986,6 +3005,37 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: fixed-iteration PageRank ---------------------------
+        # All float constants reproduce the engine's Python arithmetic:
+        # (cast(1.0 as double) - cast(0.85 as double)) is Python's
+        # 1.0-0.85 (0.15000000000000002, NOT the decimal literal 0.15),
+        # and casts force double division where DuckDB would otherwise
+        # use DECIMAL semantics.  Contribution sums are float adds in
+        # engine-specific order -> both sides round to 9 decimals.
+        "pagerank": """
+WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS nn FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+pr0 AS (SELECT id, cast(1.0 as double) / nn AS pr
+        FROM nodes CROSS JOIN n),
+c1 AS (SELECT e.dst AS id, sum(pr0.pr / od.outdeg) AS c
+       FROM e JOIN pr0 ON e.src = pr0.id JOIN od ON e.src = od.src
+       GROUP BY e.dst),
+pr1 AS (SELECT nodes.id,
+          (cast(1.0 as double) - cast(0.85 as double)) / nn
+          + cast(0.85 as double) * coalesce(c1.c, cast(0.0 as double)) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.id = c1.id),
+c2 AS (SELECT e.dst AS id, sum(pr1.pr / od.outdeg) AS c
+       FROM e JOIN pr1 ON e.src = pr1.id JOIN od ON e.src = od.src
+       GROUP BY e.dst),
+pr2 AS (SELECT nodes.id,
+          (cast(1.0 as double) - cast(0.85 as double)) / nn
+          + cast(0.85 as double) * coalesce(c2.c, cast(0.0 as double)) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.id = c2.id)
+SELECT id, round(pr, 9) AS pagerank FROM pr2 ORDER BY id
 """,
         # --- round 3b: product-quantization ANN (ADC search) --------------
         # m=4 subspaces of 16 dims, 8 codes seeded from the first 8

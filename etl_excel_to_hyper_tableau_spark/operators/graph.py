@@ -59,3 +59,54 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new_labels
     sym.unpersist()
     raise RuntimeError(f"no fixpoint after {max_iterations} label rounds")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Page & Brin,
+    1998) — the importance weighting data-curation pipelines apply to
+    link/domain graphs (seed-quality ranking à la Common Crawl).
+
+    Deterministic, oracle-friendly formulation: exactly ``iterations``
+    synchronous updates from the uniform start,
+    ``pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u)``, with NO
+    dangling-mass redistribution (a dangling node's mass simply decays
+    — the variant whose update is a pure join+aggregate; document-graph
+    use cases re-normalize at read time if they need a distribution).
+
+    Scale shape per iteration: one equi-join of the (node, pr) relation
+    against the edge list on the src key and one partial-agg groupBy on
+    dst — shuffle rows = |edges| + |nodes|, never adjacency-matrix
+    anything; ``localCheckpoint`` truncates the iterated lineage (the
+    :func:`connected_components` discipline).  Contribution sums are
+    floating-point adds in shuffle order, so cross-engine comparison
+    rounds (the bm25 precedent); within one engine the result is stable.
+
+    Output: ``id, pagerank`` — one row per node appearing in ≥1 edge.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct())
+    n_nodes = nodes.count()  # one scalar job; reused as a plain literal
+    if n_nodes == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.withColumn("pagerank", F.lit(1.0 / n_nodes))
+    base = 1.0 - damping
+    for _ in range(max(iterations, 0)):
+        contribs = (e.join(pr, e.src == pr.id)
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            (F.col("pagerank") / F.col("outdeg"))
+                            .alias("c"))
+                    .groupBy("id").agg(F.sum("c").alias("c")))
+        pr = (nodes.join(contribs, "id", "left")
+              .select("id",
+                      (F.lit(base / n_nodes)
+                       + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)))
+                      .alias("pagerank"))
+              .localCheckpoint(eager=False))
+    return pr

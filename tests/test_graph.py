@@ -58,3 +58,36 @@ def test_dedup_clusters_delegates_consistently(spark):
     generic = {(r["id"], r["component"])
                for r in connected_components(pairs, "id_a", "id_b").collect()}
     assert clusters == generic and clusters
+
+
+def test_pagerank_matches_python_reference(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.graph import pagerank
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["pagerank"]
+           for r in pagerank(df, iterations=3, damping=0.85).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] / outdeg[s]
+        pr = {v: (1.0 - 0.85) / n + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
+    # the hub (3) outranks everyone; dangling mass decays (sum < 1)
+    assert got[3] == max(got.values())
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.graph import pagerank
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["pagerank"]
+           for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: 0.5, 2: 0.5}
