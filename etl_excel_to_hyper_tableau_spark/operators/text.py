@@ -897,3 +897,59 @@ def doc_novelty(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      .otherwise(F.col("n_novel").cast("double")
                                 / F.col("n_bigrams").cast("double"))
                      .alias("novelty")))
+
+
+def bpe_train(df: DataFrame, text_col: str, id_col: str,
+              n_merges: int = 10) -> list[tuple[str, str]]:
+    """Iterative BPE tokenizer training (Sennrich et al., ACL'16): run
+    ``n_merges`` rounds of count-pairs → pick the most frequent → merge
+    it greedily left-to-right in every vocabulary word.  Returns the
+    ordered merge list — the artifact a BPE tokenizer ships.
+
+    Spark-first iterative shape (the :func:`~.graph.pagerank`
+    discipline applied to text): the corpus is touched ONCE (word-count
+    groupBy, partial agg); every round then runs on the distinct
+    vocabulary weighted by counts — pair counting is a
+    vocabulary-bounded explode+groupBy, the argmax is a
+    TakeOrderedAndProject of ONE row (the only driver collect,
+    metadata-sized), and the merge application is a map-only Catalyst
+    fold over each word's symbol array (greedy left-to-right, standard
+    BPE semantics: ``aab`` + merge (a,a) → ``[aa, b]``, not
+    ``[a, ab]``).  ``localCheckpoint`` truncates the per-round lineage.
+    Ties break toward the lexicographically smaller pair —
+    deterministic across runs and engines.
+    """
+    vocab = (spread(df)
+             .select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .select(F.expr("transform(sequence(1, length(w)), "
+                            "i -> substring(w, i, 1))").alias("syms"),
+                     "wc")
+             .localCheckpoint(eager=False))
+    merges: list[tuple[str, str]] = []
+    for _ in range(max(n_merges, 0)):
+        pairs = (vocab.where(F.size("syms") >= 2)
+                 .select("wc", F.explode(F.expr(
+                     "transform(sequence(1, size(syms) - 1), "
+                     "i -> struct(element_at(syms, i) as a, "
+                     "element_at(syms, i + 1) as b))")).alias("p"))
+                 .groupBy("p.a", "p.b").agg(F.sum("wc").alias("cnt")))
+        top = (pairs.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = f"concat({a!r}, {b!r})"
+        # greedy left-to-right fold: append each symbol unless it forms
+        # (a, b) with the CURRENT last element of the accumulator
+        fold = (
+            "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+            f"case when size(acc) > 0 and element_at(acc, -1) = {a!r} "
+            f"and s = {b!r} "
+            "then concat(slice(acc, 1, size(acc) - 1), "
+            f"array({merged})) "
+            "else concat(acc, array(s)) end)")
+        vocab = (vocab.select(F.expr(fold).alias("syms"), "wc")
+                 .localCheckpoint(eager=False))
+    return merges

@@ -378,3 +378,51 @@ def test_doc_novelty_prefix_semantics(spark):
     assert out[2]["n_novel"] == 1 and out[2]["novelty"] == 0.5
     assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
     assert out[4]["n_bigrams"] == 0 and out[4]["novelty"] == 1.0
+
+
+def _bpe_reference(words, n_merges):
+    """Greedy BPE on a weighted word list — the Sennrich reference
+    algorithm in plain Python."""
+    from collections import Counter
+    wc = Counter(words)
+    vocab = {w: [ch for ch in w] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += wc[w]
+        if not pairs:
+            break
+        # max count, ties toward the lexicographically smaller pair
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bpe_train
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, " ".join(words))], "id long, text string")
+    got = bpe_train(df, "text", "id", n_merges=6)
+    assert got == _bpe_reference(words, 6)
+
+
+def test_bpe_train_greedy_left_to_right(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import bpe_train
+    # 'aaab' x3: first merge must be (a,a); greedy application turns
+    # 'aaab' into [aa, a, b], so round 2 counts (aa,a) and (a,b) — the
+    # reference semantics where overlapping pairs never double-merge
+    df = spark.createDataFrame([(0, "aaab aaab aaab")], "id long, text string")
+    got = bpe_train(df, "text", "id", n_merges=2)
+    assert got == _bpe_reference(["aaab"] * 3, 2)
