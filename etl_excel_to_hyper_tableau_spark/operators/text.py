@@ -953,3 +953,41 @@ def bpe_train(df: DataFrame, text_col: str, id_col: str,
         vocab = (vocab.select(F.expr(fold).alias("syms"), "wc")
                  .localCheckpoint(eager=False))
     return merges
+
+
+def bpe_apply(df: DataFrame, text_col: str, id_col: str,
+              merges: list[tuple[str, str]]) -> DataFrame:
+    """Distributed BPE tokenizer INFERENCE: apply an ordered merge list
+    (from :func:`bpe_train` or any trained tokenizer) to every
+    document — per word, split to characters, then fold each merge in
+    training order with the same greedy left-to-right semantics the
+    trainer used.
+
+    Map-only: the merges ride as literals inside one composed Catalyst
+    expression (n_merges chained array folds per word — expression
+    depth grows with the merge count, which is why production
+    tokenizers cap the hot-path merge list; the corpus never
+    shuffles).  Output: ``id, n_words, n_tokens, tokens``
+    (``array<string>`` of subword units in document order).
+    """
+    word_syms = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    expr = word_syms
+    for a, b in merges:
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>), (acc, s) -> "
+            f"case when size(acc) > 0 and element_at(acc, -1) = {a!r} "
+            f"and s = {b!r} "
+            "then concat(slice(acc, 1, size(acc) - 1), "
+            f"array(concat({a!r}, {b!r}))) "
+            "else concat(acc, array(s)) end)")
+    per_word = (f"transform(toks, w -> {expr})")
+    packed = (f"transform(array(filter(split(trim({text_col}), '\\\\s+'), "
+              f"t -> t <> '')), toks -> flatten({per_word}))")
+    return (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    token_count(F.col(text_col)).cast("long")
+                     .alias("n_words"),
+                    F.expr(f"element_at({packed}, 1)").alias("tokens"))
+            .select("id", "n_words",
+                    F.size("tokens").cast("long").alias("n_tokens"),
+                    "tokens"))

@@ -426,3 +426,40 @@ def test_bpe_train_greedy_left_to_right(spark):
     df = spark.createDataFrame([(0, "aaab aaab aaab")], "id long, text string")
     got = bpe_train(df, "text", "id", n_merges=2)
     assert got == _bpe_reference(["aaab"] * 3, 2)
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        bpe_apply, bpe_train,
+    )
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    train_df = spark.createDataFrame([(0, " ".join(words))],
+                                     "id long, text string")
+    merges = bpe_train(train_df, "text", "id", n_merges=5)
+
+    def ref_tokenize(text):
+        out = []
+        for w in text.split():
+            syms = [ch for ch in w]
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    docs = spark.createDataFrame(
+        [(1, "newest lower low"), (2, "widest unknown"), (3, "")],
+        "id long, text string")
+    got = {r["id"]: r for r in bpe_apply(docs, "text", "id", merges).collect()}
+    for i, text in [(1, "newest lower low"), (2, "widest unknown"), (3, "")]:
+        expect = ref_tokenize(text)
+        assert list(got[i]["tokens"]) == expect, (i, got[i]["tokens"], expect)
+        assert got[i]["n_tokens"] == len(expect)
+    assert got[1]["n_words"] == 3 and got[3]["n_words"] == 0
