@@ -1312,6 +1312,24 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_count_min(spark, sf_dir):
+    """Count-min sketch (operators.sketches): d=3 × w=256 frequency
+    sketch of lineitem.l_partkey, probed for partkeys 1-15.  Unlike the
+    engine-specific HLL state, the md5-hashed CMS is bit-reproducible
+    by the DuckDB oracle — a sketch with an EXACT value oracle.  Build
+    is map-only ×d then one partial-agg groupBy onto d×w cells (fixed
+    communication per partition, the HLL property)."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = count_min_build(li, "l_partkey", depth=3, width=256)
+    probes = spark.range(1, 16).select(F.col("id").alias("k"))
+    return (count_min_estimate(sketch, probes, "k", depth=3, width=256)
+            .select("key", F.col("est").cast("long").alias("est"))
+            .orderBy("key"))
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (operators.graph.pagerank, 2 synchronous
     updates, d=0.85, no dangling redistribution) over the bipartite
@@ -1537,11 +1555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "pq_topk": q_pq_topk,
         "pagerank": q_pagerank,
+        "count_min": q_count_min,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
         "media_features": q_media_features,
-        "split_stats": q_split_stats,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1584,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
+        "split_stats": q_split_stats,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -3005,6 +3024,24 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: count-min sketch (exact md5 reproduction) ----------
+        "count_min": f"""
+WITH r AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+d AS (SELECT unnest(range(3)) AS depth),
+sk AS (
+  SELECT depth,
+    {_MD5I.format(x="concat(cast(depth as varchar), ':', cast(k as varchar))")}
+      % 256 AS bucket,
+    count(*) AS cnt
+  FROM r CROSS JOIN d GROUP BY 1, 2),
+probes AS (SELECT cast(unnest(range(1, 16)) as varchar) AS key),
+pr AS (
+  SELECT key, depth,
+    {_MD5I.format(x="concat(cast(depth as varchar), ':', key)")} % 256 AS bucket
+  FROM probes CROSS JOIN d)
+SELECT key, cast(min(coalesce(cnt, 0)) as bigint) AS est
+FROM pr LEFT JOIN sk USING (depth, bucket) GROUP BY key ORDER BY key
 """,
         # --- round 3b: fixed-iteration PageRank ---------------------------
         # All float constants reproduce the engine's Python arithmetic:

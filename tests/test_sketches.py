@@ -40,3 +40,54 @@ def test_sketch_plan_is_partial_aggregate(spark, sf_dir):
     # partial sketch state reduces map-side; one exchange to merge
     assert "partial" in plan.lower()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_count_min_matches_python_model_and_bounds(spark):
+    import hashlib
+    from collections import Counter
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+    depth, width = 3, 64
+    keys = [i % 17 for i in range(500)] + [3] * 100  # key 3 is hot
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = count_min_build(df, "k", depth=depth, width=width)
+    probes = spark.createDataFrame([(k,) for k in range(17)], "k long")
+    got = {r["key"]: r["est"]
+           for r in count_min_estimate(sketch, probes, "k",
+                                       depth=depth, width=width).collect()}
+
+    def bucket(d, k):
+        h = hashlib.md5(f"{d}:{k}".encode()).hexdigest()
+        return int(h[:15], 16) % width
+
+    true = Counter(keys)
+    cells = Counter()
+    for k, c in true.items():
+        for d in range(depth):
+            cells[(d, bucket(d, k))] += c
+    for k in range(17):
+        model = min(cells[(d, bucket(d, k))] for d in range(depth))
+        assert got[str(k)] == model          # bit-exact vs the model
+        assert got[str(k)] >= true[k]        # CMS never under-counts
+    assert got["3"] >= 100
+
+
+def test_count_min_sketches_merge_cellwise(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+    a = spark.createDataFrame([(1,)] * 6 + [(2,)] * 2, "k long")
+    b = spark.createDataFrame([(1,)] * 4 + [(3,)] * 5, "k long")
+    merged = (count_min_build(a, "k", depth=2, width=32)
+              .unionByName(count_min_build(b, "k", depth=2, width=32))
+              .groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = count_min_build(a.unionByName(b), "k", depth=2, width=32)
+    probes = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    em = {r["key"]: r["est"] for r in count_min_estimate(
+        merged, probes, "k", depth=2, width=32).collect()}
+    ew = {r["key"]: r["est"] for r in count_min_estimate(
+        whole, probes, "k", depth=2, width=32).collect()}
+    assert em == ew  # merged sketches == sketch of the union
+    assert em["1"] >= 10 and em["3"] >= 5
