@@ -1312,6 +1312,32 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom semi-join reduction (operators.skew.bloom_filter_bits /
+    bloom_prune): lineitem is pruned map-side by a 64 Kbit md5 Bloom
+    filter of the selective part side (p_size = 1) BEFORE the join
+    exchange.  False positives only pass more rows to the join, so the
+    result — and therefore the oracle — is the PLAIN join: the entry
+    proves the approximation changes bytes shuffled, never answers."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        bloom_filter_bits, bloom_prune,
+    )
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_size") == 1)
+            .select("p_partkey", "p_name"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey",
+                                              "l_quantity")
+    bits = bloom_filter_bits(part, "p_partkey")
+    pruned = bloom_prune(li, "l_partkey", bits)
+    return (pruned.join(part, pruned.l_partkey == part.p_partkey)
+            .groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("l_quantity").alias("total_qty"))
+            .select("p_partkey", "n_lines",
+                    F.col("total_qty").cast("double").alias("total_qty"))
+            .orderBy("p_partkey"))
+
+
 def q_count_min(spark, sf_dir):
     """Count-min sketch (operators.sketches): d=3 × w=256 frequency
     sketch of lineitem.l_partkey, probed for partkeys 1-15.  Unlike the
@@ -1556,10 +1582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pagerank": q_pagerank,
         "count_min": q_count_min,
+        "bloom_join": q_bloom_join,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
         "lineitem_unpivot": q_lineitem_unpivot,
-        "media_features": q_media_features,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1603,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "split_stats": q_split_stats,
+        "media_features": q_media_features,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -3024,6 +3051,14 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: Bloom-pruned join == plain join (by construction) --
+        "bloom_join": """
+SELECT p_partkey, count(*) AS n_lines,
+       cast(sum(l_quantity) as double) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_partkey ORDER BY p_partkey
 """,
         # --- round 3b: count-min sketch (exact md5 reproduction) ----------
         "count_min": f"""

@@ -106,3 +106,74 @@ def key_skew_report(df: DataFrame, key: str, topk: int = 10) -> DataFrame:
             .withColumn("rank", F.row_number().over(rank))
             .select("key_value", "n_rows", "share", "hot_factor",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def bloom_filter_bits(df: DataFrame, key: str, n_bits: int = 1 << 16,
+                      n_hashes: int = 3) -> list[int]:
+    """Build a Bloom filter of ``df[key]`` as a list of int64 words
+    (driver-side, ``n_bits/64`` longs — 8 KiB at the default 64 Kbit).
+
+    Hashing is the portable md5 doctrine (``md5(h:key)`` per hash row),
+    so membership tests are engine-reproducible.  The build collects at
+    most ``n_bits`` distinct bit positions — bounded by the filter
+    SIZE, not the input (the input side is small-by-contract anyway:
+    it is the side you would broadcast).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int64
+
+    rows = (df.select(F.col(key).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .select("k", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1)))
+                    .alias("h")))
+    pos = (rows.select(
+               (md5_int64(F.concat(F.col("h").cast("string"), F.lit(":"),
+                                   F.col("k"))) % F.lit(n_bits))
+               .alias("p"))
+           .distinct().collect())
+    words = [0] * ((n_bits + 63) // 64)
+    for r in pos:
+        p = r["p"]
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement to signed int64: a set bit 63 must round-trip
+    # through a Spark long literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune(df: DataFrame, key: str, bits: list[int],
+                n_bits: int = 1 << 16, n_hashes: int = 3) -> DataFrame:
+    """Map-only Bloom membership filter on ``df[key]`` — the semi-join
+    reduction that cuts a selective join's shuffle bytes at 100 TB:
+    rows whose key cannot be on the other side are dropped BEFORE the
+    exchange, with the bitmap as a literal array (no broadcast round,
+    no second job).  False positives pass through (they are eliminated
+    by the join itself — correctness is unchanged, which is why the
+    pruned join's oracle is the plain join); false negatives cannot
+    occur.
+
+    Word lookups are ``element_at`` on the literal long array + bit
+    arithmetic — whole-stage-codegen'd, no UDF.  The bitmap is ONE
+    ``F.expr`` string (a per-word ``F.lit`` build would cost
+    n_bits/64 Py4J round-trips — the :func:`_nearest_cells` doctrine).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_int64
+
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in bits) + ")")
+    k = F.col(key).cast("string")
+    cond = None
+    for h in range(n_hashes):
+        p = md5_int64(F.concat(F.lit(f"{h}:"), k)) % F.lit(n_bits)
+        # p < n_bits ≪ 2^53, so double division then truncation is the
+        # exact integer quotient
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        # call_function: the DSL shiftleft() only takes a Python int
+        # for numBits; the SQL function accepts a column
+        hit = word.bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"),
+                            (p % F.lit(64)).cast("int"))
+        ) != 0
+        cond = hit if cond is None else cond & hit
+    return df.where(cond)

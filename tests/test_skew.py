@@ -119,3 +119,37 @@ def test_key_skew_report_plan_is_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         key_skew_report(df, "k", topk=3).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_bloom_prune_never_false_negative_and_join_unchanged(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        bloom_filter_bits, bloom_prune,
+    )
+    small = spark.createDataFrame([(k,) for k in (3, 7, 500)], "k long")
+    big = spark.createDataFrame([(i, i % 1000) for i in range(5000)],
+                                "id long, k long")
+    bits = bloom_filter_bits(small, "k", n_bits=1 << 12, n_hashes=3)
+    pruned = bloom_prune(big, "k", bits, n_bits=1 << 12, n_hashes=3)
+    kept = set(r["k"] for r in pruned.select("k").distinct().collect())
+    # no false negatives: every member key survives
+    assert {3, 7, 500} <= kept
+    # the prune actually prunes (selective filter on 1000 keys)
+    assert len(kept) < 1000
+    # pruned join == plain join, row for row
+    plain = big.join(small, "k").select("id").collect()
+    viabloom = pruned.join(small, "k").select("id").collect()
+    assert sorted(r["id"] for r in plain) == sorted(r["id"] for r in viabloom)
+
+
+def test_bloom_bits_signed_int64_roundtrip(spark):
+    """Words with bit 63 set must survive the long-literal round trip
+    (two's complement) — probe enough keys that high bits are hit."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        bloom_filter_bits, bloom_prune,
+    )
+    keys = list(range(200))
+    small = spark.createDataFrame([(k,) for k in keys], "k long")
+    bits = bloom_filter_bits(small, "k", n_bits=256, n_hashes=2)
+    assert any(w < 0 for w in bits)  # bit 63 somewhere -> signed repr
+    pruned = bloom_prune(small, "k", bits, n_bits=256, n_hashes=2)
+    assert pruned.count() == len(keys)  # all members pass
