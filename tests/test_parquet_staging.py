@@ -68,3 +68,62 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4000
     assert {r["id"] for r in back.collect()} == set(range(4000))
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import zorder_key
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y",
+                              zorder_key(["x", "y"], bits=4).alias("z"))
+                      .collect()}
+
+    def morton(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_stage_zordered_tightens_both_columns(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import stage_zordered
+    # two independent uniform dims; row order random-ish by construction
+    rows = [((i * 2654435761) % 256, (i * 40503) % 256) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    out = str(tmp_path / "zout")
+    stats = stage_zordered(spark, src, out, ["x", "y"], bits=8,
+                           partitions=8)
+    # force multiple output files for a meaningful skipping measure
+    assert stats["files_out"] >= 2
+
+    def mean_area(path):
+        areas = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        mn, mx = col.statistics.min, col.statistics.max
+                        lo[name] = mn if lo[name] is None else min(lo[name], mn)
+                        hi[name] = mx if hi[name] is None else max(hi[name], mx)
+            areas.append(((hi["x"] - lo["x"] + 1) / 256.0)
+                         * ((hi["y"] - lo["y"] + 1) / 256.0))
+        return sum(areas) / len(areas)
+
+    # each z-ordered file covers a small fraction of the (x, y) square;
+    # the unsorted input's files each cover ~the whole square
+    assert mean_area(out) < 0.5 < mean_area(src)
