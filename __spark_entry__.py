@@ -1572,6 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in an archived CORRECTNESS_r{N}.json are moved to the back;
     # entries without a recorded row yet come first so every operator
     # accumulates a driver-recorded oracle diff across rounds.
+    # Round 3 keeps the invariant as new operators land: every entry
+    # lacking an archived row sits inside the first 50 (checked by
+    # scanning CORRECTNESS_r01/r02 key sets), with round-1-recorded
+    # entries displaced below position 50 to make room.
     return {
         # -- no driver row yet (were positions 51-83 in round 2) -----
         "price_histogram": q_price_histogram,
