@@ -1312,6 +1312,31 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_pit_lookup(spark, sf_dir):
+    """Point-in-time-correct feature lookup (operators.cdc
+    .point_in_time_lookup): each purchase is joined to the user-state
+    VERSION (last non-purchase event type) valid at purchase time —
+    never a later one, the training-serving-skew guard.  SCD2
+    versioning + as-of join: two window shuffles, no theta join;
+    oracle is DuckDB's native ASOF JOIN over the same change-points."""
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+        point_in_time_lookup,
+    )
+    ev = _t(spark, sf_dir, "events")
+    sub = ev.filter(F.col("user_id") % 10 == 0)
+    changes = (sub.filter(F.col("event_type") != "purchase")
+               .select("user_id", "ts", "event_id", "event_type"))
+    purchases = (sub.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    out = point_in_time_lookup(purchases, changes, "user_id", "ts", "ts",
+                               ["event_type"], tiebreak="event_id",
+                               prefix="v_")
+    return (out.select("event_id", "user_id", "ts", "value",
+                       F.col("v_ts").alias("state_ts"),
+                       F.col("v_event_type").alias("state_type"))
+            .orderBy("event_id"))
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom semi-join reduction (operators.skew.bloom_filter_bits /
     bloom_prune): lineitem is pruned map-side by a 64 Kbit md5 Bloom
@@ -1587,9 +1612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "count_min": q_count_min,
         "bloom_join": q_bloom_join,
+        "pit_lookup": q_pit_lookup,
         "filter_clause_agg": q_filter_clause_agg,
         "orders_intersect_all": q_orders_intersect_all,
-        "lineitem_unpivot": q_lineitem_unpivot,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1634,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "split_stats": q_split_stats,
         "media_features": q_media_features,
+        "lineitem_unpivot": q_lineitem_unpivot,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -3055,6 +3081,33 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: point-in-time feature lookup (SCD2 + ASOF) ---------
+        "pit_lookup": """
+WITH ch0 AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id % 10 = 0 AND event_type <> 'purchase'),
+ch AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM ch0) WHERE rn = 1),
+ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+points AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE user_id % 10 = 0 AND event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.valid_from AS state_ts, v.event_type AS state_type
+FROM p ASOF JOIN points v
+  ON p.user_id = v.user_id AND p.ts >= v.valid_from
+ORDER BY p.event_id
 """,
         # --- round 3b: Bloom-pruned join == plain join (by construction) --
         "bloom_join": """

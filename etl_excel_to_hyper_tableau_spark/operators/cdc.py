@@ -208,3 +208,47 @@ def read_merged(spark, target_dir: str,
         df = (df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
               .drop(delete_col))
     return df
+
+
+def point_in_time_lookup(events: DataFrame, changes: DataFrame, key: str,
+                         event_ts: str, change_ts: str, attrs: list[str],
+                         tiebreak: str | None = None,
+                         prefix: str = "v_") -> DataFrame:
+    """Point-in-time-correct attribute lookup — the feature-store join
+    that prevents training-serving skew: for every event, the attribute
+    VERSION that was valid at the event's timestamp (never a later
+    one — joining the latest snapshot leaks the future into training
+    features).
+
+    Composition of two existing linear-plan operators:
+    :func:`scd2_intervals` collapses the change log into versions, and
+    :func:`~.interval.asof_join` matches each event to the greatest
+    ``valid_from <= event_ts`` within the key — one window shuffle
+    each, no theta join, per-key history bounded.  When several
+    change-points share a ``valid_from`` instant the LATEST by
+    ``tiebreak`` wins (the state after all same-instant changes) so the
+    as-of right side is unique per (key, ts) and the match is
+    deterministic.  Inner semantics: events before a key's first
+    version drop (they HAVE no valid feature version — surfacing that
+    beats silently nulling).
+
+    Output: event columns + ``{prefix}{event_ts}`` (the matched
+    version's valid_from) + ``{prefix}{attr}`` per attribute.
+    """
+    from pyspark.sql import Window
+
+    from .interval import asof_join
+
+    src = changes
+    if tiebreak is not None:
+        # collapse same-instant change rows to the LAST by tiebreak
+        # before versioning, so the as-of right side is unique per
+        # (key, ts) and the match deterministic
+        last = Window.partitionBy(key, change_ts).orderBy(
+            F.col(tiebreak).desc())
+        src = (changes.withColumn("__rn__", F.row_number().over(last))
+               .where(F.col("__rn__") == 1).drop("__rn__"))
+    hist = scd2_intervals(src, key, change_ts, attrs, tiebreak=tiebreak)
+    right = hist.select(key, F.col("valid_from").alias(event_ts), *attrs)
+    return asof_join(events, right, key, event_ts, direction="backward",
+                     right_prefix=prefix)

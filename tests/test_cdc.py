@@ -188,3 +188,48 @@ def test_latest_snapshot_map_payload(spark):
         "event_id long, ts long, key string, props map<string,string>")
     rows = latest_snapshot(df, "key", "ts", tiebreak="event_id").collect()
     assert len(rows) == 1 and rows[0]["props"] == {"b": "2"}
+
+
+def test_point_in_time_lookup_never_leaks_future(spark):
+    import datetime
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+        point_in_time_lookup,
+    )
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, t(0), 100, "bronze"),
+         (1, t(10), 101, "silver"),
+         (1, t(20), 102, "gold"),
+         (2, t(5), 103, "bronze")],
+        "user_id long, ts timestamp, event_id long, tier string")
+    events = spark.createDataFrame(
+        [(900, 1, t(4)),    # between v0 and v1 -> bronze
+         (901, 1, t(10)),   # exactly at v1 -> silver (inclusive)
+         (902, 1, t(55)),   # after last change -> gold
+         (903, 2, t(4)),    # before user 2's first version -> dropped
+         (904, 2, t(6))],   # -> bronze
+        "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r for r in point_in_time_lookup(
+        events, changes, "user_id", "ts", "ts", ["tier"],
+        tiebreak="event_id").collect()}
+    assert out[900]["v_tier"] == "bronze"
+    assert out[901]["v_tier"] == "silver"
+    assert out[902]["v_tier"] == "gold"
+    assert out[904]["v_tier"] == "bronze"
+    assert 903 not in out  # no version existed yet -> inner semantics
+
+
+def test_point_in_time_lookup_same_instant_last_wins(spark):
+    import datetime
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+        point_in_time_lookup,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [(1, t0, 10, "a"), (1, t0, 11, "b")],  # same instant; 11 later
+        "user_id long, ts timestamp, event_id long, st string")
+    events = spark.createDataFrame([(900, 1, t0)],
+                                   "event_id long, user_id long, ts timestamp")
+    out = point_in_time_lookup(events, changes, "user_id", "ts", "ts",
+                               ["st"], tiebreak="event_id").collect()
+    assert len(out) == 1 and out[0]["v_st"] == "b"
