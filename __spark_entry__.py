@@ -1312,6 +1312,35 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit (operators.sampling
+    .split_leakage_report): MinHash-LSH candidate pairs tagged with the
+    deterministic 80/10/10 split of both sides, counted per
+    (split_a, split_b) cell — off-diagonal cells leak training text
+    into evaluation.  Inherits the banded LSH plan (never all-pairs)."""
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        split_leakage_report,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (split_leakage_report(docs, "text", "doc_id",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1},
+                                 k=16, n=3, bands=2, threshold=0.7)
+            .orderBy("split_a", "split_b"))
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget selection (operators.sampling.budget_select): per
+    source, keep quality-ordered documents while the running token
+    total stays within 2000 — fixed-budget allocation across sources.
+    One stratum-bounded window; quality/doc_id ties deterministic."""
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import budget_select
+    docs = _t(spark, sf_dir, "documents")
+    return (budget_select(docs, "source", tx.quality_score(F.col("text")),
+                          tx.token_count(F.col("text")), "doc_id",
+                          budget=2000)
+            .orderBy("stratum", "cum_size", "id"))
+
+
 def q_pit_lookup(spark, sf_dir):
     """Point-in-time-correct feature lookup (operators.cdc
     .point_in_time_lookup): each purchase is joined to the user-state
@@ -1613,8 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": q_count_min,
         "bloom_join": q_bloom_join,
         "pit_lookup": q_pit_lookup,
-        "filter_clause_agg": q_filter_clause_agg,
-        "orders_intersect_all": q_orders_intersect_all,
+        "split_leakage": q_split_leakage,
+        "budget_select": q_budget_select,
         "keyword_topk": q_keyword_topk,
         "doc_chunks": q_doc_chunks,
         "doc_lm_surprisal": q_doc_lm_surprisal,
@@ -1660,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_stats": q_split_stats,
         "media_features": q_media_features,
         "lineitem_unpivot": q_lineitem_unpivot,
+        "filter_clause_agg": q_filter_clause_agg,
+        "orders_intersect_all": q_orders_intersect_all,
         # -- driver-green in CORRECTNESS_r01/r02 (archived evidence) --
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -3081,6 +3112,49 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: cross-split near-dup leakage audit -----------------
+        "split_leakage": f"""
+WITH hs AS (
+  SELECT doc_id AS id,
+    list_apply(list_distinct({_grams_sql('text')}),
+               g -> {_MD5I.format(x='g')} % 2147483648) AS hs
+  FROM documents),
+sig AS (
+  SELECT id, {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+banded AS (
+{banded_union}),
+cand AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      {' + '.join(f'(case when a.s{i} = b.s{i} then 1 else 0 end)' for i in range(16))} AS eq
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+  WHERE eq / 16.0 >= 0.7),
+asg AS (
+  SELECT doc_id AS id,
+    CASE WHEN bucket < 8000 THEN 'train'
+         WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS sp
+  FROM (SELECT doc_id,
+          {_MD5I.format(x="'split:'||cast(doc_id as varchar)")} % 10000 AS bucket
+        FROM documents))
+SELECT a.sp AS split_a, b.sp AS split_b, count(*) AS n_pairs
+FROM cand JOIN asg a ON cand.id_a = a.id JOIN asg b ON cand.id_b = b.id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # --- round 3b: token-budget selection per source ------------------
+        "budget_select": f"""
+WITH t AS (SELECT doc_id AS id, source, text, {toks} AS toks FROM documents),
+q AS (SELECT id, source AS stratum, {quality} AS ord,
+             cast(len(toks) as bigint) AS size FROM t),
+c AS (SELECT id, stratum, size,
+        sum(size) OVER (PARTITION BY stratum ORDER BY ord DESC, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum_size
+      FROM q)
+SELECT id, stratum, size, cast(cum_size as bigint) AS cum_size
+FROM c WHERE cum_size <= 2000 ORDER BY stratum, cum_size, id
 """,
         # --- round 3b: point-in-time feature lookup (SCD2 + ASOF) ---------
         "pit_lookup": """

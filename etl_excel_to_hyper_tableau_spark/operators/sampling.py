@@ -232,3 +232,69 @@ def mixture_weights(df: DataFrame, strata_col: str, size_col: Column,
             .select("stratum", F.col("n_items").cast("long").alias("n_items"),
                     share.alias("share"), weight.alias("weight"),
                     (weight / share).alias("boost")))
+
+
+def split_leakage_report(df: DataFrame, text_col: str, id_col: str,
+                         splits: dict[str, float],
+                         k: int = 16, n: int = 3, bands: int = 2,
+                         threshold: float = 0.7,
+                         salt: str = "split") -> DataFrame:
+    """Cross-split near-duplicate leakage audit — the QA gate after any
+    train/val/test split: a near-dup pair straddling the split boundary
+    leaks training text into evaluation (the same failure
+    decontamination guards against, arising INSIDE one corpus).  Runs
+    the MinHash-LSH candidate search, tags both pair sides with their
+    deterministic split assignment, and reports pair counts per
+    (split_a, split_b) cell — off-diagonal cells are the leaks.
+
+    Scale shape: inherits the LSH candidate plan (banded, never
+    all-pairs); the split columns come from two broadcast-sized hash
+    joins on the id.  Output: ``split_a, split_b, n_pairs``.
+    """
+    from .dedup import minhash_lsh_candidates
+
+    pairs = (minhash_lsh_candidates(df, text_col, id_col, k=k, n=n,
+                                    bands=bands)
+             .where(F.col("est_jaccard") >= threshold))
+    assign = df.select(
+        F.col(id_col).alias("__sid__"),
+        split_assignment(F.col(id_col), splits, salt).alias("__sp__"))
+    a = assign.select(F.col("__sid__").alias("id_a"),
+                      F.col("__sp__").alias("split_a"))
+    b = assign.select(F.col("__sid__").alias("id_b"),
+                      F.col("__sp__").alias("split_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def budget_select(df: DataFrame, strata_col: str, order_col,
+                  size_col, id_col: str, budget: int) -> DataFrame:
+    """Token-budget-constrained selection per stratum: order each
+    stratum's rows by ``order_col`` descending (quality-first
+    curriculum), accumulate ``size_col``, and keep rows while the
+    running total stays within ``budget`` — how a fixed training-token
+    budget is allocated across sources once the mixture weights say how
+    much each source deserves.
+
+    One window per stratum (running sum over the stratum's own rows —
+    partition state bounded by stratum size, the cohort/LM-head window
+    discipline); ties on the ordering break by id so the kept set is
+    deterministic and oracle-reproducible.
+
+    Output: ``id, stratum, size, cum_size`` for kept rows.
+    """
+    from pyspark.sql import Window
+
+    sized = df.select(F.col(id_col).alias("id"),
+                      F.col(strata_col).alias("stratum"),
+                      (order_col if not isinstance(order_col, str)
+                       else F.col(order_col)).alias("__ord__"),
+                      (size_col if not isinstance(size_col, str)
+                       else F.col(size_col)).cast("long").alias("size"))
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.col("__ord__").desc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (sized.withColumn("cum_size", F.sum("size").over(w))
+            .where(F.col("cum_size") <= budget)
+            .select("id", "stratum", "size", "cum_size"))

@@ -258,3 +258,50 @@ def test_mixture_weights_sqrt_temperature(spark):
     assert out["small"]["boost"] > 1 > out["big"]["boost"]
     # weights sum to 1
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_budget_select_respects_budget_and_quality_order(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import budget_select
+    rows = [(1, "a", 5.0, 40), (2, "a", 9.0, 60), (3, "a", 7.0, 50),
+            (4, "b", 1.0, 100), (5, "b", 2.0, 80)]
+    df = spark.createDataFrame(rows, "id long, src string, q double, n long")
+    out = {r["id"]: r for r in
+           budget_select(df, "src", F.col("q"), F.col("n"), "id",
+                         budget=120).collect()}
+    # stratum a: quality order 2(60), 3(50), 1(40) -> cum 60, 110, 150
+    assert set(k for k in out if out[k]["stratum"] == "a") == {2, 3}
+    assert out[2]["cum_size"] == 60 and out[3]["cum_size"] == 110
+    # stratum b: 5(80), 4(100) -> cum 80, 180 -> only 5 kept
+    assert set(k for k in out if out[k]["stratum"] == "b") == {5}
+
+
+def test_split_leakage_counts_cross_split_near_dups(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        split_assignment, split_leakage_report,
+    )
+    from pyspark.sql import functions as F
+    # identical texts -> guaranteed candidate pairs at any threshold
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(i, text) for i in range(12)],
+                               "doc_id long, text string")
+    splits = {"train": 0.5, "test": 0.5}
+    rep = {(r["split_a"], r["split_b"]): r["n_pairs"]
+           for r in split_leakage_report(df, "text", "doc_id", splits,
+                                         k=16, n=3, bands=2,
+                                         threshold=0.9).collect()}
+    # all 66 pairs of 12 identical docs are candidates; totals add up
+    assert sum(rep.values()) == 66
+    # the report is consistent with the split assignment itself
+    asg = {r["doc_id"]: r["sp"] for r in df.select(
+        "doc_id", split_assignment(F.col("doc_id"), splits).alias("sp")
+    ).collect()}
+    import itertools
+    expect = {}
+    for a, b in itertools.combinations(sorted(asg), 2):
+        key = (asg[a], asg[b])
+        expect[key] = expect.get(key, 0) + 1
+    assert rep == expect
+    # leakage exists iff both splits are populated
+    if len(set(asg.values())) == 2:
+        assert any(a != b for a, b in rep)
