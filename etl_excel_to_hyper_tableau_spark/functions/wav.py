@@ -52,6 +52,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             raw = body
@@ -62,6 +64,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported encoding (format={audio_format}, "
                          f"bits={bits}); only PCM16 is implemented")
+    if channels < 1:
+        raise ValueError("fmt chunk declares 0 channels")
     n = len(raw) // (2 * channels)
     arr = np.frombuffer(raw[:n * 2 * channels], dtype="<i2") \
         .reshape(n, channels)

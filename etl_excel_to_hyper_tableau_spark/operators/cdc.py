@@ -184,9 +184,24 @@ def merge_upsert(spark, target_dir: str, updates: DataFrame, key: str,
         tomb = F.coalesce(F.col(delete_col), F.lit(False))
         if retain_tombstones:
             # derived from the WRITTEN table (tmp) — the count always
-            # agrees with the bytes on disk
-            deleted = spark.read.parquet(tmp).filter(tomb).count()
-            n -= deleted  # "rows" = live rows in both modes
+            # agrees with the bytes on disk.  keys_deleted is the keys
+            # deleted BY THIS MERGE (newly-tombstoned vs the pre-merge
+            # table), not the cumulative tombstones retained on disk —
+            # otherwise every later merge would re-report historical
+            # deletes and the two modes' metrics would disagree.
+            written_tomb = spark.read.parquet(tmp).filter(tomb)
+            n_tomb_rows = written_tomb.count()
+            n -= n_tomb_rows  # "rows" = live rows in both modes
+            new_tomb_keys = written_tomb.select(key)
+            if current is not None:
+                prev_tomb_keys = current.filter(tomb).select(key)
+                # counted before the directory swap below — `current`
+                # still reads the pre-merge paths here
+                deleted = (new_tomb_keys
+                           .join(prev_tomb_keys, key, "left_anti")
+                           .count())
+            else:
+                deleted = n_tomb_rows
         else:
             deleted = pinned.filter(tomb).count()
             pinned.unpersist()

@@ -80,10 +80,21 @@ def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     to the deterministic fake (:func:`_fake_decode_gray`), which stands
     in for the formats whose codecs aren't installable here (JPEG...).
     """
+    import zlib
+
     from ..functions.png import _MAGIC, decode_png
 
     if content[:8] == _MAGIC:
-        return decode_png(content)
+        try:
+            return decode_png(content)
+        except (ValueError, zlib.error):
+            # non-baseline variant (RGBA/palette/16-bit/interlaced) or
+            # corrupt IDAT: degrade to the deterministic fake rather
+            # than failing the whole mapInPandas task — the
+            # quarantine-and-continue contract every media operator
+            # documents (and the pre-codec behavior: the fake decoder
+            # never raised)
+            pass
     return _fake_decode_gray(content, width, height)
 
 
@@ -303,7 +314,7 @@ def audio_features(df: DataFrame,
                 out["media_id"].append(mid)
                 try:
                     arr, sr = decode_wav(bytes(content))
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, struct.error):
                     for k in ("sample_rate", "n_samples", "channels",
                               "duration_s", "rms", "peak",
                               "zero_crossing_rate"):

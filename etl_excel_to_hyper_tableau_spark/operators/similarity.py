@@ -594,6 +594,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     adc_dist, rank`` (rank ≤ k; ties → id asc).
     """
     codebooks = train_pq_codebooks(corpus, vec_col, id_col, m=m, k=n_codes)
+    # a corpus smaller than n_codes yields shorter codebooks; the LUT
+    # stride must follow the ACTUAL codebook size or subspace s's
+    # lookups would read subspace s+1's distances (and past the array
+    # end, where element_at yields NULL and NULLs sort into the top-k)
+    n_codes = len(codebooks[0])
     enc = pq_encode(corpus, vec_col, id_col, codebooks).select("id", "codes")
     qrows = (queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(query_vec_col).cast("array<double>")

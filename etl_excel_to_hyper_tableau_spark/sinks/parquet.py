@@ -35,6 +35,17 @@ def write_parquet(path: str, results: list[tuple[str, DataFrame]],
     return path
 
 
+def has_parquet_files(path: str) -> bool:
+    """Existence gate shared by the incremental readers (streaming
+    ingest, staged indexes): True iff ``path`` is a directory holding
+    at least one parquet data file.  Centralized so a future refinement
+    (e.g. skipping `_temporary` dirs left by an interrupted write)
+    lands in every caller at once."""
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for _r, _d, fs in os.walk(path) for f in fs)
+
+
 def parquet_file_stats(path: str) -> tuple[int, int]:
     """(n_files, total_bytes) of the parquet data files under ``path``
     (driver-side directory listing — metadata only, no data read)."""
@@ -108,6 +119,14 @@ def zorder_key(cols: list, bits: int = 16):
     n = len(cols)
     if n < 2:
         raise ValueError("zorder needs >= 2 columns")
+    if bits * n > 63:
+        # bit 63 is the long's sign bit (negative keys range-sort before
+        # everything, destroying the clustering) and shift counts >= 64
+        # wrap under the JVM's shift-count masking, silently colliding
+        # different columns' bits — refuse rather than corrupt
+        raise ValueError(
+            f"zorder key needs bits*len(cols) <= 63 (got {bits}*{n}); "
+            f"lower bits to <= {63 // n}")
     terms = []
     for b in range(bits):
         for ci, c in enumerate(cols):
@@ -141,6 +160,10 @@ def stage_zordered(spark: SparkSession, in_dir: str, out_dir: str,
             f"stage_zordered: out_dir must differ from in_dir ({in_dir})")
     files_in, bytes_in = parquet_file_stats(in_dir)
     parts = partitions or max(1, math.ceil(bytes_in / (target_file_mb << 20)))
+    # auto-fit the per-column bit budget to the int64 key (see
+    # zorder_key's sign-bit/shift-wrap guard): more columns → coarser
+    # per-column resolution, the standard z-order tradeoff
+    bits = min(bits, 63 // len(zorder_by))
     df = (spark.read.parquet(in_dir)
           .withColumn("__z__", zorder_key(zorder_by, bits=bits)))
     (df.repartitionByRange(parts, "__z__")

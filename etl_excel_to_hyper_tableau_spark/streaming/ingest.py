@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as dd
+from ..sinks.parquet import has_parquet_files
 from ..operators import text as tx
 
 
@@ -86,9 +87,7 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
         # genuinely absent index directory means "first batch"; any
         # read failure on an existing one must surface (same contract
         # as cdc.merge_upsert's target read).
-        if os.path.isdir(bands_dir) and any(
-                f.endswith(".parquet") or f.startswith("part-")
-                for _r, _d, fs in os.walk(bands_dir) for f in fs):
+        if has_parquet_files(bands_dir):
             staged = spark.read.parquet(bands_dir) \
                 .select("id", "band", "bh", "sig")
         else:
@@ -179,9 +178,7 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
              .withColumn("__nrm__", _norm(F.col("vec")))
              .withColumn("cell",
                          _nearest_cells("vec", "__nrm__", centroids, 1)[0]))
-        if dedup_threshold is not None and os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") or f.startswith("part-")
-                for _r, _d, fs in os.walk(index_dir) for f in fs):
+        if dedup_threshold is not None and has_parquet_files(index_dir):
             staged = (spark.read.parquet(index_dir)
                       .select("cell", F.col("vec").alias("sv"))
                       .withColumn("__snrm__", _norm(F.col("sv"))))

@@ -233,3 +233,28 @@ def test_point_in_time_lookup_same_instant_last_wins(spark):
     out = point_in_time_lookup(events, changes, "user_id", "ts", "ts",
                                ["st"], tiebreak="event_id").collect()
     assert len(out) == 1 and out[0]["v_st"] == "b"
+
+
+def test_merge_retain_tombstones_counts_only_this_batch(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import merge_upsert
+    d = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("a", 1, 1.0, False), ("b", 1, 2.0, False)],
+        "k string, ts long, v double, dead boolean")
+    s1 = merge_upsert(spark, d, b1, "k", "ts", delete_col="dead",
+                      retain_tombstones=True)
+    assert s1["keys_deleted"] == 0
+    # batch 2 deletes 'a'
+    b2 = spark.createDataFrame([("a", 2, 0.0, True)],
+                               "k string, ts long, v double, dead boolean")
+    s2 = merge_upsert(spark, d, b2, "k", "ts", delete_col="dead",
+                      retain_tombstones=True)
+    assert s2["keys_deleted"] == 1
+    # batch 3 touches only 'c' — the retained tombstone for 'a' must
+    # NOT be re-reported as a delete of this merge
+    b3 = spark.createDataFrame([("c", 3, 5.0, False)],
+                               "k string, ts long, v double, dead boolean")
+    s3 = merge_upsert(spark, d, b3, "k", "ts", delete_col="dead",
+                      retain_tombstones=True)
+    assert s3["keys_deleted"] == 0
+    assert s3["rows"] == 2  # live rows: b, c

@@ -411,3 +411,31 @@ def test_sample_frames_y4m_quarantines_bad_bytes(spark):
     assert len(out) == 1
     assert bytes(out[0]["content"]) == b"not video"
     assert out[0]["meta"]["n_frames"] == 3  # untouched
+
+
+def test_decode_image_falls_back_on_unsupported_png(spark):
+    """An RGBA/corrupt PNG must degrade to the deterministic fake, not
+    kill the task (quarantine-and-continue)."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        decode_image, _fake_decode_gray,
+    )
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.png import _MAGIC
+    bogus = _MAGIC + b"\x00" * 64  # PNG magic, garbage body
+    out = decode_image(bogus, 8, 6)
+    assert out.shape == (6, 8)
+    assert np.array_equal(out, _fake_decode_gray(bogus, 8, 6))
+
+
+def test_audio_features_quarantines_truncated_fmt(spark):
+    import struct
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features,
+    )
+    # RIFF/WAVE header with a fmt chunk cut off mid-struct
+    bad = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    rows = [(1, "audio", bad, ("wav", None, None, 8000, 1))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_features(df).collect()
+    assert len(out) == 1 and out[0]["rms"] is None

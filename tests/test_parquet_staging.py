@@ -127,3 +127,10 @@ def test_stage_zordered_tightens_both_columns(spark, tmp_path):
     # each z-ordered file covers a small fraction of the (x, y) square;
     # the unsorted input's files each cover ~the whole square
     assert mean_area(out) < 0.5 < mean_area(src)
+
+
+def test_zorder_key_refuses_bit_overflow(spark):
+    import pytest
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import zorder_key
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(["a", "b", "c", "d"], bits=16)

@@ -234,3 +234,19 @@ def test_pq_topk_finds_exact_neighbor_of_a_seed(spark):
     # the query IS a corpus point -> its ADC distance equals the
     # quantization distance of that point, minimal among candidates
     assert top[1] == 10 and top[2] == 15
+
+
+def test_pq_topk_corpus_smaller_than_n_codes(spark):
+    """Codebooks shrink to the corpus size; the ADC stride must follow
+    or lookups read the wrong subspace / past the LUT end."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import pq_topk
+    rows = [(i, [float(i), float(-i), float(i * 2), 1.0]) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "id long, emb array<double>")
+    qs = spark.createDataFrame([(1, rows[2][1])], "qid long, qv array<double>")
+    out = pq_topk(corpus, qs, "emb", "id", "qv", "qid",
+                  k=3, m=2, n_codes=8).collect()
+    assert len(out) == 3
+    assert all(r["adc_dist"] is not None for r in out)
+    # the query IS corpus point 2 -> its quantization cell ranks first
+    top = min(out, key=lambda r: r["rank"])
+    assert top["adc_dist"] == min(r["adc_dist"] for r in out)
