@@ -44,3 +44,45 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert bad == []
+
+
+def test_new_maponly_operators_have_no_exchange(spark):
+    """Operators documented map-only must compile without a shuffle:
+    bloom_prune (literal-bitmap filter), pq_encode (literal codebooks),
+    winnow/bpe_apply on a pre-partitioned input (spread() is a no-op
+    when partitions already match parallelism)."""
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        pq_encode,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        bloom_filter_bits, bloom_prune,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        bpe_apply, winnow_fingerprints,
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    small = spark.createDataFrame([(k,) for k in (1, 2)], "k long")
+    bits = bloom_filter_bits(small, "k", n_bits=1 << 10)
+    big = spark.range(100).select(F.col("id").alias("k"))
+    assert "Exchange" not in _plan(bloom_prune(big, "k", bits,
+                                               n_bits=1 << 10))
+
+    # inputs carry their own repartition Exchange; the operator must
+    # not ADD one (spread() is a no-op at matching parallelism)
+    emb = (spark.range(40).repartition(par)
+           .select(F.col("id"),
+                   F.array(F.col("id").cast("double"),
+                           F.lit(1.0)).alias("v")))
+    base_ex = _plan(emb).count("Exchange")
+    books1 = [[[0.0], [5.0]], [[1.0], [2.0]]]
+    assert _plan(pq_encode(emb, "v", "id", books1)).count("Exchange") == base_ex
+
+    docs = (spark.range(50).repartition(par)
+            .select(F.col("id"), F.lit("some text here").alias("text")))
+    base_ex = _plan(docs).count("Exchange")
+    assert _plan(winnow_fingerprints(docs, "text", "id")) \
+        .count("Exchange") == base_ex
+    assert _plan(bpe_apply(docs, "text", "id", [("s", "o"), ("t", "e")])) \
+        .count("Exchange") == base_ex
