@@ -1312,6 +1312,21 @@ def q_key_skew(spark, sf_dir):
     return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
 
 
+def q_ann_mrr(spark, sf_dir):
+    """Mean-reciprocal-rank gauge (operators.similarity.ann_mrr_report):
+    1/rank of the TRUE nearest neighbor inside the sign-LSH result list
+    (0 when missed) — catches the lost-best-match failures recall@k's
+    set overlap can hide.  Same bucket-exact oracle configuration as
+    ann_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.ann_mrr_report(corpus, queries, "embedding", "vec_id",
+                               "embedding", "vec_id", k=5, planes=8,
+                               multiprobe=False)
+            .orderBy("query_id"))
+
+
 def q_split_leakage(spark, sf_dir):
     """Cross-split near-dup leakage audit (operators.sampling
     .split_leakage_report): MinHash-LSH candidate pairs tagged with the
@@ -1642,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min": q_count_min,
         "bloom_join": q_bloom_join,
         "pit_lookup": q_pit_lookup,
+        "ann_mrr": q_ann_mrr,
         "split_leakage": q_split_leakage,
         "budget_select": q_budget_select,
         "keyword_topk": q_keyword_topk,
@@ -3112,6 +3128,38 @@ FROM (SELECT unnest(range(start_window, end_window + 1)) AS window_id,
              id, n_tokens, start_window, offset_in_window
       FROM spans)
 ORDER BY window_id, id
+""",
+        # --- round 3b: ANN mean-reciprocal-rank gauge ---------------------
+        "ann_mrr": f"""
+WITH corpus AS (SELECT vec_id AS id, embedding AS e
+                FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 3),
+exact1 AS (
+  SELECT query_id, id AS true_top1 FROM (
+    SELECT q.query_id, c.id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos_sql('c.e', 'q.qe')} DESC, c.id) AS rn
+    FROM corpus c CROSS JOIN q) WHERE rn = 1),
+cb AS (SELECT vec_id AS id, embedding AS e,
+              {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+       FROM embeddings WHERE vec_id >= 3),
+qb AS (SELECT vec_id AS query_id, embedding AS qe,
+              {_lsh_bucket_sql('embedding', 8, 64)} AS bucket
+       FROM embeddings WHERE vec_id < 3),
+ann AS (
+  SELECT query_id, id, rank FROM (
+    SELECT qb.query_id, cb.id,
+      row_number() OVER (PARTITION BY qb.query_id
+                         ORDER BY {_cos_sql('cb.e', 'qb.qe')} DESC, cb.id)
+        AS rank
+    FROM cb JOIN qb USING (bucket)) WHERE rank <= 5)
+SELECT e.query_id, e.true_top1,
+  (a.rank IS NOT NULL) AS found,
+  CASE WHEN a.rank IS NOT NULL THEN 1.0 / a.rank ELSE 0.0 END AS rr
+FROM exact1 e LEFT JOIN ann a
+  ON e.query_id = a.query_id AND e.true_top1 = a.id
+ORDER BY e.query_id
 """,
         # --- round 3b: cross-split near-dup leakage audit -----------------
         "split_leakage": f"""

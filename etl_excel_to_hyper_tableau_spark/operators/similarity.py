@@ -631,3 +631,36 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ann_mrr_report(corpus: DataFrame, queries: DataFrame,
+                   vec_col: str, id_col: str,
+                   query_vec_col: str, query_id_col: str,
+                   k: int = 5, planes: int = 8,
+                   multiprobe: bool = False) -> DataFrame:
+    """Mean-reciprocal-rank gauge for the sign-LSH ANN path: per query,
+    ``1/rank`` of the TRUE nearest neighbor (exact rank-1) within the
+    ANN result list, 0.0 when the ANN list misses it entirely — the
+    metric that tells you whether tuning is losing the single best
+    match, which recall@k (set overlap) can hide.
+
+    Same two-broadcast-scan shape as :func:`ann_recall_report`; the
+    final join touches queries×k rows.  Output: ``query_id,
+    true_top1, found, rr`` (rr ∈ {0} ∪ {1/1..1/k}).
+    """
+    exact1 = (topk_cosine_batch(corpus, queries, vec_col, id_col,
+                                query_vec_col, query_id_col, k=1)
+              .select("query_id", F.col("id").alias("true_top1")))
+    ann = ann_topk_lsh(corpus, queries, vec_col, id_col,
+                       query_vec_col, query_id_col, k=k, planes=planes,
+                       multiprobe=multiprobe) \
+        .select("query_id", "id", "rank")
+    hit = (exact1.join(ann,
+                       (exact1.query_id == ann.query_id)
+                       & (exact1.true_top1 == ann.id), "left")
+           .select(exact1.query_id, "true_top1", ann.rank))
+    return (hit.select("query_id", "true_top1",
+                       F.col("rank").isNotNull().alias("found"),
+                       F.when(F.col("rank").isNotNull(),
+                              F.lit(1.0) / F.col("rank"))
+                        .otherwise(F.lit(0.0)).alias("rr")))

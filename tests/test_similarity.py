@@ -250,3 +250,22 @@ def test_pq_topk_corpus_smaller_than_n_codes(spark):
     # the query IS corpus point 2 -> its quantization cell ranks first
     top = min(out, key=lambda r: r["rank"])
     assert top["adc_dist"] == min(r["adc_dist"] for r in out)
+
+
+def test_ann_mrr_report_reciprocal_ranks(spark, corpus):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ann_mrr_report,
+    )
+    qs = spark.createDataFrame([(1, [1.0, 0.05]), (2, [0.0, 1.0])],
+                               "qid long, qv array<double>")
+    out = {r["query_id"]: r
+           for r in ann_mrr_report(corpus, qs, "emb", "id", "qv", "qid",
+                                   k=3, planes=2,
+                                   multiprobe=True).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["found"] and 1 / 3 <= r["rr"] <= 1.0) or \
+               (not r["found"] and r["rr"] == 0.0)
+    # query 1's true top-1 (id 0 at ~3 deg) is essentially always
+    # retrieved at rank 1 under multiprobe
+    assert out[1]["true_top1"] == 0 and out[1]["rr"] == 1.0
