@@ -208,3 +208,63 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
          .start())
     q.awaitTermination()
     return stats
+
+
+def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
+                  key_col: str, schema: str,
+                  depth: int = 3, width: int = 256,
+                  max_files_per_trigger: int = 1,
+                  checkpoint_dir: str | None = None) -> dict:
+    """Continuous frequency tracking: fold every arriving micro-batch
+    into a persistent count-min sketch (``..operators.sketches``) —
+    heavy-hitter monitoring over an unbounded stream with FIXED state
+    (d×w cells on disk), the sketch-native alternative to keeping exact
+    per-key counts that grow with cardinality.
+
+    Per batch: build the batch's sketch (map-only ×d + one partial-agg
+    groupBy), merge cell-wise with the staged sketch, and atomically
+    replace it (write to ``__tmp``, swap — a replayed batch re-merges
+    from the PRE-batch sketch it swapped from, so recovery never
+    double-counts a committed batch... the swap is the idempotency
+    boundary; an uncommitted crash re-runs the merge from the old
+    sketch).  Estimates at any point come from
+    :func:`..operators.sketches.count_min_estimate` over the staged
+    table.  Returns ``{"batches", "rows"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.sketches import count_min_build
+
+    stats = {"batches": 0, "rows": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sk = count_min_build(batch, key_col, depth=depth, width=width)
+        if has_parquet_files(sketch_dir):
+            staged = spark.read.parquet(sketch_dir)
+            sk = (staged.unionByName(sk)
+                  .groupBy("depth", "bucket")
+                  .agg(F.sum("cnt").alias("cnt")))
+        tmp = sketch_dir.rstrip("/") + "__tmp"
+        sk.write.mode("overwrite").parquet(tmp)
+        old = sketch_dir.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["batches"] += 1
+        stats["rows"] += batch.count()
+
+    name = "cms_" + uuid.uuid4().hex[:8]
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_cms_")
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

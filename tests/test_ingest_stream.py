@@ -151,3 +151,45 @@ def test_vector_index_ingest_cross_batch_dedup_and_probe(spark, tmp_path):
     out = ivf_topk_staged(spark, index, centroids, qs, "qv", "qid",
                           k=2, nprobe=1).collect()
     assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+
+
+def test_sketch_ingest_accumulates_across_batches(spark, tmp_path):
+    import time
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import sketch_ingest
+    land = tmp_path / "cmsland"
+    land.mkdir()
+    sketch_dir = str(tmp_path / "sketch")
+
+    def write_batch(keys, name):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"s_{name}"))
+        import shutil, glob
+        src = glob.glob(str(tmp_path / f"s_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    write_batch([1] * 5 + [2] * 3, "b1")
+    ckpt = str(tmp_path / "cms_ckpt")
+    s1 = sketch_ingest(spark, str(land), sketch_dir, "k", "k long",
+                       depth=2, width=64, checkpoint_dir=ckpt)
+    assert s1["rows"] == 8
+    time.sleep(1.1)
+    write_batch([1] * 4 + [3] * 7, "b2")
+    sketch_ingest(spark, str(land), sketch_dir, "k", "k long",
+                  depth=2, width=64, checkpoint_dir=ckpt)
+
+    # staged sketch == one-shot sketch over the concatenated stream
+    whole = count_min_build(
+        spark.createDataFrame([(k,) for k in [1] * 9 + [2] * 3 + [3] * 7],
+                              "k long"), "k", depth=2, width=64)
+    probes = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    staged = spark.read.parquet(sketch_dir)
+    es = {r["key"]: r["est"] for r in count_min_estimate(
+        staged, probes, "k", depth=2, width=64).collect()}
+    ew = {r["key"]: r["est"] for r in count_min_estimate(
+        whole, probes, "k", depth=2, width=64).collect()}
+    assert es == ew
+    assert es["1"] >= 9 and es["3"] >= 7
