@@ -174,3 +174,32 @@ def stage_zordered(spark: SparkSession, in_dir: str, out_dir: str,
     return {"files_in": files_in, "bytes_in": bytes_in,
             "files_out": files_out, "partitions": parts,
             "zorder_by": list(zorder_by)}
+
+
+def quantile_buckets(df: DataFrame, col: str, bits: int = 16,
+                     relative_error: float = 0.001):
+    """Scale-safe rank normalization for :func:`zorder_key`: bucket a
+    numeric column of ANY distribution into ``2^bits`` approximately
+    equal-population buckets via ``approxQuantile`` boundaries — the
+    normalizer that makes z-ordering work on skewed/wide-range columns
+    (raw values would concentrate all rows in a few Morton cells).
+
+    The quantile sketch is one aggregate pass (GK sketch — fixed-size
+    partial-agg state); the boundaries come back driver-side
+    (``2^bits`` doubles — metadata-sized) and the bucket assignment is
+    a map-only binary search over the literal array.  An ``ntile``
+    window would be the single-reducer global sort this module's
+    operators exist to avoid.
+
+    Returns a Column: the bucket index in ``[0, 2^bits)``.
+    """
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    bounds = df.approxQuantile(col, probs, relative_error)
+    arr = "array(" + ",".join(f"{b!r}D" for b in bounds) + ")"
+    # bucket = number of boundaries <= value (0..n-1); NULLs -> 0
+    return F.expr(
+        f"size(filter({arr}, b -> b <= coalesce(cast({col} as double), "
+        f"cast('-Infinity' as double))))")

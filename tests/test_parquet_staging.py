@@ -134,3 +134,24 @@ def test_zorder_key_refuses_bit_overflow(spark):
     from etl_excel_to_hyper_tableau_spark.sinks.parquet import zorder_key
     with pytest.raises(ValueError, match="bits"):
         zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_quantile_buckets_equalize_skewed_column(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import (
+        quantile_buckets, zorder_key,
+    )
+    # heavily skewed: 90% of values in [0, 10), long tail to 10^6
+    rows = [(i, float(i % 10) if i % 10 else float(i) * 100.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    b = quantile_buckets(df, "v", bits=4)  # 16 buckets
+    counts = (df.select(b.alias("bk")).groupBy("bk").count().collect())
+    ns = [r["count"] for r in counts]
+    assert all(0 <= r["bk"] < 16 for r in counts)
+    # approx-equal population: no bucket is wildly oversized
+    assert max(ns) <= 5 * (2000 // 16)
+    # bucketized columns compose with the Morton key
+    df2 = df.select(b.alias("x"), (F.col("id") % 16).alias("y"))
+    z = df2.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    assert all(0 <= r["z"] < 256 for r in z)
