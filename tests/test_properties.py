@@ -290,3 +290,65 @@ def test_bpe_pair_counts_match_python_model(spark, words):
         for i in range(len(w) - 1):
             model[w[i:i + 2]] += 1
     assert got == dict(model)
+
+
+@settings(**_SETTINGS)
+@given(seqs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6),
+    min_size=1, max_size=5))
+def test_event_transitions_match_python_model(spark, seqs):
+    import datetime
+    from collections import Counter
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        event_transitions,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, seq in enumerate(seqs):
+        for j, et in enumerate(seq):
+            rows.append((eid, t0 + datetime.timedelta(minutes=j), u, et))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "user_id long, event_type string")
+    got = {(r["prev_type"], r["next_type"]): (r["cnt"], r["prev_total"])
+           for r in event_transitions(df, topk=100).collect()}
+    model = Counter()
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            model[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), c in model.items():
+        totals[a] += c
+    assert {k: v[0] for k, v in got.items()} == dict(model)
+    for (a, _b), (_c, tot) in got.items():
+        assert tot == totals[a]
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),
+              st.floats(0, 10, allow_nan=False),
+              st.integers(1, 50)),
+    min_size=1, max_size=15),
+    budget=st.integers(10, 200))
+def test_budget_select_matches_python_model(spark, rows, budget):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        budget_select,
+    )
+    data = [(i, s, q, n) for i, (s, q, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, src string, q double, n long")
+    got = {r["id"]: r["cum_size"]
+           for r in budget_select(df, "src", F.col("q"), F.col("n"),
+                                  "id", budget=budget).collect()}
+    model = {}
+    for src in {s for _i, s, _q, _n in data}:
+        acc = 0
+        for i, s, q, n in sorted(
+                (r for r in data if r[1] == src),
+                key=lambda r: (-r[2], r[0])):
+            acc += n
+            if acc <= budget:
+                model[i] = acc
+    assert got == model
