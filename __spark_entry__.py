@@ -1211,12 +1211,14 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators.similarity
     .semantic_dedup): coarse-quantizer cells from the first 16 corpus
     vectors (deterministic, oracle-reproducible), within-cell drop of
-    any vector with a smaller-id neighbor at cosine ≥ 0.5.  The pair
+    any vector with a smaller-id neighbor at cosine ≥ 0.35 (set where
+    this corpus yields a real drop set — 61 of 500 at sf0.01 — so the
+    oracle comparison discriminates).  The pair
     search is per-cell (Σ|cell|² ≪ N²); assignment is a literal-
     centroid argmax, map-only."""
     emb = _t(spark, sf_dir, "embeddings")
     return (sim.semantic_dedup(emb, "embedding", "vec_id",
-                               n_cells=16, threshold=0.5)
+                               n_cells=16, threshold=0.35)
             .orderBy("id"))
 
 
@@ -3012,7 +3014,7 @@ assigned AS (
 dup AS (
   SELECT DISTINCT b.id AS id
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
-  WHERE {_cos_sql('a.e', 'b.e')} >= 0.5)
+  WHERE {_cos_sql('a.e', 'b.e')} >= 0.35)
 SELECT s.id, cast(s.cell as bigint) AS cell, (d.id IS NULL) AS keep
 FROM assigned s LEFT JOIN dup d ON s.id = d.id ORDER BY s.id
 """,
