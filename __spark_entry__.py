@@ -1139,9 +1139,15 @@ def q_segment_dedup(spark, sf_dir):
 
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (SIGMOD'03): min-hash-in-window over
-    rolling char 8-gram hashes, window 6.  Map-only, zero shuffles."""
+    rolling char 8-gram hashes, window 6.  Map-only, zero shuffles.
+    The fingerprint array is serialized to a comma-joined string at
+    this boundary only (the driver's canonicalizer sorts a pandas
+    frame and cannot hash list cells); the operator itself still
+    returns the typed array<bigint>."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.winnow_fingerprints(docs, "text", "doc_id", k=8, w=6)
+            .select("id", "n_grams", "n_fps",
+                    F.array_join("fingerprints", ",").alias("fingerprints"))
             .orderBy("id"))
 
 
@@ -1167,9 +1173,12 @@ def q_bigram_lm(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization with per-dimension corpus calibration
     + exact reconstruction MSE; stats are a 1-row broadcast, apply is
-    map-only."""
+    map-only.  ``codes`` is comma-joined to a string at this boundary
+    only (driver canonicalizer can't hash list cells); the operator
+    returns the typed array<smallint>."""
     emb = _t(spark, sf_dir, "embeddings")
     return (sim.quantize_embeddings_int8(emb, "embedding", "vec_id")
+            .select("id", F.array_join("codes", ",").alias("codes"), "mse")
             .orderBy("id"))
 
 
@@ -1545,15 +1554,22 @@ def q_sketch_profile(spark, sf_dir):
     combinable, exact count-distinct's shuffle-free cousin) and a
     quantile sketch.  Rows-only entry: sketch estimates are
     engine-specific by construction; the error bound vs exact values
-    is pinned in tests/test_sketches.py instead."""
+    is pinned in tests/test_sketches.py instead.  The quantile array
+    is unpacked to three scalar columns at this boundary (driver
+    canonicalizer can't hash list cells)."""
     li = _t(spark, sf_dir, "lineitem")
+    pq = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
         F.approx_count_distinct("l_partkey").alias("ndv_parts"),
         F.approx_count_distinct("l_suppkey").alias("ndv_suppliers"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99],
-                            10000).alias("price_quantiles"),
-        F.count("*").alias("n_rows"))
+        pq.alias("__pq__"),
+        F.count("*").alias("n_rows")).select(
+            "ndv_orders", "ndv_parts", "ndv_suppliers",
+            F.element_at("__pq__", 1).alias("price_p50"),
+            F.element_at("__pq__", 2).alias("price_p95"),
+            F.element_at("__pq__", 3).alias("price_p99"),
+            "n_rows")
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -1638,17 +1654,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records the
-    # FIRST 50 entries in declaration order (CORRECTNESS_r01/r02 key
-    # sets are exactly positions 1-50).  Entries already driver-green
-    # in an archived CORRECTNESS_r{N}.json are moved to the back;
-    # entries without a recorded row yet come first so every operator
-    # accumulates a driver-recorded oracle diff across rounds.
-    # Round 3 keeps the invariant as new operators land: every entry
-    # lacking an archived row sits inside the first 50 (checked by
-    # scanning CORRECTNESS_r01/r02 key sets), with round-1-recorded
-    # entries displaced below position 50 to make room.
+    # FIRST 50 entries in declaration order (CORRECTNESS_r01-r03 key
+    # sets are exactly positions 1-50 of each round's registry).
+    # Entries without an archived driver-green row come first so every
+    # operator accumulates a driver-recorded oracle diff across rounds.
+    # Round 4: the only entries never driver-green are the three whose
+    # array-typed output crashed the r03 canonicalizer (now serialized
+    # to scalars at the entry boundary) plus ann_recall (sat at
+    # position 51 in r03 — the one r03 ordering-invariant violation).
+    # They occupy positions 1-4; new round-4 entries follow; the rest
+    # of the window re-records r03-green entries.
     return {
-        # -- no driver row yet (were positions 51-83 in round 2) -----
+        # -- no driver-green row in any round (r03 canonicalizer err /
+        #    outside every window) — positions 1-4 ------------------
+        "sketch_profile": q_sketch_profile,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_recall": q_ann_recall,
+        # -- new in round 4 (inside the 50-row window) ---------------
+        # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
         "event_rate_anomalies": q_event_rate_anomalies,
@@ -1673,9 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "vocab_zipf": q_vocab_zipf,
         "negative_samples": q_negative_samples,
-        "doc_compression": q_doc_compression,
         "incremental_dedup": q_incremental_dedup,
-        "sketch_profile": q_sketch_profile,
         "cdc_latest_events": q_cdc_latest_events,
         "scd2_event_history": q_scd2_event_history,
         "stream_purchase_click_join": q_stream_purchase_click_join,
@@ -1683,12 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": q_stream_session_windows,
         "stream_dedup_events": q_stream_dedup_events,
         "stream_latest_state": q_stream_latest_state,
-        # -- new in round 3 (positions 34+, inside the 50-row window) -
         "segment_dedup": q_segment_dedup,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "seq_packing": q_seq_packing,
         "bigram_lm": q_bigram_lm,
-        "embedding_quantize": q_embedding_quantize,
         "cohort_retention": q_cohort_retention,
         "lang_confusion": q_lang_confusion,
         "doc_length_buckets": q_doc_length_buckets,
@@ -1700,7 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "mixture_weights": q_mixture_weights,
         "window_doc_map": q_window_doc_map,
-        "ann_recall": q_ann_recall,
+        # -- below the 50-row window: archived driver evidence -------
+        "doc_compression": q_doc_compression,
         "pii_redaction": q_pii_redaction,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
@@ -2907,7 +2927,8 @@ sel AS (SELECT doc_id, n,
        ELSE [list_min(hs[i : i + 5]) for i in range(1, n - 4)] END AS picked
   FROM h)
 SELECT doc_id AS id, cast(n as bigint) AS n_grams,
-       cast(len(fps) as bigint) AS n_fps, fps AS fingerprints
+       cast(len(fps) as bigint) AS n_fps,
+       array_to_string(fps, ',') AS fingerprints
 FROM (SELECT doc_id, n, list_sort(list_distinct(picked)) AS fps FROM sel)
 ORDER BY id
 """,
@@ -2962,7 +2983,7 @@ q AS (SELECT vec_id, embedding, st,
                        / (st[i].hi - st[i].lo) + 0.5))) END) AS codes
       FROM embeddings, sl)
 SELECT vec_id AS id,
-  cast(codes as SMALLINT[]) AS codes,
+  array_to_string(cast(codes as SMALLINT[]), ',') AS codes,
   list_reduce(list_prepend(cast(0.0 as double),
     list_apply(range(1, 65), i ->
       (cast(embedding[i] as double)

@@ -26,7 +26,7 @@ def test_sketch_estimates_within_error_bounds(spark, sf_dir):
     assert row["n_rows"] == exact["n"]
     # quantile sketch (accuracy 10000 → ~0.01% rank error): compare
     # against exact percentile_cont-style quantiles within 1% of value
-    qs = row["price_quantiles"]
+    qs = [row["price_p50"], row["price_p95"], row["price_p99"]]
     assert qs[0] < qs[1] < qs[2]
     exact_q = li.selectExpr(
         "percentile(l_extendedprice, array(0.5, 0.95, 0.99)) as q").collect()[0]["q"]
