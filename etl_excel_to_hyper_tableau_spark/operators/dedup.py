@@ -308,29 +308,35 @@ def minhash_incremental_candidates(new_df: DataFrame | None,
     Output: ``new_id, corpus_id, est_jaccard``.
 
     Caching contract: when this call derives a band table itself (a
-    ``new_df``/``corpus_df`` argument), that table is persisted and
-    deliberately NOT unpersisted — the returned DataFrame is lazy, and
-    the cache must survive until the caller's action has run.  The
-    entries are scoped to the one-shot batch call and evicted by
-    Spark's LRU store (MEMORY_AND_DISK) or session teardown.  Loop
-    callers (streaming ingest) must pass precomputed ``*_bands`` and
+    ``new_df``/``corpus_df`` argument), that table is persisted for the
+    duration of the call (each side is referenced twice — bucket join +
+    signature lookup), the **result is eagerly materialized**
+    (``localCheckpoint`` — the candidate-pair set is three narrow
+    columns, orders of magnitude smaller than the corpus), and the band
+    caches are **unpersisted before returning** — repeated one-shot
+    calls leave no cached band tables behind.  Loop callers (streaming
+    ingest) pass precomputed ``*_bands``, keep the fully lazy plan, and
     own persist/unpersist per micro-batch, as
     :func:`...streaming.ingest.curated_ingest` does.
     """
+    _check_bands(k, bands)
     if (corpus_df is None) == (corpus_bands is None):
         raise ValueError("pass exactly one of corpus_df / corpus_bands")
     if (new_df is None) == (new_bands is None):
         raise ValueError("pass exactly one of new_df / new_bands")
-    # internal persists only when this call derives the band table
-    # itself (one-shot batch usage — each table is referenced twice
-    # below).  Callers in a loop (streaming ingest) pass precomputed
-    # *_bands and own the caching, so nothing leaks per micro-batch.
-    nbt = (new_bands if new_bands is not None
-           else minhash_band_table(new_df, text_col, id_col,
-                                   k=k, n=n, bands=bands).persist())
-    cbt = (corpus_bands if corpus_bands is not None
-           else minhash_band_table(corpus_df, text_col, id_col,
-                                   k=k, n=n, bands=bands).persist())
+    derived = []
+    if new_bands is not None:
+        nbt = new_bands
+    else:
+        nbt = minhash_band_table(new_df, text_col, id_col,
+                                 k=k, n=n, bands=bands).persist()
+        derived.append(nbt)
+    if corpus_bands is not None:
+        cbt = corpus_bands
+    else:
+        cbt = minhash_band_table(corpus_df, text_col, id_col,
+                                 k=k, n=n, bands=bands).persist()
+        derived.append(cbt)
     nb = nbt.select(F.col("id").alias("new_id"), "band", "bh")
     cb = cbt.select(F.col("id").alias("corpus_id"), "band", "bh")
     pairs = (nb.join(cb, ["band", "bh"])
@@ -343,8 +349,15 @@ def minhash_incremental_candidates(new_df: DataFrame | None,
                     F.col("sig").alias("sig_b")).distinct()
     pairs = pairs.join(ns, "new_id").join(cs, "corpus_id")
     eq = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
-    return pairs.select("new_id", "corpus_id",
-                        (eq.cast("double") / F.lit(k)).alias("est_jaccard"))
+    out = pairs.select("new_id", "corpus_id",
+                       (eq.cast("double") / F.lit(k)).alias("est_jaccard"))
+    if derived:
+        # eager boundary: materialize the (small) result so the band
+        # caches can be released deterministically, not left to LRU
+        out = out.localCheckpoint(eager=True)
+        for t in derived:
+            t.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

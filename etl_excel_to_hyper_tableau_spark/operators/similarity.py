@@ -387,7 +387,11 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
          .withColumn("__nrm__", _norm(F.col("vec"))))
     seed = c.orderBy("id").limit(n_cells).collect()  # n_cells×dim — metadata-sized
     if not seed:
-        return c.select("id", F.lit(0).alias("cell"), F.lit(True).alias("keep"))
+        # cast to long so the empty-corpus branch has the SAME schema
+        # as the normal path (cell is long there) — unions/appends of
+        # results across runs must not diverge on emptiness
+        return c.select("id", F.lit(0).cast("long").alias("cell"),
+                        F.lit(True).alias("keep"))
     centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
     assigned = c.select(
         "id", "vec", "__nrm__",

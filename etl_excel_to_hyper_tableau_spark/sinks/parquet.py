@@ -187,19 +187,37 @@ def quantile_buckets(df: DataFrame, col: str, bits: int = 16,
     The quantile sketch is one aggregate pass (GK sketch — fixed-size
     partial-agg state); the boundaries come back driver-side
     (``2^bits`` doubles — metadata-sized) and the bucket assignment is
-    a map-only binary search over the literal array.  An ``ntile``
-    window would be the single-reducer global sort this module's
-    operators exist to avoid.
+    a map-only binary search over the literal array: a bit-by-bit
+    refinement (``aggregate`` over the descending powers of two —
+    ``acc := acc + 2^b`` whenever that index's boundary is still
+    ``<= value``), i.e. O(bits) ``element_at`` probes per row, NOT a
+    linear scan of the 2^bits-1 boundaries.  The boundary literal is
+    bound once inside the aggregate lambda, so the expression size is
+    one copy of the array regardless of ``bits``.  An ``ntile`` window
+    would be the single-reducer global sort this module's operators
+    exist to avoid.
 
-    Returns a Column: the bucket index in ``[0, 2^bits)``.
+    Returns a Column: the bucket index in ``[0, 2^bits)`` — the count
+    of boundaries ``<=`` the value (NULLs land in bucket 0).
     """
     from pyspark.sql import functions as F
 
     n = 1 << bits
     probs = [i / n for i in range(1, n)]
     bounds = df.approxQuantile(col, probs, relative_error)
+    m = len(bounds)  # n - 1 sorted (ascending) boundaries, 1-indexed below
     arr = "array(" + ",".join(f"{b!r}D" for b in bounds) + ")"
-    # bucket = number of boundaries <= value (0..n-1); NULLs -> 0
+    steps = "array(" + ",".join(str(1 << b) + "L"
+                                for b in range(bits - 1, -1, -1)) + ")"
+    v = (f"coalesce(cast({col} as double), "
+         f"cast('-Infinity' as double))")
+    # Classic Fenwick-style monotone-predicate search: after folding
+    # all bit weights, acc = largest c with bounds[c] <= v = the
+    # number of boundaries <= v.  Duplicated boundaries keep the
+    # predicate monotone, so ties produce the same count as the old
+    # linear-scan form (pinned by tests at bits=4).
     return F.expr(
-        f"size(filter({arr}, b -> b <= coalesce(cast({col} as double), "
-        f"cast('-Infinity' as double))))")
+        f"cast(aggregate({steps}, 0L, (acc, s) -> "
+        f"CASE WHEN acc + s <= {m} AND "
+        f"element_at({arr}, cast(acc + s AS int)) <= {v} "
+        f"THEN acc + s ELSE acc END) as int)")

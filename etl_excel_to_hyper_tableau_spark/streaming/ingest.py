@@ -149,9 +149,12 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     (the production discipline — retraining the quantizer would
     invalidate every staged cell id, so centroids come from
     :func:`..operators.similarity.stage_ivf` or an offline training
-    run), optionally near-dup-gated against the vectors already staged
-    in the SAME cells, and appended to the partitioned index that
-    :func:`..operators.similarity.ivf_topk_staged` probes.
+    run), optionally near-dup-gated — first within the batch itself
+    (cell-scoped self-pairs, smaller id survives: two near-duplicates
+    arriving in the same micro-batch can't both slip in), then against
+    the vectors already staged in the SAME cells — and appended to the
+    partitioned index that :func:`..operators.similarity.ivf_topk_staged`
+    probes.
 
     Scale shape: assignment is a map over literal centroids (no
     shuffle); the dedup join is cell-scoped (batch rows only meet
@@ -178,6 +181,25 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
              .withColumn("__nrm__", _norm(F.col("vec")))
              .withColumn("cell",
                          _nearest_cells("vec", "__nrm__", centroids, 1)[0]))
+        if dedup_threshold is not None:
+            # within-batch gate first: two near-duplicates arriving in
+            # the SAME micro-batch must not both be accepted (the
+            # staged comparison below only sees earlier batches).
+            # Cell-scoped self-pairs, smaller id wins — same election
+            # as the cross-batch rule (first-accepted survives).
+            lhs = b.select("cell", F.col("id").alias("__ida__"),
+                           F.col("vec").alias("__va__"),
+                           F.col("__nrm__").alias("__na__"))
+            rhs = b.select("cell", F.col("id").alias("__idb__"),
+                           F.col("vec").alias("__vb__"),
+                           F.col("__nrm__").alias("__nb__"))
+            intra = (lhs.join(rhs, "cell")
+                     .where(F.col("__ida__") < F.col("__idb__"))
+                     .where(_dot(F.col("__va__"), F.col("__vb__"))
+                            / (F.col("__na__") * F.col("__nb__"))
+                            >= F.lit(dedup_threshold))
+                     .select(F.col("__idb__").alias("id")).distinct())
+            b = b.join(intra, "id", "left_anti")
         if dedup_threshold is not None and has_parquet_files(index_dir):
             staged = (spark.read.parquet(index_dir)
                       .select("cell", F.col("vec").alias("sv"))
@@ -223,11 +245,16 @@ def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
 
     Per batch: build the batch's sketch (map-only ×d + one partial-agg
     groupBy), merge cell-wise with the staged sketch, and atomically
-    replace it (write to ``__tmp``, swap — a replayed batch re-merges
-    from the PRE-batch sketch it swapped from, so recovery never
-    double-counts a committed batch... the swap is the idempotency
-    boundary; an uncommitted crash re-runs the merge from the old
-    sketch).  Estimates at any point come from
+    replace it (write to ``__tmp``, swap).  Replay safety: the last
+    merged ``epoch_id`` is persisted WITH the sketch (a ``_merged_epoch``
+    marker file written into the tmp directory before the swap, so
+    sketch state and merge watermark move atomically together); a
+    replayed batch whose epoch is already ``<=`` the staged watermark
+    is skipped instead of re-merged — without this, a crash after the
+    swap but before the streaming checkpoint commits the epoch would
+    double-count the batch on recovery.  One stream (one checkpoint)
+    per ``sketch_dir``: the watermark is a single monotone epoch
+    counter, not a per-source set.  Estimates at any point come from
     :func:`..operators.sketches.count_min_estimate` over the staged
     table.  Returns ``{"batches", "rows"}``.
     """
@@ -238,16 +265,35 @@ def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
     from ..operators.sketches import count_min_build
 
     stats = {"batches": 0, "rows": 0}
+    marker = "_merged_epoch"  # leading '_': invisible to parquet listing
+
+    def _staged_epoch() -> int | None:
+        p = os.path.join(sketch_dir, marker)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return int(fh.read().strip())
+        return None
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        staged_exists = has_parquet_files(sketch_dir)
+        if staged_exists:
+            last = _staged_epoch()
+            if last is not None and int(epoch_id) <= last:
+                # replayed, already-merged batch (post-swap crash
+                # before the checkpoint commit): merging again would
+                # double-count — skip.
+                stats["batches"] += 1
+                return
         sk = count_min_build(batch, key_col, depth=depth, width=width)
-        if has_parquet_files(sketch_dir):
+        if staged_exists:
             staged = spark.read.parquet(sketch_dir)
             sk = (staged.unionByName(sk)
                   .groupBy("depth", "bucket")
                   .agg(F.sum("cnt").alias("cnt")))
         tmp = sketch_dir.rstrip("/") + "__tmp"
         sk.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(int(epoch_id)))
         old = sketch_dir.rstrip("/") + "__old"
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(sketch_dir):

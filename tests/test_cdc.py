@@ -258,3 +258,31 @@ def test_merge_retain_tombstones_counts_only_this_batch(spark, tmp_path):
                       retain_tombstones=True)
     assert s3["keys_deleted"] == 0
     assert s3["rows"] == 2  # live rows: b, c
+
+
+def test_merge_retained_tombstone_blocks_out_of_order_resurrection(
+        spark, tmp_path):
+    """The durable-delete contract: delete key k at ts=20, then merge a
+    straggler batch carrying an OLDER-ts (ts=15) version of k — the
+    retained tombstone wins latest-version-per-key and k stays gone."""
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+        merge_upsert, read_merged,
+    )
+    d = str(tmp_path / "t_oo")
+    b1 = spark.createDataFrame([("k", 10, 1.0, False), ("x", 10, 9.0, False)],
+                               "k string, ts long, v double, dead boolean")
+    merge_upsert(spark, d, b1, "k", "ts", delete_col="dead")
+    b2 = spark.createDataFrame([("k", 20, 0.0, True)],
+                               "k string, ts long, v double, dead boolean")
+    s2 = merge_upsert(spark, d, b2, "k", "ts", delete_col="dead")
+    assert s2["keys_deleted"] == 1
+    # straggler: an older version of the deleted key arrives late
+    b3 = spark.createDataFrame([("k", 15, 2.0, False)],
+                               "k string, ts long, v double, dead boolean")
+    s3 = merge_upsert(spark, d, b3, "k", "ts", delete_col="dead")
+    assert s3["keys_deleted"] == 0
+    live = {r["k"] for r in read_merged(spark, d, delete_col="dead").collect()}
+    assert live == {"x"}  # k stayed dead
+    # and the tombstone itself is still on disk for the NEXT straggler
+    raw = spark.read.parquet(d).filter("dead").collect()
+    assert [r["k"] for r in raw] == ["k"]

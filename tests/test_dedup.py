@@ -236,3 +236,59 @@ def test_segment_dedup_reassembles_in_order(spark):
     row = segment_dedup(df, "text", "doc_id", seg_tokens=10).collect()[0]
     assert row["cleaned_text"] == text  # no duplicates → identity, in order
     assert row["n_segments"] == 4 and row["n_kept"] == 4
+
+
+def test_minhash_incremental_rejects_nondividing_bands(spark):
+    import pytest
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+    new = spark.createDataFrame([(1, "aaa bbb")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "aaa bbb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_incremental_candidates(new, corpus, "text", "doc_id",
+                                       k=8, bands=3)
+
+
+def test_minhash_incremental_unpersists_derived_band_tables(spark):
+    """One-shot calls derive + persist band tables internally; they
+    must be released before returning — repeated calls may not
+    accumulate cached band tables (only the small checkpointed results
+    remain, one per call)."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+    sc = spark.sparkContext
+
+    def n_cached():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    new = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(2, "aaa bbb ccc ddd eee fff"), (3, "zzz yyy xxx www vvv uuu")],
+        "doc_id long, text string")
+    base = n_cached()
+    for _ in range(3):
+        res = minhash_incremental_candidates(new, corpus, "text", "doc_id",
+                                             k=8, bands=4)
+        assert res.count() >= 1
+    # 3 calls × 2 derived band tables = 6 would remain without the
+    # unpersist; the checkpointed pair results (≤ 1 per call) may stay
+    assert n_cached() - base <= 3
+
+
+def test_with_simhash_null_text_contract(spark):
+    """Cardinality contract: NULL text yields NO output row (the NULL
+    signature is filtered — row-for-row equivalent to the historical
+    explode→groupBy form); empty/whitespace text hashes the single
+    empty token and DOES get a row."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import with_simhash
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "hello world")],
+        "doc_id long, text string")
+    rows = {r["id"]: r["simhash"]
+            for r in with_simhash(df, "text", "doc_id").collect()}
+    assert set(rows) == {2, 3, 4}
+    assert all(v is not None for v in rows.values())
+    assert rows[2] == rows[3]  # '' and whitespace tokenize identically

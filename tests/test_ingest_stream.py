@@ -193,3 +193,70 @@ def test_sketch_ingest_accumulates_across_batches(spark, tmp_path):
         whole, probes, "k", depth=2, width=64).collect()}
     assert es == ew
     assert es["1"] >= 9 and es["3"] >= 7
+
+
+def test_sketch_ingest_skips_already_merged_epochs(spark, tmp_path):
+    """Replay idempotency: a batch whose epoch_id is <= the watermark
+    persisted with the staged sketch is skipped, not re-merged — the
+    post-swap / pre-checkpoint-commit crash window cannot double-count."""
+    import glob
+    import shutil
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_estimate,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import sketch_ingest
+    land = tmp_path / "cmsland2"
+    land.mkdir()
+    sketch_dir = str(tmp_path / "sketch2")
+
+    df = spark.createDataFrame([(1,)] * 6 + [(2,)] * 2, "k long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s2_b1"))
+    src = glob.glob(str(tmp_path / "s2_b1" / "part-*.parquet"))[0]
+    shutil.copy(src, str(land / "b1.parquet"))
+
+    sketch_ingest(spark, str(land), sketch_dir, "k", "k long",
+                  depth=2, width=64,
+                  checkpoint_dir=str(tmp_path / "ck_a"))
+    probes = spark.createDataFrame([(1,), (2,)], "k long")
+
+    def estimates():
+        staged = spark.read.parquet(sketch_dir)
+        return {r["key"]: r["est"] for r in count_min_estimate(
+            staged, probes, "k", depth=2, width=64).collect()}
+
+    before = estimates()
+    # fresh checkpoint over the same landing dir re-delivers the same
+    # file as epoch 0 — exactly what a replayed uncommitted epoch looks
+    # like to the sink; the staged watermark (0) must reject it
+    sketch_ingest(spark, str(land), sketch_dir, "k", "k long",
+                  depth=2, width=64,
+                  checkpoint_dir=str(tmp_path / "ck_b"))
+    assert estimates() == before
+
+
+def test_vector_index_ingest_within_batch_dedup(spark, tmp_path):
+    """Two near-duplicate vectors arriving in the SAME micro-batch:
+    only the smaller id is accepted (the staged comparison alone can't
+    see them — they'd both pass against an empty/earlier index)."""
+    import glob
+    import shutil
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        vector_index_ingest,
+    )
+    land = tmp_path / "land_wb"
+    land.mkdir()
+    index = str(tmp_path / "vecindex_wb")
+    centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    rows = [(1, [1.0, 0.02]), (2, [1.0, 0.0201]),  # near-dups, same cell
+            (3, [0.05, 1.0])]                       # distinct, other cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "st_wb"))
+    src = glob.glob(str(tmp_path / "st_wb" / "part-*.parquet"))[0]
+    shutil.copy(src, str(land / "b1.parquet"))
+
+    s = vector_index_ingest(spark, str(land), index, centroids,
+                            dedup_threshold=0.999)
+    assert s["accepted"] == 2
+    ids = sorted(r["id"] for r in spark.read.parquet(index).collect())
+    assert ids == [1, 3]

@@ -155,3 +155,47 @@ def test_quantile_buckets_equalize_skewed_column(spark):
     df2 = df.select(b.alias("x"), (F.col("id") % 16).alias("y"))
     z = df2.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()
     assert all(0 <= r["z"] < 256 for r in z)
+
+
+def test_quantile_buckets_binary_search_matches_linear_scan(spark):
+    """The O(bits) bit-refinement search must produce exactly the
+    count-of-boundaries-<=-value bucket the old linear scan computed,
+    including on duplicated boundaries (constant runs from skew)."""
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import quantile_buckets
+    # 60% constant value -> long runs of identical quantile boundaries
+    rows = [(i, 5.0 if i % 5 < 3 else float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    n = 1 << 4
+    probs = [i / n for i in range(1, n)]
+    bounds = df.approxQuantile("v", probs, 0.001)
+    arr = "array(" + ",".join(f"{b!r}D" for b in bounds) + ")"
+    linear = F.expr(
+        f"size(filter({arr}, b -> b <= coalesce(cast(v as double), "
+        f"cast('-Infinity' as double))))")
+    got = (df.select((quantile_buckets(df, "v", bits=4) == linear)
+                     .alias("same")).agg(F.min("same")).collect()[0][0])
+    assert got is True
+
+
+def test_quantile_buckets_default_bits16_finishes_fast(spark):
+    """At the documented default bits=16 (65,535 boundaries) bucket
+    assignment must be O(bits) probes per row — 100k rows in seconds,
+    not the ~6.5e9 comparisons of a per-row linear scan."""
+    import time
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import quantile_buckets
+    df = spark.range(100_000).select(
+        F.col("id"), (F.pmod(F.col("id") * 2654435761, F.lit(1_000_003))
+                      .cast("double")).alias("v"))
+    t0 = time.monotonic()
+    b = quantile_buckets(df, "v", bits=16)
+    res = (df.select(b.alias("bk"))
+           .agg(F.min("bk").alias("lo"), F.max("bk").alias("hi"),
+                F.count("*").alias("n")).collect()[0])
+    elapsed = time.monotonic() - t0
+    assert res["n"] == 100_000
+    assert 0 <= res["lo"] and res["hi"] < (1 << 16)
+    # near-uniform input should spread across most of the bucket range
+    assert res["hi"] - res["lo"] > (1 << 15)
+    assert elapsed < 60.0, f"bits=16 bucket assignment took {elapsed:.1f}s"

@@ -269,3 +269,18 @@ def test_ann_mrr_report_reciprocal_ranks(spark, corpus):
     # query 1's true top-1 (id 0 at ~3 deg) is essentially always
     # retrieved at rank 1 under multiprobe
     assert out[1]["true_top1"] == 0 and out[1]["rr"] == 1.0
+
+
+def test_semantic_dedup_empty_corpus_schema_matches_normal_path(spark):
+    """The empty-corpus early return must have the SAME schema as the
+    normal path (cell long) so results union across runs."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    full = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, emb array<double>")
+    empty = full.limit(0)
+    s_full = semantic_dedup(full, "emb", "id", n_cells=2).schema
+    s_empty = semantic_dedup(empty, "emb", "id", n_cells=2).schema
+    assert [(f.name, f.dataType) for f in s_empty] == \
+           [(f.name, f.dataType) for f in s_full]
