@@ -2,15 +2,17 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side design is fully real — schemas, partition sizing, UDF
-signatures, batch shapes — and so is one codec per modality: a
-pure-stdlib PNG codec (:mod:`..functions.png`, zlib inflate + scanline
-un-filter), a pure-stdlib WAV codec (:mod:`..functions.wav`,
+signatures, batch shapes — and so are the codecs: a pure-stdlib PNG
+codec (:mod:`..functions.png`, zlib inflate + scanline un-filter), a
+pure stdlib+numpy baseline JPEG codec (:mod:`..functions.jpeg`,
+Huffman entropy coding + 8×8 DCT — a real entropy-coded format,
+encode and decode), a pure-stdlib WAV codec (:mod:`..functions.wav`,
 RIFF/PCM16 chunk walker), and a pure-stdlib Y4M video codec
 (:mod:`..functions.y4m`, YUV4MPEG2 demux) decode/encode real image,
 audio, and video bytes end-to-end (:func:`resize_images`,
 :func:`audio_features`, :func:`sample_frames_y4m`).  Codecs that
-genuinely need native libraries absent from this container (JPEG,
-MP3/AAC, H.264/VP9) degrade to clearly-marked deterministic fakes
+genuinely need native libraries absent from this container (MP3/AAC,
+H.264/VP9, HEIC) degrade to clearly-marked deterministic fakes
 (documented per-function); swapping in Pillow/torchaudio/PyAV is a
 one-line change inside the UDF; the distributed plumbing does not
 move.
@@ -74,14 +76,37 @@ def make_png_media(spark, n: int = 16, width: int = 32,
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_jpeg_media(spark, n: int = 16, width: int = 32,
+                    height: int = 24, quality: int = 90) -> DataFrame:
+    """Synthetic media table whose ``content`` is REAL baseline JFIF
+    bytes (stdlib+numpy codec — :mod:`..functions.jpeg`): deterministic
+    per-id smooth gradients (JPEG is lossy; smooth content keeps the
+    round-trip error small), so the full entropy-decode→resample→encode
+    path runs on genuine JPEG data with no image library installed."""
+    from ..functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:height, 0:width]
+        arr = np.clip(128 + 60 * np.sin((xx + i * 3) / 6.0)
+                      * np.cos((yy + i) / 5.0), 0, 255).astype(np.uint8)
+        rows.append((i, "image", encode_jpeg(arr, quality=quality),
+                     ("jpeg", width, height, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """Decode dispatcher for the image operators: real PNG bytes (by
-    signature) decode through the stdlib codec; anything else falls back
-    to the deterministic fake (:func:`_fake_decode_gray`), which stands
-    in for the formats whose codecs aren't installable here (JPEG...).
+    """Decode dispatcher for the image operators: real PNG and real
+    baseline JPEG bytes (by signature) decode through the stdlib codecs
+    (:mod:`..functions.png`, :mod:`..functions.jpeg`); anything else
+    falls back to the deterministic fake (:func:`_fake_decode_gray`),
+    which stands in for the formats whose codecs genuinely need
+    external libraries (HEIC, AVIF, ...).
     """
     import zlib
 
+    from ..functions.jpeg import _MAGIC as _JPEG_MAGIC
+    from ..functions.jpeg import decode_jpeg
     from ..functions.png import _MAGIC, decode_png
 
     if content[:8] == _MAGIC:
@@ -94,6 +119,13 @@ def decode_image(content: bytes, width: int, height: int) -> np.ndarray:
             # quarantine-and-continue contract every media operator
             # documents (and the pre-codec behavior: the fake decoder
             # never raised)
+            pass
+    elif content[:3] == _JPEG_MAGIC:
+        try:
+            return decode_jpeg(content)
+        except (ValueError, struct.error):
+            # progressive/arithmetic/12-bit or truncated scan: same
+            # quarantine-and-continue contract as the PNG branch
             pass
     return _fake_decode_gray(content, width, height)
 

@@ -439,3 +439,118 @@ def test_audio_features_quarantines_truncated_fmt(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = audio_features(df).collect()
     assert len(out) == 1 and out[0]["rms"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (functions/jpeg.py): real entropy-coded round trips
+# ---------------------------------------------------------------------------
+
+def _psnr(a, b):
+    import numpy as np
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """Baseline JPEG encode→decode: exact dims/channels, high PSNR on
+    smooth content (lossy codec — pixel-exactness is not the contract),
+    non-multiple-of-8 dims handled by pad/crop."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    yy, xx = np.mgrid[0:24, 0:32]
+    gray = (128 + 100 * np.sin(xx / 6.0) * np.cos(yy / 5.0)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert out.shape == gray.shape and out.dtype == np.uint8
+    assert _psnr(gray, out) > 35.0
+
+    rgb = np.zeros((13, 20, 3), np.uint8)   # 13×20: pad/crop path
+    rgb[..., 0] = (xx[:13, :20] * 3) % 200
+    rgb[..., 1] = (yy[:13, :20] * 5) % 200
+    rgb[..., 2] = 128
+    out3 = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert out3.shape == rgb.shape
+    assert _psnr(rgb, out3) > 30.0
+
+
+def test_jpeg_constant_block_is_exact():
+    """A constant image is DC-only — quantization cannot lose anything."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    c = np.full((16, 16), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(c, quality=75)) == 77).all()
+
+
+def test_jpeg_restart_markers_roundtrip_identically():
+    """DRI/RSTn path: restart-coded bytes decode to EXACTLY the same
+    pixels as the plain encoding (predictor resets are lossless)."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    yy, xx = np.mgrid[0:40, 0:48]
+    g = ((xx * 7 + yy * 13) % 256).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(g, 90, restart_interval=0))
+    rst = decode_jpeg(encode_jpeg(g, 90, restart_interval=3))
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    with pytest.raises(ValueError, match="signature"):
+        decode_jpeg(b"\x89PNG\r\n")
+    enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_resize_real_jpeg_through_spark(spark):
+    """Distributed decode→NN-resample→re-encode over REAL JPEG bytes:
+    resized content is valid JPEG of the target dims whose pixels match
+    a driver-side reference resample within lossy tolerance."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_jpeg_media, resize_images,
+    )
+    media = make_jpeg_media(spark, n=4, width=32, height=24)
+    resized = resize_images(media, 16, 12, encode=encode_jpeg,
+                            out_format="jpeg")
+    got = {r["media_id"]: r for r in resized.collect()}
+    src_rows = {r["media_id"]: r for r in media.collect()}
+    assert set(got) == set(src_rows)
+    for i, r in got.items():
+        assert r["meta"]["format"] == "jpeg"
+        out = decode_jpeg(bytes(r["content"]))
+        assert out.shape == (12, 16)
+        src = decode_jpeg(bytes(src_rows[i]["content"]))
+        yi = np.minimum(((np.arange(12) + 0.5) * 24 / 12).astype(int), 23)
+        xi = np.minimum(((np.arange(16) + 0.5) * 32 / 16).astype(int), 31)
+        ref = src[np.ix_(yi, xi)]
+        assert _psnr(ref, out) > 30.0
+
+
+def test_decode_image_quarantines_truncated_jpeg(spark):
+    """Truncated scan bytes degrade to the deterministic fake instead of
+    failing the task — the quarantine-and-continue contract."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.jpeg import encode_jpeg
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        _fake_decode_gray, decode_image,
+    )
+    enc = encode_jpeg(np.full((16, 16), 50, np.uint8))
+    cut = enc[:len(enc) // 2]
+    out = decode_image(cut, 16, 16)
+    ref = _fake_decode_gray(cut, 16, 16)
+    assert np.array_equal(out, ref)
