@@ -1644,6 +1644,76 @@ def q_scd2_event_history(spark, sf_dir):
 
 
 # ===========================================================================
+# Round 4: shard balancing, MMR selection, covariance, normalization,
+# canonical-document election
+# ===========================================================================
+
+def q_balanced_shards(spark, sf_dir):
+    """Token-balanced shard assignment (operators.packing.
+    balanced_shards): LPT-style serpentine striping over the exact
+    global size rank — the rank is the same DISTRIBUTED two-phase scan
+    as seq_packing (range partition + per-partition offsets), never a
+    single-partition global window."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_shards(docs, "text", "doc_id", n_shards=8).orderBy("id")
+
+
+def q_mmr_select(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-5 (operators.
+    similarity.mmr_topk, Carbonell & Goldstein SIGIR'98): greedy
+    relevance-minus-redundancy selection; each round is one map-only
+    corpus scan + TakeOrderedAndProject argmax.  The oracle replays the
+    identical greedy recursion as 5 chained CTEs with the same cosine
+    fold order — every double matches bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return sim.mmr_topk(corpus, "embedding", "vec_id",
+                        [float(x) for x in qv], k=5, lam=0.7)
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle embedding covariance (operators.similarity.
+    embedding_covariance) — whitening/PCA input and the standard
+    embedding-drift monitor.  Fixed d² exchange rows per partition
+    (count-min communication pattern); decimal-summed for
+    order-independence, rounded to 9 at the boundary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_covariance(emb, "embedding")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (operators.text.normalize_text):
+    NFC (Arrow pandas_udf) → lower → URL/email strip → whitespace
+    collapse.  The corpus is ASCII-clean, so the entry derives a messy
+    variant (uppercased URL + mail suffix per doc, built identically in
+    the oracle) to make the gate discriminating."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Visit HTTPS://ex.com/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" or mail A"), F.col("doc_id").cast("string"),
+                 F.lit("@ex.org  END")).alias("text"))
+    return (tx.normalize_text(messy, "text", "doc_id")
+            .orderBy("id"))
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Canonical-document election (operators.dedup.
+    cluster_representatives): connected components over the
+    ngram-Jaccard≥0.8 pair graph, then keep the highest-quality member
+    per cluster (smaller id on ties) — the survivor policy production
+    dedup uses instead of arbitrary-smallest-id."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.cluster_representatives(docs, "text", "doc_id",
+                                      threshold=0.8, max_df=100)
+
+
+# ===========================================================================
 # Contract functions
 # ===========================================================================
 
@@ -1672,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_recall": q_ann_recall,
         # -- new in round 4 (inside the 50-row window) ---------------
+        "balanced_shards": q_balanced_shards,
+        "mmr_select": q_mmr_select,
+        "embedding_covariance": q_embedding_covariance,
+        "text_normalize": q_text_normalize,
+        "cluster_representatives": q_cluster_representatives,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -1845,6 +1920,45 @@ def _cos_sql(a: str, b: str) -> str:
     nb = (f"sqrt(list_reduce(list_apply({b}, x -> cast(x as double) * "
           f"cast(x as double)), (x, y) -> x + y))")
     return f"{dot} / ({na} * {nb})"
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    """Greedy MMR as k chained CTEs — the exact recursion mmr_topk
+    runs, with the same cosine fold order, so every relevance and
+    mmr_score double matches the engine bit-for-bit."""
+    oml = 1.0 - lam  # same Python double the engine's F.lit(1.0 - lam) uses
+    ctes = [
+        ("corpus AS (SELECT vec_id AS id, embedding AS e "
+         "FROM embeddings WHERE vec_id >= 3)"),
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        (f"scored AS (SELECT c.id, c.e, {_cos_sql('c.e', 'q.qe')} AS rel "
+         f"FROM corpus c CROSS JOIN q)"),
+    ]
+    union = None
+    for r in range(1, k + 1):
+        if r == 1:
+            ctes.append(
+                f"p1 AS (SELECT id, e, rel, {lam!r} * rel - {oml!r} * 0.0 "
+                f"AS mmr_score, 1 AS rank FROM scored "
+                f"ORDER BY mmr_score DESC, id LIMIT 1)")
+            union = "SELECT * FROM p1"
+        else:
+            # DuckDB can't bind a correlated outer column inside a list
+            # lambda, so max-sim-to-selected is a cross join + max()
+            # aggregate (same doubles: max over rows == greatest over
+            # the same cosines)
+            ctes.append(
+                f"p{r} AS (SELECT c.id, c.e, c.rel, "
+                f"{lam!r} * c.rel - {oml!r} * max({_cos_sql('c.e', 's.e')}) "
+                f"AS mmr_score, {r} AS rank "
+                f"FROM scored c CROSS JOIN ({union}) s "
+                f"WHERE c.id NOT IN (SELECT id FROM ({union}) x) "
+                f"GROUP BY c.id, c.e, c.rel "
+                f"ORDER BY mmr_score DESC, c.id LIMIT 1)")
+            union += f" UNION ALL SELECT * FROM p{r}"
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT cast(rank as bigint) AS rank, id, rel AS relevance, "
+            f"mmr_score FROM ({union}) ORDER BY rank")
 
 
 _DOT = ("list_reduce(list_apply(range(1, 65), "
@@ -3408,5 +3522,91 @@ SELECT q.query_id,
   coalesce(n_hits, 0) / 5.0 AS recall
 FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3) q
 LEFT JOIN hits ON q.query_id = hits.query_id ORDER BY q.query_id
+""",
+        # --- round 4: token-balanced shard assignment ----------------------
+        "balanced_shards": f"""
+WITH t AS (SELECT doc_id AS id, cast(len({toks}) as bigint) AS n_tokens
+           FROM documents),
+r AS (SELECT id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, id) AS rank
+      FROM t)
+SELECT id, n_tokens, cast(rank as bigint) AS rank,
+  cast(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+            ELSE 7 - (rank - 1) % 8 END as bigint) AS shard
+FROM r ORDER BY id
+""",
+        # --- round 4: MMR diversified top-5 (greedy recursion replay) ------
+        "mmr_select": _mmr_sql(k=5, lam=0.7),
+        # --- round 4: upper-triangle embedding covariance ------------------
+        "embedding_covariance": """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+px AS (SELECT d1.i AS i, d2.i AS j,
+         cast(cast(e.embedding[d1.i] as double)
+              * cast(e.embedding[d2.i] as double) as decimal(28,12)) AS p
+       FROM embeddings e, dims d1, dims d2 WHERE d1.i <= d2.i),
+sij AS (SELECT i - 1 AS i, j - 1 AS j, sum(p) AS sxy, count(*) AS n
+        FROM px GROUP BY 1, 2),
+m AS (SELECT i - 1 AS i,
+             sum(cast(cast(embedding[i] as double) as decimal(28,12))) AS s
+      FROM embeddings, dims GROUP BY 1)
+SELECT cast(s.i as bigint) AS i, cast(s.j as bigint) AS j,
+  round(cast(sxy as double) / n
+        - (cast(mi.s as double) / n) * (cast(mj.s as double) / n), 9) AS cov,
+  cast(n as bigint) AS n
+FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+ORDER BY i, j
+""",
+        # --- round 4: text normalization (NFC/lower/strip/collapse) --------
+        "text_normalize": """
+WITH messy AS (
+  SELECT doc_id,
+         text || ' Visit HTTPS://ex.com/' || doc_id
+              || ' or mail A' || doc_id || '@ex.org  END' AS text
+  FROM documents),
+n AS (SELECT doc_id AS id, text AS orig,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(nfc_normalize(text)),
+          '\\bhttps?://\\S+', ' ', 'g'),
+          '\\b[\\w.+-]+@[\\w-]+(\\.[\\w-]+)+\\b', ' ', 'g'),
+          '\\s+', ' ', 'g')) AS ntext
+      FROM messy)
+SELECT id, ntext AS text, cast(length(ntext) as bigint) AS n_chars,
+       (ntext IS DISTINCT FROM orig) AS changed
+FROM n ORDER BY id
+""",
+        # --- round 4: canonical-document election per duplicate cluster ----
+        "cluster_representatives": f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+tq AS (SELECT doc_id, {quality} AS q
+       FROM (SELECT doc_id, text, {toks} AS toks FROM documents)),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, tq.q,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY tq.q DESC, c.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN tq USING (doc_id))
+SELECT cluster_id, cast(n_docs as bigint) AS n_docs,
+       doc_id AS rep_doc_id, round(q, 9) AS rep_quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """,
     }

@@ -78,6 +78,12 @@ HEADLINE = [
     "semantic_dedup",
     "tfidf_topk",
     "doc_novelty",
+    # round 4 additions
+    "balanced_shards",
+    "mmr_select",
+    "embedding_covariance",
+    "text_normalize",
+    "cluster_representatives",
 ]
 
 

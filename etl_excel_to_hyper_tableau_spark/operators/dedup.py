@@ -767,6 +767,45 @@ def duplicate_clusters(df: DataFrame, text_col: str, id_col: str,
             .orderBy("doc_id"))
 
 
+def cluster_representatives(df: DataFrame, text_col: str, id_col: str,
+                            quality: Column | None = None,
+                            n: int = 3, threshold: float = 0.5,
+                            max_df: int | None = 100) -> DataFrame:
+    """Canonical-document election: for every near-duplicate cluster
+    (:func:`duplicate_clusters`), keep the HIGHEST-quality member —
+    the "which copy survives dedup" policy real pipelines use instead
+    of arbitrary-smallest-id (the boilerplate-stripped mirror of a page
+    should beat the ad-ridden one).
+
+    ``quality`` defaults to :func:`..text.quality_score` over
+    ``text_col``; ties break toward the smaller doc id.  The election
+    is one ``max(struct(quality, -id))`` aggregate per cluster —
+    partial-agg combinable, shuffle bounded by |clustered docs| (≪
+    corpus: only documents appearing in ≥1 near-dup pair have a
+    cluster row).
+
+    Output: ``cluster_id, n_docs, rep_doc_id, rep_quality`` (one row
+    per cluster; ``rep_quality`` rounded to 9 decimals at the boundary
+    — same FP doctrine as the quality-gate entries).
+    """
+    from .text import quality_score
+
+    clusters = duplicate_clusters(df, text_col, id_col, n=n,
+                                  threshold=threshold, max_df=max_df)
+    q = quality if quality is not None else quality_score(F.col(text_col))
+    scored = (spread(df).select(F.col(id_col).alias("doc_id"),
+                                q.alias("__q__"))
+              .join(clusters, "doc_id"))
+    best = F.max(F.struct(F.col("__q__").alias("q"),
+                          (-F.col("doc_id")).alias("negid")))
+    return (scored.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), best.alias("__b__"))
+            .select("cluster_id", F.col("n_docs").cast("long").alias("n_docs"),
+                    (-F.col("__b__.negid")).cast("long").alias("rep_doc_id"),
+                    F.round(F.col("__b__.q"), 9).alias("rep_quality"))
+            .orderBy("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # segment-level exact-substring dedup (cross-document repeated passages)
 # ---------------------------------------------------------------------------

@@ -125,3 +125,65 @@ def window_doc_map(df: DataFrame, text_col: str, id_col: str,
         F.when(F.col("start_window") == F.col("window_id"),
                F.col("offset_in_window"))
          .otherwise(F.lit(0)).cast("long").alias("offset_in_window"))
+
+
+def balanced_shards(df: DataFrame, text_col: str, id_col: str,
+                    n_shards: int = 8,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Token-balanced shard assignment — the "write the corpus as N
+    training shards of near-equal token mass" step (hash sharding
+    balances row COUNTS; with heavy-tailed document lengths the token
+    mass per shard can skew badly, and stragglers follow).
+
+    Longest-processing-time-style striping: documents are ranked by
+    token count (descending, id tiebreak) and dealt serpentine across
+    shards — rank pass 0 deals shards 0..N-1, pass 1 deals N-1..0, so
+    every shard's k-th card comes from adjacent size ranks and totals
+    stay within one document of each other for sorted inputs (classic
+    LPT bound: makespan ≤ 4/3·OPT; serpentine on fully sorted input is
+    far tighter in practice).
+
+    The global size rank is the same DISTRIBUTED two-phase scan as
+    :func:`pack_sequences` — range-repartition on (n_tokens DESC, id),
+    per-partition counts (metadata-sized collect), partition-offset +
+    within-partition ``row_number`` — never a single-partition global
+    window.
+
+    Output: ``id, n_tokens, rank (1-based), shard``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sized = df.select(F.col(id_col).alias("id"),
+                      F.size(tokens(F.col(text_col))).cast("long")
+                       .alias("n_tokens"))
+    keys = [F.col("n_tokens").desc(), F.col("id").asc()]
+    if num_partitions:
+        sized = sized.repartitionByRange(num_partitions, *keys)
+    else:
+        sized = sized.repartitionByRange(*keys)
+    # same layout-pinning rationale as pack_sequences: the counts job
+    # and the rank scan must see identical partition contents
+    sized = (sized.sortWithinPartitions(*keys)
+             .withColumn("__pid__", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    part_counts = (sized.groupBy("__pid__")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .orderBy("__pid__")
+                   .collect())
+    offsets, acc = {}, 0
+    for r in part_counts:
+        offsets[r["__pid__"]] = acc
+        acc += r["c"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]) \
+        if offsets else F.create_map()
+    w = Window.partitionBy("__pid__").orderBy(*keys)
+    rank = (off_map[F.col("__pid__")]
+            + F.row_number().over(w)).cast("long").alias("rank")
+    out = sized.select("id", "n_tokens", rank)
+    p = F.lit(int(n_shards)).cast("long")
+    pos = (F.col("rank") - 1) % p
+    pass_ = F.floor((F.col("rank") - 1) / p)
+    shard = F.when(pass_ % 2 == 0, pos).otherwise(p - 1 - pos)
+    return out.select("id", "n_tokens", "rank",
+                      shard.cast("long").alias("shard"))

@@ -668,3 +668,168 @@ def ann_mrr_report(corpus: DataFrame, queries: DataFrame,
                        F.when(F.col("rank").isNotNull(),
                               F.lit(1.0) / F.col("rank"))
                         .otherwise(F.lit(0.0)).alias("rr")))
+
+
+def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
+             query_vec: list[float], k: int = 5,
+             lam: float = 0.7) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the selection rule for "relevant but not
+    redundant" sets: few-shot example pools, eval suites, dedup-aware
+    retrieval.  Greedily picks ``k`` vectors maximizing
+    ``lam·cos(v, q) − (1−lam)·max_{s∈selected} cos(v, s)``.
+
+    Scale shape: MMR is inherently sequential in ``k`` — each round is
+    ONE full corpus scan with the query and all previously selected
+    vectors as literal arrays (map-only scoring, ``TakeOrderedAndProject``
+    argmax — no global sort, no shuffle of the corpus), and one 1-row
+    collect (metadata).  Total cost: k scans; the relevance column is
+    computed once and cached for the duration.  Ties broken by id.
+    The cosine fold order matches the engine's ``_cosine`` so an
+    external oracle running the same greedy recursion reproduces every
+    double bit-for-bit.
+
+    Output: ``rank (1-based), id, relevance, mmr_score`` (k rows, or
+    fewer if the corpus is smaller).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = (spread(df).select(F.col(id_col).cast("long").alias("id"),
+                              F.col(vec_col).cast("array<double>")
+                               .alias("vec"))
+            .withColumn("rel", _cosine(F.col("vec"), q))
+            .persist())
+    lam_c = F.lit(float(lam))
+    oml_c = F.lit(1.0 - float(lam))
+    picked: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    try:
+        for r in range(1, k + 1):
+            cand = base
+            if picked:
+                cand = cand.filter(
+                    ~F.col("id").isin(*[p[1] for p in picked]))
+            if sel_vecs:
+                sims = [
+                    _cosine(F.col("vec"),
+                            F.array(*[F.lit(float(x)) for x in sv]))
+                    for sv in sel_vecs]
+                maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            else:
+                maxsim = F.lit(0.0)
+            score = (lam_c * F.col("rel") - oml_c * maxsim)
+            top = (cand.select("id", "vec", "rel",
+                               score.alias("mmr_score"))
+                   .orderBy(F.desc("mmr_score"), F.asc("id"))
+                   .limit(1).collect())
+            if not top:
+                break
+            row = top[0]
+            picked.append((r, int(row["id"]), float(row["rel"]),
+                           float(row["mmr_score"])))
+            sel_vecs.append([float(x) for x in row["vec"]])
+    finally:
+        base.unpersist()
+    return df.sparkSession.createDataFrame(
+        picked, "rank long, id long, relevance double, mmr_score double")
+
+
+def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column — the
+    input to whitening/PCA and the standard drift monitor for an
+    embedding pipeline (covariance shift = upstream model change).
+
+    Scale shape: map-side the d² pair products are formed per row
+    (``flatten(transform × transform)`` — JVM lambdas, no Python) and
+    partial-aggregated, so the exchange carries **d² rows per input
+    partition** regardless of corpus size (the count-min communication
+    pattern); per-dimension means reuse the same pass.  Sums accumulate
+    in ``decimal(28,12)`` — order-independent under any partitioning —
+    and the final covariance is rounded to 9 decimals at the boundary
+    (same doctrine as the label-centroid operator: DuckDB's
+    decimal→double cast is 1-2 ulp off correctly-rounded).
+
+    Output: ``i, j (0-based, i <= j), cov, n`` — d·(d+1)/2 rows.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    d = F.size(v)
+    prods = F.flatten(F.transform(
+        v, lambda xi: F.transform(v, lambda xj: xi * xj)))
+    exploded = (spread(df)
+                .select(d.alias("__d__"),
+                        F.posexplode(prods).alias("idx", "p")))
+    dec = "decimal(28,12)"
+    sums_ij = (exploded
+               .select((F.col("idx") / F.col("__d__")).cast("long")
+                        .alias("i"),
+                       (F.col("idx") % F.col("__d__")).cast("long")
+                        .alias("j"),
+                       F.col("p").cast(dec).alias("p"))
+               .filter(F.col("i") <= F.col("j"))
+               .groupBy("i", "j")
+               .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
+    means = (spread(df)
+             .select(F.posexplode(v).alias("i", "x"))
+             .groupBy("i")
+             .agg(F.sum(F.col("x").cast(dec)).alias("s")))
+    mi = means.select(F.col("i").cast("long").alias("i"),
+                      F.col("s").alias("si"))
+    mj = means.select(F.col("i").cast("long").alias("j"),
+                      F.col("s").alias("sj"))
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy").cast("double") / n
+           - (F.col("si").cast("double") / n)
+           * (F.col("sj").cast("double") / n))
+    return (sums_ij.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+            .select("i", "j", F.round(cov, 9).alias("cov"),
+                    F.col("n").cast("long").alias("n"))
+            .orderBy("i", "j"))
+
+
+def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
+                     eps: float = 1e-8) -> DataFrame:
+    """PCA-whitening of an embedding column: rotate into the covariance
+    eigenbasis and rescale each direction to unit variance — the
+    standard preprocessing that makes cosine ≈ Mahalanobis and improves
+    ANN recall on anisotropic embeddings (Su et al., "Whitening
+    Sentence Representations", 2021).
+
+    The d×d covariance is metadata-sized (d ≤ a few thousand), so the
+    eigendecomposition runs driver-side on numpy; the projection ``W =
+    U·diag(1/√(λ+eps))`` is broadcast back as a literal matrix and the
+    apply is a MAP-ONLY ``transform``/fold per row — the corpus never
+    shuffles.  No SQL oracle (eigendecomposition); the contract —
+    whitened covariance ≈ I — is pinned by tests.
+
+    Output: ``id, vec (array<double>, whitened)``.
+    """
+    import numpy as np
+
+    stats = embedding_covariance(df, vec_col).collect()  # d²/2 rows — metadata
+    d = max(int(r["j"]) for r in stats) + 1
+    cov = np.zeros((d, d))
+    for r in stats:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    mean_rows = (spread(df)
+                 .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                          .alias("i", "x"))
+                 .groupBy("i").agg(F.avg("x").alias("m"))
+                 .collect())
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r["i"]] = r["m"]
+    lam, u = np.linalg.eigh(cov)
+    w = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))  # d×d
+    # literal projection: whitened_k = Σ_i (x_i - mu_i) · W[i, k]
+    v = F.col(vec_col).cast("array<double>")
+    cols = []
+    for kk in range(d):
+        term = F.lit(0.0)
+        for i in range(d):
+            term = term + (F.element_at(v, i + 1) - F.lit(float(mu[i]))) \
+                * F.lit(float(w[i, kk]))
+        cols.append(term)
+    return spread(df).select(F.col(id_col).alias("id"),
+                             F.array(*cols).alias("vec"))

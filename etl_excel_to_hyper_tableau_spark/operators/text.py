@@ -991,3 +991,45 @@ def bpe_apply(df: DataFrame, text_col: str, id_col: str,
             .select("id", "n_words",
                     F.size("tokens").cast("long").alias("n_tokens"),
                     "tokens"))
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str,
+                   strip_urls: bool = True,
+                   strip_emails: bool = True) -> DataFrame:
+    """Canonical text normalization — the first pass of every corpus
+    pipeline (dedup keys, tokenizer input, contamination checks all
+    assume it): Unicode NFC composition, lowercasing, URL/email
+    removal, whitespace collapse + trim.
+
+    The URL/email strip and whitespace collapse are JVM-side
+    ``regexp_replace`` (whole-stage codegen); only the NFC composition
+    crosses into Python, as an Arrow-batched ``pandas_udf`` over
+    ``unicodedata.normalize`` (ASCII-only corpora pass through it
+    unchanged; it exists for the composed/decomposed-codepoint
+    collisions — e.g. ``é`` vs ``e + U+0301`` — that silently defeat
+    exact dedup).  Order: NFC → lower → strip → collapse, so the
+    regexes see composed lowercase text.
+
+    Output: ``id, text (normalized), n_chars, changed (bool)``.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    t = F.lower(_nfc(F.col(text_col)))
+    if strip_urls:
+        t = F.regexp_replace(t, r"\bhttps?://\S+", " ")
+    if strip_emails:
+        t = F.regexp_replace(t, r"\b[\w.+-]+@[\w-]+(\.[\w-]+)+\b", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__orig__"),
+                    t.alias("text"))
+            .select("id", "text",
+                    F.length("text").cast("long").alias("n_chars"),
+                    (~F.col("text").eqNullSafe(F.col("__orig__")))
+                     .alias("changed")))

@@ -1,0 +1,227 @@
+"""Round-4 operators: token-balanced shards, MMR selection, embedding
+covariance/whitening, text normalization, cluster representatives."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# balanced_shards
+# ---------------------------------------------------------------------------
+
+def test_balanced_shards_serpentine_and_balance(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    # heavy-tailed sizes: doc i has i+1 tokens
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = balanced_shards(df, "text", "doc_id", n_shards=4).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # rank 1 = largest doc; serpentine: pass 0 deals 0,1,2,3; pass 1
+    # deals 3,2,1,0; ...
+    assert [r["shard"] for r in by_rank[:8]] == [0, 1, 2, 3, 3, 2, 1, 0]
+    # serpentine on sorted sizes: shard token totals within ~1 doc
+    totals = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+    assert max(totals.values()) - min(totals.values()) <= 64
+    # exact rank: a permutation of 1..64, ordered by size desc
+    assert sorted(r["rank"] for r in out) == list(range(1, 65))
+    sizes_in_rank_order = [r["n_tokens"] for r in by_rank]
+    assert sizes_in_rank_order == sorted(sizes_in_rank_order, reverse=True)
+
+
+def test_balanced_shards_matches_single_window_formulation(spark):
+    """The distributed two-phase rank must equal the naive global
+    row_number() OVER (ORDER BY n_tokens DESC, id) row-for-row."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    import random
+    rng = random.Random(7)
+    rows = [(i, " ".join(["t"] * rng.randint(0, 40))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["rank"], r["shard"])
+           for r in balanced_shards(df, "text", "doc_id", n_shards=8,
+                                    num_partitions=7).collect()}
+    from pyspark.sql import Window
+    naive = (df.selectExpr(
+        "doc_id as id",
+        "size(filter(split(trim(text), '\\\\s+'), t -> t <> '')) as n_tokens")
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("n_tokens"), F.asc("id")))))
+    for r in naive.collect():
+        rank = r["rank"]
+        pos = (rank - 1) % 8
+        shard = pos if ((rank - 1) // 8) % 2 == 0 else 7 - pos
+        assert got[r["id"]] == (rank, shard)
+
+
+def test_balanced_shards_rejects_bad_n(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(df, "text", "doc_id", n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# mmr_topk
+# ---------------------------------------------------------------------------
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Two near-duplicate vectors in cluster A plus one equally
+    relevant vector in cluster B, query between the clusters: plain
+    top-2 takes both near-duplicates; MMR with lam=0.5 takes one from
+    each cluster."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk, topk_cosine,
+    )
+    q = [1.0, 1.0]
+    rows = [(1, [1.0, 0.2]), (2, [1.0, 0.21]),   # cluster A (near-dups)
+            (4, [0.2, 1.0])]                      # cluster B
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    plain = [r["id"] for r in topk_cosine(df, "emb", "id", q, k=2).collect()]
+    assert set(plain) == {1, 2}             # redundant pair wins on rel
+    sel = mmr_topk(df, "emb", "id", q, k=2, lam=0.5).collect()
+    ids = [r["id"] for r in sorted(sel, key=lambda r: r["rank"])]
+    assert ids[0] == 2 and ids[1] == 4      # diversity kicks in
+
+
+def test_mmr_rank1_is_plain_argmax_and_scores_decrease_sanely(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+    rows = [(i, [float(i % 5 + 1), float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = mmr_topk(df, "emb", "id", [1.0, 0.2], k=4, lam=0.7).collect()
+    out = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    assert len({r["id"] for r in out}) == 4      # no repeats
+    # rank 1 carries no redundancy penalty: mmr_score == lam * relevance
+    assert out[0]["mmr_score"] == pytest.approx(0.7 * out[0]["relevance"])
+
+
+def test_mmr_k_larger_than_corpus(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                               "id long, emb array<double>")
+    out = mmr_topk(df, "emb", "id", [1.0, 0.0], k=5, lam=0.7).collect()
+    assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance / embedding_whiten
+# ---------------------------------------------------------------------------
+
+def _np_cov(mat):
+    mu = mat.mean(axis=0)
+    return (mat - mu).T @ (mat - mu) / mat.shape[0]
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(50, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "id long, emb array<double>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df, "emb").collect()}
+    ref = _np_cov(mat)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == pytest.approx(ref[i, j], abs=1e-8)
+
+
+def test_embedding_whiten_unit_covariance(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        embedding_whiten,
+    )
+    rng = np.random.default_rng(3)
+    # anisotropic: stretch one direction 10x
+    base = rng.normal(size=(200, 4)) * np.array([10.0, 3.0, 1.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "id long, emb array<double>")
+    out = embedding_whiten(df, "emb", "id")
+    mat = np.array([r["vec"] for r in
+                    sorted(out.collect(), key=lambda r: r["id"])])
+    cov = _np_cov(mat)
+    assert np.allclose(cov, np.eye(4), atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_nfc_lower_strip_collapse(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        normalize_text,
+    )
+    decomposed = "Café"          # e + combining acute
+    composed = "café"             # é, NFC + lower target
+    rows = [(1, f"  {decomposed}  Visit HTTPS://Ex.com/a?b=1 now  "),
+            (2, "Mail Bob.Smith+x@corp.example.org TODAY"),
+            (3, "already clean"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           normalize_text(df, "text", "doc_id").collect()}
+    assert got[1]["text"] == f"{composed} visit now"
+    assert got[1]["changed"] is True
+    assert got[2]["text"] == "mail today"
+    assert got[3]["text"] == "already clean"
+    assert got[3]["changed"] is False
+    # NULL text stays NULL; NULL == NULL (null-safe) -> unchanged
+    assert got[4]["text"] is None and got[4]["changed"] is False
+
+
+def test_normalize_text_nfc_collapses_dedup_keys(spark):
+    """The reason NFC exists in the pass: composed and decomposed
+    spellings of the same word must normalize to one key."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        normalize_text,
+    )
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Café")], "doc_id long, text string")
+    texts = {r["text"] for r in
+             normalize_text(df, "text", "doc_id").collect()}
+    assert texts == {"café"}
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+# ---------------------------------------------------------------------------
+
+def test_cluster_representatives_elects_highest_quality(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        cluster_representatives,
+    )
+    # docs 1-3 near-identical (one cluster); 2 is "best" via an
+    # explicit quality column; docs 8-9 a second cluster, tie on
+    # quality -> smaller id (8) wins
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base + " x", 0.2), (2, base + " y", 0.9),
+            (3, base + " z", 0.5),
+            (8, "completely different text about spark shuffles here ok", 0.4),
+            (9, "completely different text about spark shuffles here yes", 0.4),
+            (50, "a singleton unlike anything else entirely", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    out = {r["cluster_id"]: r for r in cluster_representatives(
+        df, "text", "doc_id", quality=F.col("q"),
+        threshold=0.5, max_df=100).collect()}
+    assert set(out) == {1, 8}            # singletons omitted
+    assert out[1]["rep_doc_id"] == 2 and out[1]["n_docs"] == 3
+    assert out[8]["rep_doc_id"] == 8 and out[8]["n_docs"] == 2
+    assert out[1]["rep_quality"] == pytest.approx(0.9)
