@@ -1702,6 +1702,17 @@ def q_text_normalize(spark, sf_dir):
             .orderBy("id"))
 
 
+def q_content_chunks(spark, sf_dir):
+    """Content-defined chunking (operators.text.content_chunks —
+    rsync/LBFS rolling-hash boundaries): cut where the char-8-gram
+    hash ≡ 0 mod 64, so boundaries follow content and near-identical
+    documents share chunk hashes — the block-level dedup primitive.
+    Map-only; the gram-hash array is lambda-bound once per row."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.content_chunks(docs, "text", "doc_id", k=8, mask_bits=6)
+            .orderBy("id", "chunk_idx"))
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Canonical-document election (operators.dedup.
     cluster_representatives): connected components over the
@@ -1747,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "text_normalize": q_text_normalize,
         "cluster_representatives": q_cluster_representatives,
+        "content_chunks": q_content_chunks,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3573,6 +3585,30 @@ n AS (SELECT doc_id AS id, text AS orig,
 SELECT id, ntext AS text, cast(length(ntext) as bigint) AS n_chars,
        (ntext IS DISTINCT FROM orig) AS changed
 FROM n ORDER BY id
+""",
+        # --- round 4: content-defined chunking (rolling-hash boundaries) ---
+        "content_chunks": f"""
+WITH t AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+h AS (SELECT doc_id, text,
+             list_apply({_grams_sql('text', 8)}, x -> {_MD5I.format(x='x')}) AS hs
+      FROM t),
+e AS (SELECT doc_id, text,
+        list_sort(list_distinct(list_concat(
+          list_transform(list_filter(range(1, len(hs) + 1),
+                                     i -> hs[i] % 64 = 0),
+                         i -> i + 7),
+          [length(text)]))) AS ends
+      FROM h),
+c AS (SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS j FROM e),
+s AS (SELECT doc_id, text, ends, j,
+        CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+      FROM c)
+SELECT doc_id AS id, cast(j as bigint) AS chunk_idx,
+  cast(st as bigint) AS start_char,
+  cast(ends[j] - st + 1 as bigint) AS length,
+  {_MD5I.format(x="substring(text, cast(st as int), cast(ends[j] - st + 1 as int))")} AS chunk_hash
+FROM s ORDER BY id, chunk_idx
 """,
         # --- round 4: canonical-document election per duplicate cluster ----
         "cluster_representatives": f"""

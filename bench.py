@@ -84,6 +84,7 @@ HEADLINE = [
     "embedding_covariance",
     "text_normalize",
     "cluster_representatives",
+    "content_chunks",
 ]
 
 

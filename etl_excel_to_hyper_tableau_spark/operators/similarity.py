@@ -740,11 +740,12 @@ def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
     input to whitening/PCA and the standard drift monitor for an
     embedding pipeline (covariance shift = upstream model change).
 
-    Scale shape: map-side the d² pair products are formed per row
-    (``flatten(transform × transform)`` — JVM lambdas, no Python) and
-    partial-aggregated, so the exchange carries **d² rows per input
-    partition** regardless of corpus size (the count-min communication
-    pattern); per-dimension means reuse the same pass.  Sums accumulate
+    Scale shape: map-side only the d(d+1)/2 upper-triangle pair
+    products are formed per row (suffix-slice ``flatten(transform)`` —
+    JVM lambdas, no Python) and partial-aggregated, so the exchange
+    carries **d(d+1)/2 rows per input partition** regardless of corpus
+    size (the count-min communication pattern); per-dimension means
+    reuse the same pass.  Sums accumulate
     in ``decimal(28,12)`` — order-independent under any partitioning —
     and the final covariance is rounded to 9 decimals at the boundary
     (same doctrine as the label-centroid operator: DuckDB's
@@ -754,19 +755,26 @@ def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
     """
     v = F.col(vec_col).cast("array<double>")
     d = F.size(v)
-    prods = F.flatten(F.transform(
-        v, lambda xi: F.transform(v, lambda xj: xi * xj)))
+    # generate ONLY the upper triangle map-side — d(d+1)/2 structs per
+    # row instead of d² products filtered afterwards (same wall locally
+    # — struct build ≈ the saved products — but half the explode output
+    # feeding the partial agg, which is what matters at scale):
+    # for each i, pair v[i] with the suffix slice v[i..d-1]
+    tri = F.flatten(F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.transform(
+            F.slice(v, i + 1, d - i),
+            lambda xj, joff: F.struct(
+                i.alias("i"), (i + joff).alias("j"),
+                (F.element_at(v, i + 1) * xj).alias("p")))))
     exploded = (spread(df)
-                .select(d.alias("__d__"),
-                        F.posexplode(prods).alias("idx", "p")))
+                .select(F.explode(tri).alias("t"))
+                .select(F.col("t.i").cast("long").alias("i"),
+                        F.col("t.j").cast("long").alias("j"),
+                        F.col("t.p").alias("p")))
     dec = "decimal(28,12)"
     sums_ij = (exploded
-               .select((F.col("idx") / F.col("__d__")).cast("long")
-                        .alias("i"),
-                       (F.col("idx") % F.col("__d__")).cast("long")
-                        .alias("j"),
-                       F.col("p").cast(dec).alias("p"))
-               .filter(F.col("i") <= F.col("j"))
+               .select("i", "j", F.col("p").cast(dec).alias("p"))
                .groupBy("i", "j")
                .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
     means = (spread(df)

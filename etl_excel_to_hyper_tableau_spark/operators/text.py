@@ -1033,3 +1033,67 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str,
                     F.length("text").cast("long").alias("n_chars"),
                     (~F.col("text").eqNullSafe(F.col("__orig__")))
                      .alias("changed")))
+
+
+def content_chunks(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 8, mask_bits: int = 6) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash technique;
+    Muthitacharoen et al., "A Low-Bandwidth Network File System",
+    SOSP'01): cut each document where the char ``k``-gram hash ends a
+    window whose value ≡ 0 (mod ``2^mask_bits``) — so chunk boundaries
+    follow CONTENT, not offsets, and an insertion early in a document
+    shifts only the one chunk it lands in (fixed-offset chunking would
+    shift every later boundary).  The standard primitive for
+    block-level dedup of near-identical documents: shared chunk hashes
+    = shared storage/processing.
+
+    Expected chunk length ≈ ``2^mask_bits`` chars.  The final chunk
+    always ends at the document end.  Map-only Catalyst expressions;
+    the gram-hash array is lambda-bound once per row (the same
+    O(n²)-re-evaluation escape as :func:`winnow_fingerprints` — the
+    boundary filter re-runs only cheap modular arithmetic over the
+    materialized hashes, never the md5s).  NULL/empty documents emit
+    no rows.
+
+    Output: ``id, chunk_idx (1-based), start_char (1-based), length,
+    chunk_hash`` (60-bit portable md5 of the chunk text).
+    """
+    from ..functions.hashing import char_ngrams, md5_int64
+
+    col = F.col(text_col)
+    ln = F.length(col)
+    hashes = F.transform(char_ngrams(col, k), lambda g: md5_int64(g))
+    m = F.lit(1 << mask_bits)
+
+    def build(hs):
+        n = F.size(hs)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+            .otherwise(F.array().cast("array<int>"))
+        cuts = F.filter(idx, lambda i: F.element_at(hs, i) % m == 0)
+        ends = F.array_sort(F.array_distinct(F.concat(
+            F.transform(cuts, lambda i: (i + F.lit(k - 1)).cast("int")),
+            F.array(ln.cast("int")))))
+
+        def start(j):
+            return F.when(j == 1, F.lit(1)) \
+                .otherwise(F.element_at(ends, (j - 1).cast("int")) + 1)
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ends)),
+            lambda j: F.struct(
+                j.cast("long").alias("chunk_idx"),
+                start(j).cast("long").alias("start_char"),
+                (F.element_at(ends, j.cast("int")) - start(j) + 1)
+                 .cast("long").alias("length")))
+
+    chunk_arr = F.element_at(F.transform(F.array(hashes), build), 1)
+    base = (spread(df)
+            .filter(col.isNotNull() & (ln > 0))
+            .select(F.col(id_col).alias("id"), col.alias("__t__"),
+                    F.explode(chunk_arr).alias("c")))
+    chunk_text = F.col("__t__").substr(
+        F.col("c.start_char").cast("int"), F.col("c.length").cast("int"))
+    return base.select("id", F.col("c.chunk_idx").alias("chunk_idx"),
+                       F.col("c.start_char").alias("start_char"),
+                       F.col("c.length").alias("length"),
+                       md5_int64(chunk_text).alias("chunk_hash"))

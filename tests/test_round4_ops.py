@@ -225,3 +225,57 @@ def test_cluster_representatives_elects_highest_quality(spark):
     assert out[1]["rep_doc_id"] == 2 and out[1]["n_docs"] == 3
     assert out[8]["rep_doc_id"] == 8 and out[8]["n_docs"] == 2
     assert out[1]["rep_quality"] == pytest.approx(0.9)
+
+
+# ---------------------------------------------------------------------------
+# content_chunks (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+def test_content_chunks_tile_documents_exactly(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        content_chunks,
+    )
+    rows = [(1, "hello world this is a longer document with repeated text "
+                "hello world this is"),
+            (2, "tiny"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_chunks(df, "text", "doc_id", k=8, mask_bits=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], []).append(r)
+    assert set(by) == {1, 2}          # empty/NULL docs emit nothing
+    for i, ch in by.items():
+        ch = sorted(ch, key=lambda r: r["chunk_idx"])
+        assert ch[0]["start_char"] == 1
+        for a, b in zip(ch, ch[1:]):
+            assert b["start_char"] == a["start_char"] + a["length"]
+        assert sum(r["length"] for r in ch) == len(rows[i - 1][1])
+        assert all(r["length"] >= 1 for r in ch)
+
+
+def test_content_chunks_boundaries_survive_prefix_insertion(spark):
+    """THE content-defined property (and why fixed-offset chunking
+    loses): inserting text near the front shifts only the chunks it
+    touches — the suffix's chunk hashes are unchanged, so block-level
+    dedup still matches them."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        content_chunks,
+    )
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from a warm windowsill nearby every single "
+            "afternoon in summer and sometimes in early autumn too")
+    shifted = "INSERTED PREFIX " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)],
+                               "doc_id long, text string")
+    out = content_chunks(df, "text", "doc_id", k=8, mask_bits=3).collect()
+    h1 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted(
+        (r for r in out if r["id"] == 2), key=lambda r: r["chunk_idx"])]
+    # the tail chunks re-align: a long common suffix of chunk hashes
+    common_suffix = 0
+    for a, b in zip(reversed(h1), reversed(h2)):
+        if a != b:
+            break
+        common_suffix += 1
+    assert common_suffix >= max(1, len(h1) - 2), (h1, h2)
