@@ -1713,6 +1713,20 @@ def q_content_chunks(spark, sf_dir):
             .orderBy("id", "chunk_idx"))
 
 
+def q_minhash_quality(spark, sf_dir):
+    """Dedup-quality gauge (operators.dedup.minhash_quality_report):
+    precision/recall of the MinHash-LSH candidate path vs exact n-gram
+    Jaccard ground truth — the S-curve dial every production dedup
+    tunes (k, bands) against, run as a continuous gauge the way the
+    ANN recall/MRR reports are.  Same (k=16, bands=2) configuration as
+    the minhash_candidates entry so the oracle reuses its banded
+    machinery."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_quality_report(docs, "text", "doc_id", n=3,
+                                     threshold=0.7, k=16, bands=2,
+                                     max_df=100)
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Canonical-document election (operators.dedup.
     cluster_representatives): connected components over the
@@ -1759,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "cluster_representatives": q_cluster_representatives,
         "content_chunks": q_content_chunks,
+        "minhash_quality": q_minhash_quality,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3609,6 +3624,48 @@ SELECT doc_id AS id, cast(j as bigint) AS chunk_idx,
   cast(ends[j] - st + 1 as bigint) AS length,
   {_MD5I.format(x="substring(text, cast(st as int), cast(ends[j] - st + 1 as int))")} AS chunk_hash
 FROM s ORDER BY id, chunk_idx
+""",
+        # --- round 4: MinHash-LSH precision/recall gauge --------------------
+        "minhash_quality": f"""
+WITH sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+tp AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+           count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.7),
+hs AS (
+  SELECT doc_id AS id,
+    list_apply(list_distinct({_grams_sql('text')}),
+               g -> {_MD5I.format(x='g')} % 2147483648) AS hs
+  FROM documents),
+sig AS (
+  SELECT id, {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+banded AS (
+{banded_union}),
+pp AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      {' + '.join(f'(case when a.s{i} = b.s{i} then 1 else 0 end)' for i in range(16))} AS eq
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+  WHERE eq / 16.0 >= 0.7),
+counts AS (
+  SELECT (SELECT count(*) FROM tp) AS n_truth,
+         (SELECT count(*) FROM pp) AS n_pred,
+         (SELECT count(*) FROM tp JOIN pp USING (id_a, id_b)) AS n_hit)
+SELECT cast(n_truth as bigint) AS n_truth, cast(n_pred as bigint) AS n_pred,
+  cast(n_hit as bigint) AS n_hit,
+  CASE WHEN n_pred > 0 THEN n_hit / cast(n_pred as double) END AS precision,
+  CASE WHEN n_truth > 0 THEN n_hit / cast(n_truth as double) END AS recall
+FROM counts
 """,
         # --- round 4: canonical-document election per duplicate cluster ----
         "cluster_representatives": f"""

@@ -85,6 +85,7 @@ HEADLINE = [
     "text_normalize",
     "cluster_representatives",
     "content_chunks",
+    "minhash_quality",
 ]
 
 

@@ -900,3 +900,53 @@ def segment_dedup(df: DataFrame, text_col: str, id_col: str,
                     "n_segments",
                     F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
                     F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text")))
+
+
+def minhash_quality_report(df: DataFrame, text_col: str, id_col: str,
+                           n: int = 3, threshold: float = 0.7,
+                           k: int = 32, bands: int = 8,
+                           max_df: int | None = 100) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate path against exact
+    n-gram Jaccard ground truth — the dedup analogue of the ANN
+    ``ann_recall_report`` gauge: what you watch while tuning the
+    ``(k, bands)`` S-curve (recall lost to banding vs candidate volume
+    paid for it).  Run it continuously on a sampled corpus slice, the
+    way the ANN gauges are.
+
+    ``truth``: exact pairs at ``threshold`` (:func:`ngram_jaccard_pairs`
+    with the ``max_df`` stopword-shingle guard).  ``pred``: LSH
+    candidates whose signature estimate clears the same threshold.
+    Both sides emit (id_a < id_b) pairs, so the hit join is exact.
+
+    Scale: inherits both operands' bucketed plans (never all-pairs);
+    the evaluation join is pair-count-sized, ≪ corpus.  Output: ONE row
+    ``n_truth, n_pred, n_hit, precision, recall`` (NULL when the
+    denominator is empty — mirrored by the SQL oracle).
+    """
+    truth = (ngram_jaccard_pairs(df, text_col, id_col, n=n,
+                                 threshold=threshold, max_df=max_df)
+             .select("id_a", "id_b").withColumn("__t__", F.lit(1)))
+    pred = (minhash_lsh_candidates(df, text_col, id_col, k=k, n=n,
+                                   bands=bands)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b").withColumn("__p__", F.lit(1)))
+    j = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    # outer coalesce: sum over zero rows is NULL, but the contract (and
+    # the oracle's count(*)) is 0 on an empty corpus
+    n_truth = F.coalesce(F.sum(F.coalesce(F.col("__t__"), F.lit(0))),
+                         F.lit(0)).cast("long")
+    n_pred = F.coalesce(F.sum(F.coalesce(F.col("__p__"), F.lit(0))),
+                        F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.sum(F.coalesce(F.col("__t__"), F.lit(0))
+                             * F.coalesce(F.col("__p__"), F.lit(0))),
+                       F.lit(0)).cast("long")
+    agg = j.agg(n_truth.alias("n_truth"), n_pred.alias("n_pred"),
+                n_hit.alias("n_hit"))
+    return agg.select(
+        "n_truth", "n_pred", "n_hit",
+        F.when(F.col("n_pred") > 0,
+               F.col("n_hit") / F.col("n_pred").cast("double"))
+         .alias("precision"),
+        F.when(F.col("n_truth") > 0,
+               F.col("n_hit") / F.col("n_truth").cast("double"))
+         .alias("recall"))

@@ -1,11 +1,13 @@
 """End-to-end training-data pipeline over the testdata corpus — the
 operators a 100 TB data-curation run chains, on one page:
 
-    clean → exact dedup → near-dup dedup (MinHash-LSH scale path) →
-    repeated-passage removal → decontaminate vs a benchmark slice →
-    PII redact → train/val/test split → mixture weights + sample →
-    negative pairs → context-window packing → stage to parquet →
-    compact
+    normalize (NFC/lower/strip) → clean → exact dedup → near-dup dedup
+    (MinHash-LSH scale path) → repeated-passage removal →
+    canonical-document election (highest-quality survivor per cluster)
+    → decontaminate vs a benchmark slice → PII redact →
+    train/val/test split → mixture weights + sample → negative pairs →
+    context-window packing → token-balanced shards → stage to parquet
+    → compact
 
 Every stage is one of the engine's oracle-verified operators; this
 script just composes them.  Run:
@@ -36,6 +38,13 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # 0. canonical normalization FIRST — dedup keys, tokenizers and
+    # contamination shingles all assume it (NFC composition, lowercase,
+    # URL/email strip, whitespace collapse)
+    docs = (docs.drop("text")
+            .join(tx.normalize_text(docs, "text", "doc_id")
+                  .select(F.col("id").alias("doc_id"), "text"), "doc_id"))
+
     # 1. quality gates (C4/Gopher-style trio)
     cleaned = tx.clean_corpus(docs, "text", "doc_id",
                               min_quality=0.3, min_tokens=5, max_tokens=5000,
@@ -57,6 +66,18 @@ def main() -> None:
                .where(F.col("n_kept") > 0)
                .join(deduped.drop("text"), "doc_id")
                .withColumnRenamed("cleaned_text", "text"))
+
+    # 2c. canonical-document election on the remaining near-dup
+    # clusters: keep the highest-QUALITY member, not the smallest id
+    # (the ad-free mirror should survive, not whichever crawled first)
+    clusters = dd.duplicate_clusters(deduped, "text", "doc_id",
+                                     threshold=0.8, max_df=100)
+    reps = dd.cluster_representatives(deduped, "text", "doc_id",
+                                      threshold=0.8, max_df=100)
+    losers = clusters.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")),
+        "doc_id", "left_anti")
+    deduped = deduped.join(losers.select("doc_id"), "doc_id", "left_anti")
 
     # 3. decontaminate against a held-out "benchmark" slice (12-gram
     # overlap — long shingles, so only real template overlap flags)
@@ -95,6 +116,17 @@ def main() -> None:
     packed = pack_sequences(mixed, "text", "doc_id", window_tokens=256)
     n_windows = packed.agg(F.max("end_window")).first()[0]
 
+    # 6c. token-balanced training shards (LPT serpentine over the
+    # distributed size rank — byte/token mass per shard, not row count)
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    shard_tokens = (balanced_shards(mixed, "text", "doc_id", n_shards=8)
+                    .groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+                    .collect())
+    tmax = max(r["t"] for r in shard_tokens)
+    tmin = min(r["t"] for r in shard_tokens)
+
     # 7. stage to parquet partitioned by split (the training-ready
     # layout), then compact — incremental ingests accrete small files
     split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
@@ -109,7 +141,8 @@ def main() -> None:
           f"→ decontaminated {n3} → mixed-train {n4} (+{n5} negative pairs, "
           f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "
           f"staged at {out_dir} "
-          f"({stats['files_in']}→{stats['files_out']} files compacted)")
+          f"({stats['files_in']}→{stats['files_out']} files compacted); "
+          f"8 shards balanced to {tmin}-{tmax} tokens")
     spark.stop()
 
 

@@ -292,3 +292,31 @@ def test_with_simhash_null_text_contract(spark):
     assert set(rows) == {2, 3, 4}
     assert all(v is not None for v in rows.values())
     assert rows[2] == rows[3]  # '' and whitespace tokenize identically
+
+
+def test_minhash_quality_report_perfect_on_exact_dups(spark):
+    """Exact duplicates: every truth pair is also an LSH candidate with
+    estimate 1.0 — recall 1.0; and identical signatures can't miss."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_quality_report,
+    )
+    base = "the quick brown fox jumps over the lazy dog today again"
+    rows = [(1, base), (2, base), (3, base),
+            (8, "completely different content about spark plans here"),
+            (9, "another unrelated document on parquet footers etc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = minhash_quality_report(df, "text", "doc_id", n=3, threshold=0.7,
+                               k=16, bands=4).collect()[0]
+    assert r["n_truth"] == 3            # the (1,2),(1,3),(2,3) clique
+    assert r["n_hit"] == 3 and r["recall"] == 1.0
+    assert r["n_pred"] >= 3 and 0.0 < r["precision"] <= 1.0
+
+
+def test_minhash_quality_report_empty_corpus_nulls(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_quality_report,
+    )
+    df = spark.createDataFrame([], "doc_id long, text string")
+    r = minhash_quality_report(df, "text", "doc_id").collect()[0]
+    assert r["n_truth"] == 0 and r["n_pred"] == 0 and r["n_hit"] == 0
+    assert r["precision"] is None and r["recall"] is None

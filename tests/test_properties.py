@@ -352,3 +352,78 @@ def test_budget_select_matches_python_model(spark, rows, budget):
             if acc <= budget:
                 model[i] = acc
     assert got == model
+
+
+@settings(**_SETTINGS)
+@given(lengths=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+       n_shards=st.integers(1, 6))
+def test_balanced_shards_matches_python_model(spark, lengths, n_shards):
+    """Distributed LPT serpentine == the trivially-correct Python model
+    (sort by (-size, id), deal serpentine)."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        balanced_shards,
+    )
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_tokens"], r["rank"], r["shard"])
+           for r in balanced_shards(df, "text", "doc_id",
+                                    n_shards=n_shards,
+                                    num_partitions=3).collect()}
+    order = sorted(range(len(lengths)), key=lambda i: (-lengths[i], i))
+    for rank0, i in enumerate(order):
+        pos = rank0 % n_shards
+        shard = pos if (rank0 // n_shards) % 2 == 0 else n_shards - 1 - pos
+        assert got[i] == (lengths[i], rank0 + 1, shard)
+
+
+@settings(**_SETTINGS)
+@given(text=st.text(alphabet="abcd ", min_size=0, max_size=120),
+       mask_bits=st.integers(2, 5))
+def test_content_chunks_match_python_model(spark, text, mask_bits):
+    """Chunk boundaries == a direct Python replay of the rolling-hash
+    rule; chunks always tile the document exactly."""
+    import hashlib
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        content_chunks,
+    )
+    k, m = 8, 1 << mask_bits
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(content_chunks(df, "text", "doc_id", k=k,
+                                mask_bits=mask_bits).collect(),
+                 key=lambda r: r["chunk_idx"])
+    if len(text) == 0:
+        assert got == []
+        return
+    ends = sorted({i + k - 1 for i in range(1, len(text) - k + 2)
+                   if h(text[i - 1:i - 1 + k]) % m == 0} | {len(text)})
+    starts = [1] + [e + 1 for e in ends[:-1]]
+    assert [(r["chunk_idx"], r["start_char"], r["length"]) for r in got] \
+        == [(j + 1, s, e - s + 1)
+            for j, (s, e) in enumerate(zip(starts, ends))]
+    for r in got:
+        seg = text[r["start_char"] - 1: r["start_char"] - 1 + r["length"]]
+        assert r["chunk_hash"] == h(seg)
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False,
+                               allow_infinity=False),
+                     min_size=4, max_size=40))
+def test_quantile_buckets_monotone_and_in_range(spark, vals):
+    """Bucket assignment is monotone in the value and lands in
+    [0, 2^bits) — for any input distribution (duplicates included)."""
+    from etl_excel_to_hyper_tableau_spark.sinks.parquet import (
+        quantile_buckets,
+    )
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    rows = (df.select("v", quantile_buckets(df, "v", bits=3).alias("b"))
+            .collect())
+    assert all(0 <= r["b"] < 8 for r in rows)
+    by_v = sorted(rows, key=lambda r: r["v"])
+    assert all(a["b"] <= b["b"] for a, b in zip(by_v, by_v[1:]))
