@@ -1713,6 +1713,33 @@ def q_content_chunks(spark, sf_dir):
             .orderBy("id", "chunk_idx"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """PORTABLE HyperLogLog distinct counts (operators.sketches.
+    hll_build/hll_estimate): unlike the engine-specific HLL++ state in
+    sketch_profile, every register is md5-derived and the estimate is
+    pure arithmetic over exact integer register sums — so the DuckDB
+    oracle reproduces the whole sketch AND the estimate bit-for-bit
+    (the count-min portability doctrine applied to count-distinct).
+    One row per key column with the exact NDV alongside."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_estimate,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        est = hll_estimate(hll_build(li, c, p=8), p=8)
+        exact = li.agg(F.countDistinct(c).cast("long").alias("exact_ndv"))
+        outs.append(est.crossJoin(exact).select(
+            F.lit(c).alias("key_col"), "n_registers_hit", "v_zero",
+            "raw_register_sum", "estimate", "exact_ndv",
+            F.round(F.abs(F.col("estimate") - F.col("exact_ndv"))
+                    / F.col("exact_ndv"), 6).alias("rel_error")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_col")
+
+
 def q_minhash_quality(spark, sf_dir):
     """Dedup-quality gauge (operators.dedup.minhash_quality_report):
     precision/recall of the MinHash-LSH candidate path vs exact n-gram
@@ -1774,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "content_chunks": q_content_chunks,
         "minhash_quality": q_minhash_quality,
+        "hll_distinct": q_hll_distinct,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -1986,6 +2014,56 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     return (f"WITH {', '.join(ctes)} "
             f"SELECT cast(rank as bigint) AS rank, id, rel AS relevance, "
             f"mmr_score FROM ({union}) ORDER BY rank")
+
+
+def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
+                                      "l_suppkey"), p: int = 8) -> str:
+    """Portable-HLL oracle: same md5 registers, exact integer register
+    sums, same arithmetic order, round-4 estimate — bit-for-bit the
+    engine's hll_build/hll_estimate."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        _hll_alpha,
+    )
+    m = 1 << p
+    nbits = 60 - p
+    two_nbits = 1 << nbits
+    alpha = _hll_alpha(m)
+    # cast each literal: DuckDB types bare decimal-point literals as
+    # DECIMAL, and the pre-double product overflows DECIMAL(18)
+    er = (f"cast({alpha!r} as double) * cast({float(m)!r} as double) "
+          f"* cast({float(m)!r} as double) "
+          f"* cast({float(two_nbits)!r} as double) "
+          f"/ cast(raw_register_sum as double)")
+    arms = []
+    for c in cols:
+        h = _MD5I.format(x=f"cast({c} as varchar)")
+        arms.append(f"""
+(SELECT key_col, n_registers_hit, v_zero, raw_register_sum,
+   round(CASE WHEN ({er}) <= {2.5 * m!r} AND v_zero > 0
+              THEN {float(m)!r} * ln({float(m)!r} / cast(v_zero as double))
+              ELSE ({er}) END, 4) AS estimate,
+   exact_ndv
+ FROM (
+   SELECT '{c}' AS key_col,
+     cast(n_hit as bigint) AS n_registers_hit,
+     cast({m} - n_hit as bigint) AS v_zero,
+     cast(s_hit + ({m} - n_hit) * {two_nbits} as bigint) AS raw_register_sum,
+     (SELECT count(DISTINCT {c}) FROM lineitem) AS exact_ndv
+   FROM (
+     SELECT count(*) AS n_hit,
+       coalesce(sum(cast(power(2.0, {nbits} - max_rank) as bigint)), 0) AS s_hit
+     FROM (
+       SELECT register, max(rank) AS max_rank FROM (
+         SELECT h % {m} AS register,
+           CASE WHEN (h // {m}) > 0 THEN {nbits + 1} - length(bin(h // {m}))
+                ELSE {nbits + 1} END AS rank
+         FROM (SELECT {h} AS h FROM lineitem WHERE {c} IS NOT NULL))
+       GROUP BY register))))""")
+    union = " UNION ALL ".join(arms)
+    return (f"SELECT key_col, n_registers_hit, v_zero, raw_register_sum, "
+            f"estimate, cast(exact_ndv as bigint) AS exact_ndv, "
+            f"round(abs(estimate - exact_ndv) / exact_ndv, 6) AS rel_error "
+            f"FROM ({union}) ORDER BY key_col")
 
 
 _DOT = ("list_reduce(list_apply(range(1, 65), "
@@ -3625,6 +3703,8 @@ SELECT doc_id AS id, cast(j as bigint) AS chunk_idx,
   {_MD5I.format(x="substring(text, cast(st as int), cast(ends[j] - st + 1 as int))")} AS chunk_hash
 FROM s ORDER BY id, chunk_idx
 """,
+        # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
+        "hll_distinct": _hll_sql(),
         # --- round 4: MinHash-LSH precision/recall gauge --------------------
         "minhash_quality": f"""
 WITH sh AS (

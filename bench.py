@@ -86,6 +86,7 @@ HEADLINE = [
     "cluster_representatives",
     "content_chunks",
     "minhash_quality",
+    "hll_distinct",
 ]
 
 

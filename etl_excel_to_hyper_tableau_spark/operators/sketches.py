@@ -83,3 +83,92 @@ def count_min_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return (joined.groupBy("key")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, AofA 2007)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant of the original HLL paper."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """Build a PORTABLE HyperLogLog sketch of ``key_col``'s distinct
+    count: md5-hashed (the row doctrine — unlike Spark's built-in HLL++
+    state, every register value is reproducible bit-for-bit by an
+    external SQL oracle), ``m = 2^p`` registers, each holding the max
+    rank (leading-zero count + 1) of the 52-bit hash window routed to
+    it.
+
+    Scale shape: one map (hash + split) + ONE partial-agg groupBy onto
+    ≤ m register rows — every partition contributes at most m rows to
+    the exchange regardless of row count, and sketches over disjoint
+    data merge by UNION + max per register (the HLL property that makes
+    it the 100 TB count-distinct).
+
+    Output: ``register, max_rank`` (≤ m rows; absent registers mean
+    rank 0).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    nbits = 60 - p
+    h = md5_int64(F.col("k"))
+    w = F.floor(h / m)  # the remaining 60-p bits, exact (h >= 0)
+    # rank = leading zeros of the (60-p)-bit window + 1
+    #      = (60 - p) - bit_length(w) + 1;  w = 0 -> all zeros -> 61-p
+    rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
+        .otherwise(F.lit(nbits + 1))
+    return (df.select(F.col(key_col).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .select((h % m).alias("register"),
+                    rank.cast("int").alias("rank"))
+            .groupBy("register")
+            .agg(F.max("rank").alias("max_rank")))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Distinct-count estimate from a :func:`hll_build` sketch, with
+    the paper's small-range (linear-counting) correction.
+
+    FP portability: the register sum is computed as EXACT integers —
+    ``Σ 2^(nbits - M_j)`` with absent registers contributing
+    ``2^nbits`` — so the only floating-point steps are one division,
+    one multiply, and (small range only) one ``ln``, each performed in
+    the same order by the SQL oracle; the estimate is rounded to 4
+    decimals at the boundary to absorb libm's last-ulp freedom in
+    ``ln``.
+
+    Output: one row ``n_registers_hit, v_zero, raw_register_sum,
+    estimate``.
+    """
+    m = 1 << p
+    nbits = 60 - p
+    alpha = _hll_alpha(m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0),
+                               F.lit(nbits) - F.col("max_rank"))
+                         .cast("long")), F.lit(0))
+         .cast("long").alias("s_hit"))
+    v = (F.lit(m) - F.col("n_hit")).alias("v_zero")
+    s = (F.col("s_hit")
+         + (F.lit(m) - F.col("n_hit")) * F.lit(1 << nbits)).alias("s")
+    base = agg.select(F.col("n_hit").alias("n_registers_hit"), v, s)
+    e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+             * F.lit(float(1 << nbits)) / F.col("s").cast("double"))
+    e = F.when((e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+               F.lit(float(m)) * F.log(F.lit(float(m))
+                                       / F.col("v_zero").cast("double"))) \
+        .otherwise(e_raw)
+    return base.select("n_registers_hit", "v_zero",
+                       F.col("s").alias("raw_register_sum"),
+                       F.round(e, 4).alias("estimate"))

@@ -23,7 +23,10 @@ import __spark_entry__ as entry
 NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "negative_samples", "hard_negatives",
                   "embedding_quantize", "tfidf_topk", "mixture_weights",
-                  "ann_recall", "ann_mrr", "pq_topk", "key_skew"}
+                  "ann_recall", "ann_mrr", "pq_topk", "key_skew",
+                  # hll_distinct cross-joins its ONE-ROW estimate with
+                  # the ONE-ROW exact-NDV aggregate per key column
+                  "hll_distinct"}
 
 
 def _plan(df) -> str:

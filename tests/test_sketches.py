@@ -91,3 +91,53 @@ def test_count_min_sketches_merge_cellwise(spark):
         whole, probes, "k", depth=2, width=32).collect()}
     assert em == ew  # merged sketches == sketch of the union
     assert em["1"] >= 10 and em["3"] >= 5
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Standard error of HLL at m=256 is ~1.04/sqrt(256) = 6.5%; assert
+    a loose 3-sigma envelope on a 20k-distinct stream with repeats."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_estimate,
+    )
+    df = spark.range(60_000).select((F.col("id") % 20_000).alias("k"))
+    est = hll_estimate(hll_build(df, "k", p=8), p=8).collect()[0]
+    assert abs(est["estimate"] - 20_000) <= 0.20 * 20_000
+    assert est["n_registers_hit"] == 256 and est["v_zero"] == 0
+
+
+def test_hll_small_range_correction_is_near_exact(spark):
+    """Tiny cardinalities take the linear-counting branch, which is
+    near-exact while most registers are empty."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_estimate,
+    )
+    df = spark.range(30).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_build(df, "k", p=8), p=8).collect()[0]
+    assert est["v_zero"] > 0
+    assert abs(est["estimate"] - 30) <= 4
+
+
+def test_hll_sketches_merge_by_union_max(spark):
+    """The HLL property: sketches over disjoint halves, merged by
+    UNION + max per register, equal the whole-stream sketch exactly."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_estimate,
+    )
+    whole = spark.range(5_000).select(F.col("id").alias("k"))
+    a = whole.filter("k < 2500")
+    b = whole.filter("k >= 2500")
+    merged = (hll_build(a, "k").unionByName(hll_build(b, "k"))
+              .groupBy("register").agg(F.max("max_rank").alias("max_rank")))
+    e_m = hll_estimate(merged).collect()[0]
+    e_w = hll_estimate(hll_build(whole, "k")).collect()[0]
+    assert e_m == e_w
+
+
+def test_hll_build_is_register_bounded(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build,
+    )
+    df = spark.range(100_000).select(F.col("id").alias("k"))
+    sk = hll_build(df, "k", p=6).collect()
+    assert len(sk) <= 64
+    assert all(1 <= r["max_rank"] <= 55 for r in sk)

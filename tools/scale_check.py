@@ -59,6 +59,15 @@ QUERIES = [
     "scd2_event_history",       # single-Exchange two-window history
     "doc_compression",          # Arrow pandas-UDF throughput
     "fuzzy_part_pairs",         # distinct-name collapse + multi-key blocking
+    # round 4
+    "balanced_shards",          # distributed two-phase size rank
+    "mmr_select",               # k sequential map-only argmax scans
+    "embedding_covariance",     # fixed d^2-rows-per-partition exchange
+    "text_normalize",           # regex chain + Arrow NFC pass
+    "cluster_representatives",  # pair graph + per-cluster max(struct)
+    "content_chunks",           # rolling-hash boundaries, map-only
+    "minhash_quality",          # truth/pred pair plans + hit join
+    "hll_distinct",             # fixed m-registers-per-partition exchange
 ]
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
