@@ -1548,6 +1548,22 @@ def q_stream_dedup_events(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_stream_budget_gate(spark, sf_dir):
+    """Streaming per-source token-budget gate executed as a REAL
+    Structured Streaming query (streaming/ingest.py::budget_gate_stream
+    — applyInPandasWithState, one long of state per source, counter
+    survives across micro-batches); over the bounded source the result
+    equals the batch prefix-cumsum gate, which is the SQL oracle (the
+    same contract as budget_select — this is its continuous form)."""
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        run_budget_gate_availablenow,
+    )
+    return (run_budget_gate_availablenow(
+                spark, f"{sf_dir}/documents.parquet",
+                budget_per_source=1500)
+            .orderBy("source", "doc_id"))
+
+
 def q_sketch_profile(spark, sf_dir):
     """Approximate aggregation sketches — the 100 TB profiling tools:
     HyperLogLog++ distinct counts (fixed-size state, map-side
@@ -1802,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_chunks": q_content_chunks,
         "minhash_quality": q_minhash_quality,
         "hll_distinct": q_hll_distinct,
+        "stream_budget_gate": q_stream_budget_gate,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3702,6 +3719,18 @@ SELECT doc_id AS id, cast(j as bigint) AS chunk_idx,
   cast(ends[j] - st + 1 as bigint) AS length,
   {_MD5I.format(x="substring(text, cast(st as int), cast(ends[j] - st + 1 as int))")} AS chunk_hash
 FROM s ORDER BY id, chunk_idx
+""",
+        # --- round 4: streaming token-budget gate (== batch cumsum gate) ----
+        "stream_budget_gate": f"""
+WITH t AS (SELECT doc_id, source, cast(len({toks}) as bigint) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, source, n_tokens, cast(cum as bigint) AS spent_after
+FROM c WHERE cum <= 1500 ORDER BY source, doc_id
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),

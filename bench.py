@@ -87,6 +87,7 @@ HEADLINE = [
     "content_chunks",
     "minhash_quality",
     "hll_distinct",
+    "stream_budget_gate",
 ]
 
 

@@ -314,3 +314,105 @@ def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
          .start())
     q.awaitTermination()
     return stats
+
+
+def budget_gate_stream(spark: SparkSession, input_dir: str,
+                       budget_per_source: int,
+                       schema: str = ("doc_id long, text string, "
+                                      "lang string, source string, "
+                                      "n_chars long"),
+                       max_files_per_trigger: int | None = None):
+    """Streaming per-source token-budget gate: each source's cumulative
+    token count lives in keyed state; a document is admitted iff the
+    running total INCLUDING it stays within the budget (the same
+    prefix-cumsum contract as :func:`..operators.sampling.budget_select`
+    — this is literally its continuous form, and what makes the bounded
+    single-batch run SQL-oracle-checkable as a windowed running sum).
+    The counter SURVIVES across micro-batches, so a source that
+    exhausted its budget yesterday stays closed today.
+
+    Implemented on ``applyInPandasWithState``.  Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState, timers, TTL) is
+    the designated successor, but its state-server protocol needs the
+    ``protobuf`` Python package, which this container does not ship —
+    the same environment-blocker class as ``tableauhyperapi`` (verified:
+    the driver pre-init worker dies with ``ImportError: google.protobuf``
+    before any user code runs).  The state contract here is one long per
+    source either way, so the swap is mechanical when the dependency
+    exists.
+
+    Scale shape: state is ONE long per source (keys = sources, tiny);
+    rows shuffle once on source to their state partition; within each
+    (source, batch) group the admit loop is a pandas pass over that
+    group only.  Cross-batch admission order = file arrival order —
+    the streaming contract; within a batch, doc_id order
+    (deterministic, which is what lets a single-batch run be
+    SQL-oracle-checked against the batch running-sum formulation).
+
+    Returns the lazy streaming DataFrame; pair with
+    :func:`run_budget_gate_availablenow` for the bounded-source form.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.text import token_count
+
+    def gate(key, pdf_iter, state: GroupState):
+        spent = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("doc_id")
+        out_rows = []
+        for r in pdf.itertuples(index=False):
+            spent += int(r.n_tokens)  # prefix cumsum over ALL arrivals
+            if spent <= budget_per_source:
+                out_rows.append((int(r.doc_id), key[0],
+                                 int(r.n_tokens), spent))
+        state.update((spent,))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["doc_id", "source", "n_tokens", "spent_after"])
+
+    reader = (spark.readStream.schema(schema))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file source streams a *directory*; accept a single-file path
+    # by splitting it into (parent, glob) — same contract as the event
+    # streams
+    if input_dir.endswith(".parquet"):
+        parent, _, fname = input_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        input_dir = parent
+    stream = (reader.parquet(input_dir)
+              .withColumn("n_tokens", token_count(F.col("text"))
+                          .cast("long"))
+              .select("doc_id", "source", "n_tokens"))
+    return (stream.groupBy("source")
+            .applyInPandasWithState(
+                gate,
+                outputStructType=("doc_id long, source string, "
+                                  "n_tokens long, spent_after long"),
+                stateStructType="spent long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_budget_gate_availablenow(spark: SparkSession, input_dir: str,
+                                 budget_per_source: int,
+                                 max_files_per_trigger: int | None = None,
+                                 ) -> DataFrame:
+    """Execute :func:`budget_gate_stream` over the currently-available
+    files (availableNow) and return the admitted rows."""
+    import tempfile
+    import uuid
+
+    name = "budget_" + uuid.uuid4().hex[:8]
+    q = (budget_gate_stream(spark, input_dir, budget_per_source,
+                            max_files_per_trigger=max_files_per_trigger)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bg_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

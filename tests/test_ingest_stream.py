@@ -260,3 +260,42 @@ def test_vector_index_ingest_within_batch_dedup(spark, tmp_path):
     assert s["accepted"] == 2
     ids = sorted(r["id"] for r in spark.read.parquet(index).collect())
     assert ids == [1, 3]
+
+
+def test_budget_gate_state_survives_micro_batches(spark, tmp_path):
+    """The point of the stateful gate: a source that exhausted its
+    budget in batch 1 stays closed in batch 2 (the spent counter lives
+    in the state store, not in the batch)."""
+    import glob
+    import shutil
+    import time
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        run_budget_gate_availablenow,
+    )
+    land = tmp_path / "bg_land"
+    land.mkdir()
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"bg_{name}"))
+        src = glob.glob(str(tmp_path / f"bg_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    # batch 1: source s0 spends 8 of its 10-token budget
+    write_batch([(1, "w w w w w", "en", "s0", 9),
+                 (2, "w w w", "en", "s0", 5)], "b1")
+    time.sleep(1.1)
+    # batch 2: 3 more tokens would fit a FRESH budget but not the
+    # carried-over one; s1's first doc is fine
+    write_batch([(3, "w w w", "en", "s0", 5),
+                 (4, "w w", "en", "s1", 3)], "b2")
+    out = run_budget_gate_availablenow(spark, str(land),
+                                       budget_per_source=10,
+                                       max_files_per_trigger=1).collect()
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["spent_after"])
+           for r in out}
+    assert got == {1: ("s0", 5, 5), 2: ("s0", 3, 8), 4: ("s1", 2, 2)}
+    assert 3 not in got  # 8 + 3 > 10: state carried across batches
