@@ -1564,6 +1564,46 @@ def q_stream_budget_gate(spark, sf_dir):
             .orderBy("source", "doc_id"))
 
 
+def q_epoch_upsample(spark, sf_dir):
+    """Source-level epoch upsampling (operators.sampling.upsample_epochs
+    — the data-recipe repetition step: high-quality sources sampled for
+    > 1 epoch, Touvron et al. 2023 §2.1): src0 at 2.5 epochs, src1 at
+    2.0, src2 at 1.25, src3 thinned to 0.5, everything else 1.0.
+    Map-only explode; fractional membership is hash-decided so the
+    oracle reproduces the exact replica set."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.upsample_epochs(
+        docs, "doc_id", "source",
+        {"src0": 2.5, "src1": 2.0, "src2": 1.25, "src3": 0.5})
+    return (out.select("doc_id", "source",
+                       F.col("epoch").cast("long").alias("epoch"))
+            .orderBy("doc_id", "epoch"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Web-corpus hygiene chain (operators/web.py — RefinedWeb §3.1):
+    URL → domain extraction (portable regexp, not parse_url), blocklist
+    anti-filter with subdomain suffix match, then a ≤ 15-docs-per-domain
+    cap in deterministic hash order.  The testdata has no URL column, so
+    the entry derives one deterministically from (source, doc_id) —
+    the operators under test are the parse/filter/cap stages."""
+    from etl_excel_to_hyper_tableau_spark.operators import web
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"),
+                        F.lit(".example.com/doc/"),
+                        F.col("doc_id").cast("string")))
+    d = urls.withColumn("domain", web.extract_domain(F.col("url")))
+    kept = web.blocklist_filter(
+        d, "domain", ["src3.example.com", "src7.example.com"])
+    capped = web.domain_cap(kept, "domain", "doc_id", cap=15)
+    return (capped.select("doc_id", "domain",
+                          F.col("domain_rank").cast("long")
+                           .alias("domain_rank"))
+            .orderBy("domain", "domain_rank"))
+
+
 def q_sketch_profile(spark, sf_dir):
     """Approximate aggregation sketches — the 100 TB profiling tools:
     HyperLogLog++ distinct counts (fixed-size state, map-side
@@ -1819,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_quality": q_minhash_quality,
         "hll_distinct": q_hll_distinct,
         "stream_budget_gate": q_stream_budget_gate,
+        "epoch_upsample": q_epoch_upsample,
+        "domain_cap": q_domain_cap,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3731,6 +3773,45 @@ c AS (SELECT doc_id, source, n_tokens,
       FROM t)
 SELECT doc_id, source, n_tokens, cast(cum as bigint) AS spent_after
 FROM c WHERE cum <= 1500 ORDER BY source, doc_id
+""",
+        # --- round 4: epoch upsampling (map-only replica explode) -----------
+        "epoch_upsample": f"""
+WITH t AS (
+  SELECT doc_id, source,
+    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2
+                 WHEN 'src2' THEN 1 WHEN 'src3' THEN 0 ELSE 1 END)
+    + (CASE WHEN {_MD5I.format(x="'epoch:'||cast(doc_id as varchar)")} % 10000
+            < (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+                           WHEN 'src2' THEN 2500 WHEN 'src3' THEN 5000
+                           ELSE 0 END)
+       THEN 1 ELSE 0 END) AS n
+  FROM documents)
+SELECT doc_id, source, unnest(range(n)) AS epoch
+FROM t WHERE n > 0 ORDER BY doc_id, epoch
+""",
+        # --- round 4: web curation chain (domain parse → blocklist → cap) ---
+        "domain_cap": f"""
+WITH u AS (
+  SELECT doc_id,
+    lower(regexp_extract(
+      'https://www.'||source||'.example.com/doc/'||cast(doc_id as varchar),
+      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS domain
+  FROM documents),
+f AS (
+  SELECT * FROM u
+  WHERE NOT (domain = 'src3.example.com'
+             OR ends_with(domain, '.src3.example.com')
+             OR domain = 'src7.example.com'
+             OR ends_with(domain, '.src7.example.com'))),
+r AS (
+  SELECT doc_id, domain,
+    row_number() OVER (
+      PARTITION BY domain
+      ORDER BY {_MD5I.format(x="'domcap:'||cast(doc_id as varchar)")} % 10000 ASC,
+               doc_id ASC) AS domain_rank
+  FROM f)
+SELECT doc_id, domain, cast(domain_rank as bigint) AS domain_rank
+FROM r WHERE domain_rank <= 15 ORDER BY domain, domain_rank
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),

@@ -88,6 +88,8 @@ HEADLINE = [
     "minhash_quality",
     "hll_distinct",
     "stream_budget_gate",
+    "epoch_upsample",
+    "domain_cap",
 ]
 
 

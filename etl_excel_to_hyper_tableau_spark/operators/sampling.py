@@ -298,3 +298,55 @@ def budget_select(df: DataFrame, strata_col: str, order_col,
     return (sized.withColumn("cum_size", F.sum("size").over(w))
             .where(F.col("cum_size") <= budget)
             .select("id", "stratum", "size", "cum_size"))
+
+
+def upsample_epochs(df: DataFrame, id_col: str, strata_col: str,
+                    epochs: dict[str, float], default: float = 1.0,
+                    salt: str = "epoch") -> DataFrame:
+    """Source-level epoch upsampling — the data-recipe repetition step
+    (Touvron et al. 2023 §2.1 sample high-quality sources for >1 epoch;
+    Muennighoff et al. 2023 on repeating data under token scarcity):
+    each stratum gets a real-valued epoch factor ``e``; every row is
+    replicated ``floor(e)`` times, plus one extra copy for the
+    deterministic ``frac(e)``-fraction of rows chosen by hash bucket —
+    so a factor of 2.4 means every document appears twice and a stable
+    40% of them (same 40% on every run, any partitioning, any engine)
+    appear a third time.  Output adds an ``epoch`` index column
+    (0-based) so downstream shuffling/packing can interleave copies
+    instead of clustering them.
+
+    Factors < 1 degenerate to :func:`weighted_sample` semantics
+    (0 full copies + fractional membership).  Negative factors raise.
+
+    Scale: map-only — ``explode(sequence(...))`` widens rows in place;
+    no shuffle, no driver state; output row count = Σ n_s·e_s exactly
+    (in expectation over the hash buckets for the fractional parts).
+    The epoch column deliberately does NOT permute row order — global
+    training-order shuffle is a separate concern (hash-order sort at
+    write time), not baked in here.
+    """
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epoch factor for {s!r} must be >= 0, got {e}")
+    if default < 0:
+        raise ValueError(f"default epoch factor must be >= 0, got {default}")
+
+    def parts(e: float) -> tuple[int, int]:
+        full = int(e)
+        return full, int(round((e - full) * BUCKETS))
+
+    d_full, d_frac = parts(default)
+    full_c = F.lit(d_full)
+    frac_c = F.lit(d_frac)
+    for s, e in epochs.items():
+        fl, fr = parts(e)
+        cond = F.col(strata_col) == s
+        full_c = F.when(cond, fl).otherwise(full_c)
+        frac_c = F.when(cond, fr).otherwise(frac_c)
+    bucket = hash_bucket(F.col(id_col), salt)
+    n_copies = full_c + F.when(bucket < frac_c, 1).otherwise(0)
+    return (df.withColumn("__n__", n_copies)
+            .where(F.col("__n__") > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0), F.col("__n__") - 1)))
+            .drop("__n__"))

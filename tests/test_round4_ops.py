@@ -279,3 +279,116 @@ def test_content_chunks_boundaries_survive_prefix_insertion(spark):
             break
         common_suffix += 1
     assert common_suffix >= max(1, len(h1) - 2), (h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# epoch upsampling (data-recipe repetition)
+# ---------------------------------------------------------------------------
+
+def test_upsample_epochs_integer_and_fractional(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        upsample_epochs,
+    )
+    rows = [(i, "a" if i < 40 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = upsample_epochs(df, "id", "src", {"a": 2.0, "b": 0.5}).collect()
+    a = [r for r in out if r["src"] == "a"]
+    b = [r for r in out if r["src"] == "b"]
+    # integer factor: exactly 2 copies of every 'a' row, epochs 0 and 1
+    assert len(a) == 80
+    assert sorted({r["epoch"] for r in a}) == [0, 1]
+    # fractional 0.5: a strict subset of 'b' rows, each exactly once
+    b_ids = [r["id"] for r in b]
+    assert len(b_ids) == len(set(b_ids))
+    assert 0 < len(b_ids) < 40
+    assert all(r["epoch"] == 0 for r in b)
+
+
+def test_upsample_epochs_deterministic_and_default(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        upsample_epochs,
+    )
+    df = spark.createDataFrame([(i, "x") for i in range(30)],
+                               "id long, src string")
+    # default factor 1.0: identity replica set
+    out1 = upsample_epochs(df, "id", "src", {"other": 3.0}).collect()
+    assert sorted((r["id"], r["epoch"]) for r in out1) == [
+        (i, 0) for i in range(30)]
+    # fractional membership is stable across runs and repartitionings
+    f1 = {r["id"] for r in
+          upsample_epochs(df, "id", "src", {"x": 1.5}).collect()
+          if r["epoch"] == 1}
+    f2 = {r["id"] for r in
+          upsample_epochs(df.repartition(7), "id", "src", {"x": 1.5})
+          .collect() if r["epoch"] == 1}
+    assert f1 == f2
+
+
+def test_upsample_epochs_rejects_negative(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        upsample_epochs,
+    )
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with pytest.raises(ValueError):
+        upsample_epochs(df, "id", "src", {"a": -0.1})
+
+
+# ---------------------------------------------------------------------------
+# web curation: domain parse, blocklist, per-domain cap
+# ---------------------------------------------------------------------------
+
+def test_extract_domain_forms(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.web import (
+        extract_domain,
+    )
+    urls = [
+        ("https://Example.COM/path?q=1", "example.com"),
+        ("http://user:pw@sub.host.org:8080/x", "sub.host.org"),
+        ("ftp://files.example.net", "files.example.net"),
+        ("bare-host.io/path#frag", "bare-host.io"),
+        ("https://example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = [r["d"] for r in
+           df.select(extract_domain(F.col("url")).alias("d")).collect()]
+    assert got == [d for _, d in urls]
+
+
+def test_blocklist_filter_suffix_and_dataframe(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.web import (
+        blocklist_filter,
+    )
+    df = spark.createDataFrame(
+        [(1, "example.com"), (2, "ads.example.com"), (3, "examples.com"),
+         (4, "ok.org")], "id long, domain string")
+    # literal list, suffix match: subdomains blocked, look-alike kept
+    kept = {r["id"] for r in
+            blocklist_filter(df, "domain", ["example.com"]).collect()}
+    assert kept == {3, 4}
+    # DataFrame blocklist (broadcast anti-join) agrees
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept2 = {r["id"] for r in blocklist_filter(df, "domain", bl).collect()}
+    assert kept2 == {3, 4}
+    # exact-only mode keeps the subdomain
+    kept3 = {r["id"] for r in
+             blocklist_filter(df, "domain", ["example.com"],
+                              suffix_match=False).collect()}
+    assert kept3 == {2, 3, 4}
+
+
+def test_domain_cap_exact_and_prefilter_agree(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.web import domain_cap
+    rows = ([(i, "hot.com") for i in range(200)]
+            + [(i + 1000, "cold.com") for i in range(3)])
+    df = spark.createDataFrame(rows, "id long, domain string")
+    exact = domain_cap(df, "domain", "id", cap=10)
+    pre = domain_cap(df, "domain", "id", cap=10, approx_prefilter=True)
+    ex = sorted((r["domain"], r["id"], r["domain_rank"])
+                for r in exact.collect())
+    # caps respected; under-cap domain kept whole
+    assert sum(1 for d, _, _ in ex if d == "hot.com") == 10
+    assert sum(1 for d, _, _ in ex if d == "cold.com") == 3
+    # the prefilter keeps the SAME survivors (same salt, same hash order;
+    # 1.25x safety factor retains every row the exact rank would keep)
+    assert ex == sorted((r["domain"], r["id"], r["domain_rank"])
+                        for r in pre.collect())
