@@ -1604,6 +1604,32 @@ def q_domain_cap(spark, sf_dir):
             .orderBy("domain", "domain_rank"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators.sampling.dsir_weights — Xie
+    et al. 2023): hashed-bigram bucket distributions of the en-language
+    target vs the raw corpus; per-doc log importance folded in sorted
+    bucket order so the double sum is bit-reproducible by the oracle.
+    Both distributions are fixed-size (1024 buckets) and broadcast —
+    nothing in the plan grows with vocabulary."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return (sp.dsir_weights(docs, "text", "doc_id",
+                            F.col("lang") == "en")
+            .orderBy("id"))
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft deduplication (operators.dedup.soft_dedup_weights — He et
+    al. 2024 SoftDedup): near-duplicate clusters reweighted to
+    1/cluster_size instead of removed; singletons weigh 1.0.  Oracle
+    recomputes the cluster labels with DuckDB's native WITH RECURSIVE
+    (the dedup_clusters precedent) and the same weight arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dd.soft_dedup_weights(docs, "text", "doc_id", n=3,
+                                  threshold=0.8, max_df=100)
+            .orderBy("doc_id"))
+
+
 def q_sketch_profile(spark, sf_dir):
     """Approximate aggregation sketches — the 100 TB profiling tools:
     HyperLogLog++ distinct counts (fixed-size state, map-side
@@ -1861,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_gate": q_stream_budget_gate,
         "epoch_upsample": q_epoch_upsample,
         "domain_cap": q_domain_cap,
+        "dsir_weights": q_dsir_weights,
+        "soft_dedup": q_soft_dedup,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3812,6 +3840,75 @@ r AS (
   FROM f)
 SELECT doc_id, domain, cast(domain_rank as bigint) AS domain_rank
 FROM r WHERE domain_rank <= 15 ORDER BY domain, domain_rank
+""",
+        # --- round 4: DSIR importance weights (hashed-bigram buckets) -------
+        "dsir_weights": f"""
+WITH d AS (
+  SELECT doc_id AS id, coalesce(lang = 'en', false) AS is_t,
+         {_tokens_sql('text')} AS toks
+  FROM documents),
+g AS (
+  SELECT id, is_t,
+    unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS gram
+  FROM d),
+b AS (SELECT id, is_t,
+        {_MD5I.format(x="'dsir:'||gram")} % 1024 AS bucket FROM g),
+db AS (SELECT id, bucket, count(*) AS n, max(is_t) AS is_t
+       FROM b GROUP BY id, bucket),
+dist AS (SELECT bucket, sum(n) AS c_raw,
+           sum(CASE WHEN is_t THEN n ELSE 0 END) AS c_t
+         FROM db GROUP BY bucket),
+tot AS (SELECT sum(c_raw) AS tot_r, sum(c_t) AS tot_t FROM dist),
+lr AS (SELECT bucket,
+         ln(c_t + 1.0) - ln(tot_t + 1024.0)
+         - ln(c_raw + 1.0) + ln(tot_r + 1024.0) AS lr
+       FROM dist CROSS JOIN tot),
+per AS (SELECT id, is_t, bucket, n, n * lr AS c
+        FROM db JOIN lr USING (bucket))
+SELECT id, max(is_t) AS is_t, cast(sum(n) as bigint) AS n_grams,
+  round(list_reduce(list_prepend(0.0, list(c ORDER BY bucket)),
+                    (acc, x) -> acc + x), 9) AS log_w
+FROM per GROUP BY id ORDER BY id
+""",
+        # --- round 4: soft dedup (reweight clusters instead of removing) ----
+        "soft_dedup": f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+csize AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labels GROUP BY cluster_id),
+docs AS (SELECT doc_id, cast(len({_tokens_sql('text')}) as bigint) AS n_tokens
+         FROM documents)
+SELECT d.doc_id, l.cluster_id,
+  cast(coalesce(cs.cluster_size, 1) as bigint) AS cluster_size,
+  1.0 / coalesce(cs.cluster_size, 1) AS weight,
+  d.n_tokens,
+  round(d.n_tokens * (1.0 / coalesce(cs.cluster_size, 1)), 9) AS effective_tokens
+FROM docs d
+LEFT JOIN labels l USING (doc_id)
+LEFT JOIN csize cs USING (cluster_id)
+ORDER BY doc_id
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),

@@ -90,6 +90,8 @@ HEADLINE = [
     "stream_budget_gate",
     "epoch_upsample",
     "domain_cap",
+    "dsir_weights",
+    "soft_dedup",
 ]
 
 

@@ -950,3 +950,51 @@ def minhash_quality_report(df: DataFrame, text_col: str, id_col: str,
         F.when(F.col("n_truth") > 0,
                F.col("n_hit") / F.col("n_truth").cast("double"))
          .alias("recall"))
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 3, threshold: float = 0.5,
+                       max_df: int | None = 100) -> DataFrame:
+    """Soft deduplication (He et al. 2024, "SoftDedup": reweight
+    instead of remove): every document KEEPS its row, but members of a
+    near-duplicate cluster get sampling weight ``1 / cluster_size`` so
+    the cluster contributes one document's worth of gradient signal in
+    expectation — the loss-reweighting alternative to hard removal,
+    which preserves long-tail phrasing variants hard dedup would
+    discard.  Unclustered documents weigh 1.0.
+
+    Plan: :func:`duplicate_clusters` labels (pair-bounded, never
+    corpus-quadratic) → per-cluster size via a window over the SAME
+    cluster key the labels were grouped by (cluster-bounded partition
+    state) → one broadcast-eligible join back to the corpus (the label
+    table is duplicate-rate-bounded — a ~1% dup rate at 100 TB keeps
+    it far smaller than the corpus; if it outgrows broadcast, AQE falls
+    back to a shuffle join on the high-entropy id key).
+
+    Output: ``doc_id, cluster_id (NULL for singletons), cluster_size,
+    weight, n_tokens, effective_tokens`` — effective corpus size is
+    ``Σ effective_tokens``, the number that replaces raw token count in
+    mixture planning once duplicates stop double-counting.
+    """
+    from pyspark.sql import Window
+
+    from .text import spread, token_count
+
+    labels = duplicate_clusters(df, text_col, id_col, n=n,
+                                threshold=threshold, max_df=max_df)
+    sized = labels.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    docs = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    out = (docs.join(sized, "doc_id", "left")
+           .withColumn("cluster_size",
+                       F.coalesce(F.col("cluster_size"), F.lit(1))
+                        .cast("long"))
+           .withColumn("weight",
+                       F.lit(1.0) / F.col("cluster_size").cast("double")))
+    return out.select(
+        "doc_id", "cluster_id", "cluster_size", "weight", "n_tokens",
+        F.round(F.col("n_tokens") * F.col("weight"), 9)
+         .alias("effective_tokens"))

@@ -350,3 +350,79 @@ def upsample_epochs(df: DataFrame, id_col: str, strata_col: str,
             .withColumn("epoch",
                         F.explode(F.sequence(F.lit(0), F.col("__n__") - 1)))
             .drop("__n__"))
+
+
+def dsir_weights(df: DataFrame, text_col: str, id_col: str,
+                 is_target: Column, n_buckets: int = 1024,
+                 salt: str = "dsir") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-bigram features are under a
+    TARGET distribution (the in-domain rows selected by ``is_target``)
+    than under the RAW corpus distribution —
+    ``log_w(doc) = Σ_b n_b(doc) · [ln p_target(b) − ln p_raw(b)]``
+    with add-1-smoothed bucket probabilities over ``n_buckets`` hashed
+    bigram buckets.  Selecting the top-weight documents (downstream,
+    e.g. via :func:`budget_select` on ``log_w``) approximates sampling
+    the raw corpus toward the target domain.
+
+    Feature hashing keeps BOTH distributions fixed-size (``n_buckets``
+    rows) regardless of corpus scale: the per-bucket table broadcasts,
+    so the only shuffles are the two partial-aggregating ``groupBy``s
+    ((doc, bucket) counts, then per-doc fold) — nothing grows with
+    vocabulary.  The per-doc sum folds contributions in sorted bucket
+    order (``aggregate`` over a sorted array, the bm25 doctrine), and
+    each term is libm ``ln`` on identical doubles — so the weight is
+    bit-reproducible by an external engine, rounded to 9 decimals only
+    to absorb nothing (the fold order is already pinned).
+
+    Output: ``id, is_t, n_grams, log_w`` — one row per document with
+    ≥ 1 bigram; higher ``log_w`` = more target-like.
+    """
+    from .text import spread, tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = tokens(F.col(text_col))
+
+    def _grams(ts):
+        n = F.size(ts)
+        return F.when(
+            n >= 2,
+            F.zip_with(F.slice(ts, 1, n - 1), F.slice(ts, 2, n - 1),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
+    base = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.coalesce(is_target, F.lit(False)).alias("is_t"),
+                    F.explode(grams).alias("gram"))
+            .select("id", "is_t",
+                    (md5_int64(F.concat(F.lit(f"{salt}:"), F.col("gram")))
+                     % n_buckets).alias("bucket")))
+    db = (base.groupBy("id", "bucket")
+          .agg(F.count(F.lit(1)).alias("n"), F.max("is_t").alias("is_t")))
+    dist = (db.groupBy("bucket")
+            .agg(F.sum("n").alias("c_raw"),
+                 F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
+                  .alias("c_t")))
+    tot = dist.agg(F.sum("c_raw").alias("tot_r"), F.sum("c_t").alias("tot_t"))
+    b = float(n_buckets)
+    lr = (dist.crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  (F.log(F.col("c_t") + F.lit(1.0))
+                   - F.log(F.col("tot_t") + F.lit(b))
+                   - F.log(F.col("c_raw") + F.lit(1.0))
+                   + F.log(F.col("tot_r") + F.lit(b))).alias("lr")))
+    per = (db.join(F.broadcast(lr), "bucket")
+           .select("id", "is_t", "bucket", "n",
+                   (F.col("n") * F.col("lr")).alias("c")))
+    folded = F.aggregate(
+        F.transform(F.sort_array(F.collect_list(F.struct("bucket", "c"))),
+                    lambda s: s["c"]),
+        F.lit(0.0), lambda acc, c: acc + c)
+    return (per.groupBy("id")
+            .agg(F.max("is_t").alias("is_t"),
+                 F.sum("n").cast("long").alias("n_grams"),
+                 F.round(folded, 9).alias("log_w")))

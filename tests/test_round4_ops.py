@@ -392,3 +392,71 @@ def test_domain_cap_exact_and_prefilter_agree(spark):
     # 1.25x safety factor retains every row the exact rank would keep)
     assert ex == sorted((r["domain"], r["id"], r["domain_rank"])
                         for r in pre.collect())
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        dsir_weights,
+    )
+    tgt = "alpha beta gamma delta alpha beta gamma delta"
+    off = "zig zag zip zap zig zag zip zap"
+    rows = ([(i, tgt, True) for i in range(10)]          # target domain
+            + [(100 + i, off, False) for i in range(10)]  # raw-only
+            + [(200, tgt, False),                        # target-LIKE raw doc
+               (201, off, False)])                       # off-domain raw doc
+    df = spark.createDataFrame(rows, "id long, text string, t boolean")
+    out = {r["id"]: r for r in
+           dsir_weights(df, "text", "id", F.col("t")).collect()}
+    # the target-like raw document outranks the off-domain one
+    assert out[200]["log_w"] > out[201]["log_w"]
+    # weights are a pure function of content: identical docs tie exactly
+    assert out[200]["log_w"] == out[0]["log_w"]
+    assert out[200]["n_grams"] == 7
+    assert out[0]["is_t"] and not out[200]["is_t"]
+
+
+def test_dsir_weights_deterministic_under_repartition(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        dsir_weights,
+    )
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} common tail", i % 2 == 0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string, t boolean")
+    a = sorted((r["id"], r["log_w"]) for r in
+               dsir_weights(df, "text", "id", F.col("t")).collect())
+    b = sorted((r["id"], r["log_w"]) for r in
+               dsir_weights(df.repartition(13), "text", "id",
+                            F.col("t")).collect())
+    assert a == b  # sorted-bucket fold: bit-identical, any partitioning
+
+
+# ---------------------------------------------------------------------------
+# soft dedup (reweight, don't remove)
+# ---------------------------------------------------------------------------
+
+def test_soft_dedup_weights_clusters_and_singletons(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+    dup = ("the same exact paragraph repeated verbatim across shards "
+           "with enough tokens to form shingles")
+    uniq = "completely different content lives here with its own words"
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, dup), (9, uniq)], "id long, text string")
+    out = {r["doc_id"]: r for r in
+           soft_dedup_weights(df, "text", "id", threshold=0.8).collect()}
+    assert set(out) == {1, 2, 3, 9}        # nothing removed
+    for i in (1, 2, 3):
+        assert out[i]["cluster_size"] == 3
+        assert out[i]["weight"] == pytest.approx(1 / 3)
+        assert out[i]["cluster_id"] == 1   # min-id label
+    assert out[9]["cluster_id"] is None
+    assert out[9]["weight"] == 1.0
+    # effective corpus = one copy of the dup + the unique doc
+    eff = sum(r["effective_tokens"] for r in out.values())
+    n_dup = out[1]["n_tokens"]
+    assert eff == pytest.approx(n_dup + out[9]["n_tokens"])
