@@ -1630,6 +1630,29 @@ def q_soft_dedup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus snapshots
+    (operators.text.vocab_drift): even vs odd doc_ids stand in for
+    yesterday's and today's ingests; top-30 tokens by probability
+    shift with per-token Jensen-Shannon contributions.  Per-row pure
+    arithmetic (no cross-row folds) — bit-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.vocab_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                          docs.filter(F.col("doc_id") % 2 != 0),
+                          "text", top=30)
+
+
+def q_corpus_summary(spark, sf_dir):
+    """One-row corpus data card (operators.quality.corpus_summary):
+    document/token totals, language-mix Shannon entropy (sorted-fold,
+    bit-reproducible), source concentration."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        corpus_summary,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_summary(docs, "text", "lang", "source")
+
+
 def q_sketch_profile(spark, sf_dir):
     """Approximate aggregation sketches — the 100 TB profiling tools:
     HyperLogLog++ distinct counts (fixed-size state, map-side
@@ -1889,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "dsir_weights": q_dsir_weights,
         "soft_dedup": q_soft_dedup,
+        "vocab_drift": q_vocab_drift,
+        "corpus_summary": q_corpus_summary,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3909,6 +3934,53 @@ FROM docs d
 LEFT JOIN labels l USING (doc_id)
 LEFT JOIN csize cs USING (cluster_id)
 ORDER BY doc_id
+""",
+        # --- round 4: vocab drift between snapshots (JS contributions) ------
+        "vocab_drift": f"""
+WITH a AS (SELECT unnest({_tokens_sql('text')}) AS token
+           FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT unnest({_tokens_sql('text')}) AS token
+      FROM documents WHERE doc_id % 2 <> 0),
+ca AS (SELECT token, count(*) AS cnt_a FROM a GROUP BY token),
+cb AS (SELECT token, count(*) AS cnt_b FROM b GROUP BY token),
+ta AS (SELECT sum(cnt_a) AS tot_a FROM ca),
+tb AS (SELECT sum(cnt_b) AS tot_b FROM cb),
+j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+sel AS (SELECT token, cast(cnt_a as bigint) AS cnt_a,
+          cast(cnt_b as bigint) AS cnt_b,
+          cnt_a / cast(tot_a as double) AS p,
+          cnt_b / cast(tot_b as double) AS q
+        FROM j CROSS JOIN ta CROSS JOIN tb)
+SELECT token, cnt_a, cnt_b, p, q,
+  0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+  + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+    AS js_term
+FROM sel ORDER BY abs(p - q) DESC, token ASC LIMIT 30
+""",
+        # --- round 4: one-row corpus data card ------------------------------
+        "corpus_summary": f"""
+WITH base AS (SELECT lang, source,
+                cast(len({_tokens_sql('text')}) as bigint) AS n_tok
+              FROM documents),
+tot AS (SELECT count(*) AS n_docs, sum(n_tok) AS n_tokens FROM base),
+bl AS (SELECT lang, count(*) AS n FROM base GROUP BY lang),
+bs AS (SELECT source, count(*) AS n FROM base GROUP BY source),
+lr AS (SELECT n_docs, cast(count(*) as bigint) AS n_langs,
+         round(list_reduce(list_prepend(0.0,
+           list(-(n / cast(n_docs as double))
+                * ln(n / cast(n_docs as double)) ORDER BY lang)),
+           (acc, x) -> acc + x), 9) AS lang_entropy
+       FROM bl CROSS JOIN tot GROUP BY n_docs),
+sr AS (SELECT n_docs, cast(count(*) as bigint) AS n_sources,
+         max(n) / cast(n_docs as double) AS top_source_share
+       FROM bs CROSS JOIN tot GROUP BY n_docs)
+SELECT cast(tot.n_docs as bigint) AS n_docs,
+  cast(n_tokens as bigint) AS n_tokens,
+  n_tokens / cast(tot.n_docs as double) AS avg_doc_tokens,
+  n_langs, lang_entropy, n_sources, top_source_share
+FROM tot, lr, sr
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),

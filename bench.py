@@ -92,6 +92,8 @@ HEADLINE = [
     "domain_cap",
     "dsir_weights",
     "soft_dedup",
+    "vocab_drift",
+    "corpus_summary",
 ]
 
 

@@ -57,3 +57,58 @@ def check_report(df: DataFrame, checks: dict[str, Column],
                            "__n__ as n_rows")
             .withColumn("passed", F.col("n_violations") == 0)
             .orderBy("check"))
+
+
+def corpus_summary(df: DataFrame, text_col: str, lang_col: str,
+                   source_col: str) -> DataFrame:
+    """One-row corpus "data card" (the dataset-nutrition-label header:
+    Gebru et al. 2021 datasheets; what every training-corpus release
+    publishes first): document and token totals, language diversity as
+    Shannon entropy over the language mix, and source concentration as
+    the hottest source's share — the two numbers that flag a skewed
+    crawl before any per-document gate runs.
+
+    One corpus scan → two tiny partial aggregates (per-language counts,
+    per-source counts — both vocabulary-bounded, a handful of rows) →
+    one-row combine.  The language entropy ``−Σ p·ln p`` folds in
+    sorted language order over the metadata-sized language list
+    (``aggregate`` over ``sort_array(collect_list(...))``, the bm25
+    doctrine) so the double sum is bit-reproducible by an external
+    engine.  Nothing here is corpus-sized off the executors.
+
+    Output columns: ``n_docs, n_tokens, avg_doc_tokens, n_langs,
+    lang_entropy, n_sources, top_source_share``.
+    """
+    from .text import spread, token_count
+
+    base = spread(df).select(
+        F.col(lang_col).alias("lang"), F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"))
+    totals = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tok").alias("n_tokens"))
+    by_lang = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    by_src = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ent = F.aggregate(
+        F.transform(F.sort_array(F.collect_list(F.struct("lang", "n"))),
+                    lambda s: s["n"]),
+        F.lit(0.0),
+        lambda acc, n: acc - (n / F.col("n_docs").cast("double"))
+        * F.log(n / F.col("n_docs").cast("double")))
+    lang_row = (by_lang.crossJoin(F.broadcast(totals))
+                .groupBy("n_docs")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_langs"),
+                     F.round(ent, 9).alias("lang_entropy")))
+    src_row = (by_src.crossJoin(F.broadcast(totals))
+               .groupBy("n_docs")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_sources"),
+                    (F.max("n") / F.col("n_docs").cast("double"))
+                    .alias("top_source_share")))
+    return (totals
+            .join(F.broadcast(lang_row), "n_docs")
+            .join(F.broadcast(src_row), "n_docs")
+            .select(F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    (F.col("n_tokens")
+                     / F.col("n_docs").cast("double")).alias("avg_doc_tokens"),
+                    "n_langs", "lang_entropy", "n_sources",
+                    "top_source_share"))

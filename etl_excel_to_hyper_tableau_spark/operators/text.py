@@ -1097,3 +1097,60 @@ def content_chunks(df: DataFrame, text_col: str, id_col: str,
                        F.col("c.start_char").alias("start_char"),
                        F.col("c.length").alias("length"),
                        md5_int64(chunk_text).alias("chunk_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring
+# ---------------------------------------------------------------------------
+
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                top: int = 30) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    continuous-ingestion QA gauge (did yesterday's crawl change what
+    the corpus talks about?): unigram probabilities ``p`` (snapshot A)
+    and ``q`` (snapshot B) over the union vocabulary, reported as the
+    ``top`` tokens by absolute probability shift together with each
+    token's Jensen-Shannon divergence contribution
+    ``½·p·ln(p/m) + ½·q·ln(q/m)``, ``m = (p+q)/2`` (zero counts
+    contribute zero — the standard JS convention, no smoothing
+    needed because JS is finite at the boundary).
+
+    Plan: two corpus-linear explodes → per-token partial-agg counts →
+    one vocab-sized full-outer join on the token key → per-token
+    arithmetic (single-expression, bit-reproducible — each row is pure
+    libm on identical doubles, no cross-row fold) → global top-k as
+    ``TakeOrderedAndProject`` (never a rank window over the whole
+    vocabulary).  Totals are one-row broadcast cross joins.  Nothing
+    holds vocabulary-sized state on the driver.
+    """
+    def counts(d: DataFrame, name: str):
+        c = (spread(d).select(F.explode(tokens(F.col(text_col)))
+                              .alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias(name)))
+        t = c.agg(F.sum(name).alias(f"tot_{name}"))
+        return c, t
+
+    ca, ta = counts(df_a, "cnt_a")
+    cb, tb = counts(df_b, "cnt_b")
+    j = (ca.join(cb, "token", "full_outer")
+         .select("token",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"))
+         .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb)))
+    p = F.col("cnt_a") / F.col("tot_cnt_a").cast("double")
+    q = F.col("cnt_b") / F.col("tot_cnt_b").cast("double")
+    sel = j.select("token",
+                   F.col("cnt_a").cast("long").alias("cnt_a"),
+                   F.col("cnt_b").cast("long").alias("cnt_b"),
+                   p.alias("p"), q.alias("q"))
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    js = (F.lit(0.5) * F.when(F.col("p") > 0,
+                              F.col("p") * F.log(F.col("p") / m))
+           .otherwise(F.lit(0.0))
+          + F.lit(0.5) * F.when(F.col("q") > 0,
+                                F.col("q") * F.log(F.col("q") / m))
+             .otherwise(F.lit(0.0)))
+    return (sel.withColumn("js_term", js)
+            .orderBy(F.abs(F.col("p") - F.col("q")).desc(),
+                     F.col("token").asc())
+            .limit(top))

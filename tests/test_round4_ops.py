@@ -460,3 +460,53 @@ def test_soft_dedup_weights_clusters_and_singletons(spark):
     eff = sum(r["effective_tokens"] for r in out.values())
     n_dup = out[1]["n_tokens"]
     assert eff == pytest.approx(n_dup + out[9]["n_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# vocab drift + corpus data card
+# ---------------------------------------------------------------------------
+
+def test_vocab_drift_flags_shifted_tokens(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import vocab_drift
+    a = spark.createDataFrame(
+        [(1, "common common oldword"), (2, "common oldword common")],
+        "id long, text string")
+    b = spark.createDataFrame(
+        [(3, "common common newword"), (4, "newword common common")],
+        "id long, text string")
+    out = {r["token"]: r for r in vocab_drift(a, b, "text", top=10).collect()}
+    # the appearing/disappearing tokens top the report
+    assert out["oldword"]["cnt_b"] == 0 and out["oldword"]["p"] > 0
+    assert out["newword"]["cnt_a"] == 0 and out["newword"]["q"] > 0
+    # a token with identical shares drifts zero and contributes no JS
+    assert out["common"]["js_term"] == pytest.approx(0.0)
+    # JS contributions are non-negative and finite at the boundary
+    assert all(r["js_term"] >= 0 for r in out.values())
+
+
+def test_vocab_drift_identical_snapshots_zero(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import vocab_drift
+    d = spark.createDataFrame([(1, "x y z"), (2, "x y")],
+                              "id long, text string")
+    out = vocab_drift(d, d, "text", top=10).collect()
+    assert all(r["js_term"] == pytest.approx(0.0) for r in out)
+    assert all(r["p"] == r["q"] for r in out)
+
+
+def test_corpus_summary_math(spark):
+    import math
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        corpus_summary,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "en", "s1"),
+         (3, "f g h i", "de", "s2"), (4, "j", "en", "s1")],
+        "id long, text string, lang string, source string")
+    row = corpus_summary(df, "text", "lang", "source").collect()[0]
+    assert row["n_docs"] == 4 and row["n_tokens"] == 10
+    assert row["avg_doc_tokens"] == pytest.approx(2.5)
+    assert row["n_langs"] == 2 and row["n_sources"] == 2
+    # entropy of the (3/4, 1/4) language mix
+    exp = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert row["lang_entropy"] == pytest.approx(exp, abs=1e-9)
+    assert row["top_source_share"] == pytest.approx(0.75)
