@@ -1653,6 +1653,16 @@ def q_corpus_summary(spark, sf_dir):
     return corpus_summary(docs, "text", "lang", "source")
 
 
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-source duplicate word-8-gram rate (operators.text.
+    dup_ngram_stats — the Lee et al. 2022 corpus-repetition
+    measurement): fraction of 8-gram occurrences that repeat an
+    earlier one; one explode, two partial aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.dup_ngram_stats(docs, "text", "source", n=8)
+            .orderBy("source"))
+
+
 def q_sketch_profile(spark, sf_dir):
     """Approximate aggregation sketches — the 100 TB profiling tools:
     HyperLogLog++ distinct counts (fixed-size state, map-side
@@ -1914,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "vocab_drift": q_vocab_drift,
         "corpus_summary": q_corpus_summary,
+        "dup_ngram_stats": q_dup_ngram_stats,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3981,6 +3992,22 @@ SELECT cast(tot.n_docs as bigint) AS n_docs,
   n_tokens / cast(tot.n_docs as double) AS avg_doc_tokens,
   n_langs, lang_entropy, n_sources, top_source_share
 FROM tot, lr, sr
+""",
+        # --- round 4: per-source duplicate n-gram rate ----------------------
+        "dup_ngram_stats": f"""
+WITH d AS (SELECT source, {_tokens_sql('text')} AS toks FROM documents),
+g AS (
+  SELECT source,
+    unnest(CASE WHEN len(toks) - 7 >= 1
+           THEN list_transform(range(1, len(toks) - 7 + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+           ELSE [] END) AS gram
+  FROM d),
+pg AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY source, gram)
+SELECT source, cast(sum(cnt) as bigint) AS total_ngrams,
+  cast(count(*) as bigint) AS distinct_ngrams,
+  1.0 - count(*) / cast(sum(cnt) as double) AS dup_frac
+FROM pg GROUP BY source ORDER BY source
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),

@@ -94,6 +94,7 @@ HEADLINE = [
     "soft_dedup",
     "vocab_drift",
     "corpus_summary",
+    "dup_ngram_stats",
 ]
 
 

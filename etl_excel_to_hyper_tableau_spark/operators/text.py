@@ -1154,3 +1154,49 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str,
             .orderBy(F.abs(F.col("p") - F.col("q")).desc(),
                      F.col("token").asc())
             .limit(top))
+
+
+def dup_ngram_stats(df: DataFrame, text_col: str, group_col: str,
+                    n: int = 8) -> DataFrame:
+    """Corpus-level duplicate n-gram rate per group (the measurement
+    behind Lee et al. 2022's "Deduplicating Training Data Makes
+    Language Models Better" analysis): for each group (source,
+    snapshot, ...), the fraction of word-``n``-gram OCCURRENCES that
+    are repeats of an earlier occurrence —
+    ``dup_frac = 1 − distinct/total`` — plus the raw totals.  High
+    ``dup_frac`` flags internally-repetitive sources (boilerplate
+    mirrors, templated spam) before any pairwise dedup runs.
+
+    Plan: lambda-bound n-gram explode (each gram sliced from the
+    materialized token array — O(tokens·n) per doc, never a
+    re-tokenize per position) → one partial-aggregating
+    ``groupBy(group, gram)`` → a group-bounded final aggregate.  Both
+    counts come out of the same aggregate (``sum``/``count`` over the
+    per-gram rows), so the corpus is exploded exactly once.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(F.col(text_col))
+
+    def _grams(ts):
+        cnt = F.size(ts) - F.lit(n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(F.sequence(F.lit(1), cnt),
+                        lambda i: F.array_join(F.slice(ts, i, n),
+                                               " "))).otherwise(
+            F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
+    per_gram = (spread(df)
+                .select(F.col(group_col).alias("grp"),
+                        F.explode(grams).alias("gram"))
+                .groupBy("grp", "gram").agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_gram.groupBy("grp")
+            .agg(F.sum("cnt").cast("long").alias("total_ngrams"),
+                 F.count(F.lit(1)).cast("long").alias("distinct_ngrams"))
+            .withColumn("dup_frac",
+                        F.lit(1.0) - F.col("distinct_ngrams")
+                        / F.col("total_ngrams").cast("double"))
+            .select(F.col("grp").alias(group_col), "total_ngrams",
+                    "distinct_ngrams", "dup_frac"))

@@ -510,3 +510,23 @@ def test_corpus_summary_math(spark):
     exp = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert row["lang_entropy"] == pytest.approx(exp, abs=1e-9)
     assert row["top_source_share"] == pytest.approx(0.75)
+
+
+def test_dup_ngram_stats_counts(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        dup_ngram_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c d", "s1"),  # exact repeat
+         (3, "x y z", "s1"),                           # too short for n=3+1
+         (4, "p q r s t", "s2")],
+        "id long, text string, src string")
+    out = {r["src"]: r for r in
+           dup_ngram_stats(df, "text", "src", n=3).collect()}
+    # s1: docs 1+2 contribute 2x ('a b c','b c d'), doc 3 one gram
+    assert out["s1"]["total_ngrams"] == 5
+    assert out["s1"]["distinct_ngrams"] == 3
+    assert out["s1"]["dup_frac"] == pytest.approx(1 - 3 / 5)
+    # s2: 3 grams, all unique
+    assert out["s2"]["total_ngrams"] == 3
+    assert out["s2"]["dup_frac"] == 0.0
