@@ -1653,6 +1653,77 @@ def q_corpus_summary(spark, sf_dir):
     return corpus_summary(docs, "text", "lang", "source")
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year — supplier-side and customer-side nation joins through
+    lineitem→orders→customer, both nation dims broadcast, the
+    either-direction predicate applied after.  Exercises join
+    reordering across a 6-way star with two roles for the same dim
+    (the testdata has no partsupp, so Q7 is the heaviest multi-role
+    join the schema supports; reference delegates all SQL —
+    query.py:30-34 — so shapes, not text, are the contract)."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("s_region"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_region"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    # bilateral EUROPE(3) <-> ASIA(2) trade, either direction
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+         .filter(((F.col("s_region") == 3) & (F.col("c_region") == 2))
+                 | ((F.col("s_region") == 2) & (F.col("c_region") == 3))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5's share of PROMO-part revenue sold into
+    ASIA per order year — conditional-sum ratio over a 7-way join;
+    dims broadcast, fact-side filters pushed to the scans.  The share
+    division happens once per year row on double-cast exact-decimal
+    sums, so the oracle reproduces it bit-for-bit."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    vol = _revenue_dec()
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+         .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key")))
+    agg = (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                      .otherwise(F.lit(0))).alias("nation_vol"),
+                F.sum(vol).alias("total_vol")))
+    return (agg.select("o_year",
+                       F.col("nation_vol").cast("double").alias("nation_vol"),
+                       F.col("total_vol").cast("double").alias("total_vol"),
+                       (F.col("nation_vol").cast("double")
+                        / F.col("total_vol").cast("double")).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-source duplicate word-8-gram rate (operators.text.
     dup_ngram_stats — the Lee et al. 2022 corpus-repetition
@@ -1925,6 +1996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "corpus_summary": q_corpus_summary,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -3992,6 +4065,50 @@ SELECT cast(tot.n_docs as bigint) AS n_docs,
   n_tokens / cast(tot.n_docs as double) AS avg_doc_tokens,
   n_langs, lang_entropy, n_sources, top_source_share
 FROM tot, lr, sr
+""",
+        # --- round 4: TPC-H Q7 shape (bilateral trade volume) ---------------
+        "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  cast(year(l_shipdate) as bigint) AS l_year,
+  cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1998-01-01'
+  AND ((n1.n_regionkey = 3 AND n2.n_regionkey = 2)
+       OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        # --- round 4: TPC-H Q8 shape (national market share) ----------------
+        "market_share": """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+    cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2))) AS vol,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= timestamp '1996-01-01'
+    AND o_orderdate < timestamp '1998-01-01'),
+a AS (
+  SELECT cast(o_year as bigint) AS o_year,
+    sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS nation_vol,
+    sum(vol) AS total_vol
+  FROM j GROUP BY o_year)
+SELECT o_year, cast(nation_vol as double) AS nation_vol,
+  cast(total_vol as double) AS total_vol,
+  cast(nation_vol as double) / cast(total_vol as double) AS mkt_share
+FROM a ORDER BY o_year
 """,
         # --- round 4: per-source duplicate n-gram rate ----------------------
         "dup_ngram_stats": f"""

@@ -95,6 +95,8 @@ HEADLINE = [
     "vocab_drift",
     "corpus_summary",
     "dup_ngram_stats",
+    "volume_shipping",
+    "market_share",
 ]
 
 

@@ -26,7 +26,12 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "ann_recall", "ann_mrr", "pq_topk", "key_skew",
                   # hll_distinct cross-joins its ONE-ROW estimate with
                   # the ONE-ROW exact-NDV aggregate per key column
-                  "hll_distinct"}
+                  "hll_distinct",
+                  # round-4: dsir_weights / vocab_drift cross-join
+                  # broadcast ONE-ROW totals (tot_t/tot_r, tot_a/tot_b);
+                  # corpus_summary cross-joins its one-row doc/token
+                  # totals into the metadata-sized lang/source aggs
+                  "dsir_weights", "vocab_drift", "corpus_summary"}
 
 
 def _plan(df) -> str:
