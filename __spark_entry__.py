@@ -1724,6 +1724,19 @@ def q_market_share(spark, sf_dir):
             .orderBy("o_year"))
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic global training-order shuffle (operators.packing.
+    training_order): md5-permutation rank via the distributed two-phase
+    scan, round-robin striped into 8 shards.  The oracle uses a global
+    window — the single-reducer formulation the engine explicitly
+    designs out — and must produce the identical permutation."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        training_order,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return training_order(docs, "doc_id", n_shards=8).orderBy("rank")
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-source duplicate word-8-gram rate (operators.text.
     dup_ngram_stats — the Lee et al. 2022 corpus-repetition
@@ -1998,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
+        "training_order": q_training_order,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4109,6 +4123,18 @@ SELECT o_year, cast(nation_vol as double) AS nation_vol,
   cast(total_vol as double) AS total_vol,
   cast(nation_vol as double) / cast(total_vol as double) AS mkt_share
 FROM a ORDER BY o_year
+""",
+        # --- round 4: deterministic training-order shuffle ------------------
+        "training_order": f"""
+WITH h AS (
+  SELECT doc_id AS id,
+    {_MD5I.format(x="'shuffle:'||cast(doc_id as varchar)")} AS hv
+  FROM documents),
+r AS (SELECT id, row_number() OVER (ORDER BY hv ASC, id ASC) AS rank FROM h)
+SELECT id, cast(rank as bigint) AS rank,
+  cast((rank - 1) % 8 as bigint) AS shard,
+  cast((rank - 1) // 8 as bigint) AS pos
+FROM r ORDER BY rank
 """,
         # --- round 4: per-source duplicate n-gram rate ----------------------
         "dup_ngram_stats": f"""

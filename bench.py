@@ -97,6 +97,7 @@ HEADLINE = [
     "dup_ngram_stats",
     "volume_shipping",
     "market_share",
+    "training_order",
 ]
 
 

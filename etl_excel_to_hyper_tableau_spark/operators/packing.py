@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens
+from ..functions.hashing import md5_int64
 
 
 def pack_sequences(df: DataFrame, text_col: str, id_col: str,
@@ -187,3 +188,58 @@ def balanced_shards(df: DataFrame, text_col: str, id_col: str,
     shard = F.when(pass_ % 2 == 0, pos).otherwise(p - 1 - pos)
     return out.select("id", "n_tokens", "rank",
                       shard.cast("long").alias("shard"))
+
+
+def training_order(df: DataFrame, id_col: str, n_shards: int = 8,
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    position in a pseudorandom permutation of the corpus (order =
+    60-bit md5 of the id — collision-free in practice, id tiebreak
+    regardless), striped round-robin into ``n_shards`` shards with a
+    position within each shard.  This is the "shuffle the corpus
+    before training" step — SGD needs documents decorrelated from
+    ingestion order (a crawl is ordered by host; feeding it raw trains
+    on one domain at a time) — made reproducible: same corpus, same
+    salt → the same permutation on every run, any partitioning, any
+    engine (vs ``ORDER BY rand()``, different every execution).
+
+    The global rank is the same DISTRIBUTED two-phase scan as
+    :func:`pack_sequences` / :func:`balanced_shards` — range-partition
+    on the hash key, metadata-sized per-partition counts, partition
+    offset + within-partition ``row_number`` — never a global ordered
+    window on one reducer.  Round-robin striping means each shard is a
+    uniform sample of the permutation AND consecutive training steps
+    across shards read hash-adjacent (i.e. unrelated) documents.
+
+    Output: ``id, rank (1-based global), shard, pos (0-based within
+    shard)``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = md5_int64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    sized = df.select(F.col(id_col).alias("id"), h.alias("__h__"))
+    keys = [F.col("__h__").asc(), F.col("id").asc()]
+    sized = (sized.repartitionByRange(*keys)
+             .sortWithinPartitions(*keys)
+             .withColumn("__pid__", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    part_counts = (sized.groupBy("__pid__")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .orderBy("__pid__")
+                   .collect())
+    offsets, acc = {}, 0
+    for r in part_counts:
+        offsets[r["__pid__"]] = acc
+        acc += r["c"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]) \
+        if offsets else F.create_map()
+    w = Window.partitionBy("__pid__").orderBy(*keys)
+    rank = (off_map[F.col("__pid__")]
+            + F.row_number().over(w)).cast("long").alias("rank")
+    p = F.lit(int(n_shards)).cast("long")
+    return (sized.select("id", rank)
+            .select("id", "rank",
+                    ((F.col("rank") - 1) % p).cast("long").alias("shard"),
+                    F.floor((F.col("rank") - 1) / p).cast("long")
+                     .alias("pos")))

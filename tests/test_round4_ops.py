@@ -530,3 +530,26 @@ def test_dup_ngram_stats_counts(spark):
     # s2: 3 grams, all unique
     assert out["s2"]["total_ngrams"] == 3
     assert out["s2"]["dup_frac"] == 0.0
+
+
+def test_training_order_is_a_permutation_and_stable(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        training_order,
+    )
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    out = training_order(df, "id", n_shards=4).collect()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, 101))        # a true permutation
+    # shards are round-robin: each holds 25 rows, positions 0..24
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    assert all(sorted(v) == list(range(25)) for v in by_shard.values())
+    # permutation actually decorrelates from id order
+    by_rank = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert by_rank != list(range(100))
+    # and is stable under repartitioning
+    out2 = training_order(df.repartition(7), "id", n_shards=4).collect()
+    assert sorted((r["id"], r["rank"]) for r in out) == \
+        sorted((r["id"], r["rank"]) for r in out2)
