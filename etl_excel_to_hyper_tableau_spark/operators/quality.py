@@ -68,13 +68,20 @@ def corpus_summary(df: DataFrame, text_col: str, lang_col: str,
     the hottest source's share — the two numbers that flag a skewed
     crawl before any per-document gate runs.
 
-    One corpus scan → two tiny partial aggregates (per-language counts,
-    per-source counts — both vocabulary-bounded, a handful of rows) →
-    one-row combine.  The language entropy ``−Σ p·ln p`` folds in
-    sorted language order over the metadata-sized language list
-    (``aggregate`` over ``sort_array(collect_list(...))``, the bm25
-    doctrine) so the double sum is bit-reproducible by an external
-    engine.  Nothing here is corpus-sized off the executors.
+    ONE corpus scan: the three aggregation keys (per-language,
+    per-source, global) run as a single GROUPING SETS pass — Expand
+    emits three grouping arms per row but the partial aggregate
+    collapses them map-side, so the shuffle carries ≤ 3·(langs +
+    sources + 1) rows per partition.  (The naive formulation — three
+    separate ``groupBy``s off one base — re-scans the corpus three
+    times: AQE's exchange reuse cannot merge shuffles with different
+    keys.  Measured: 9 parquet scans in the executed plan vs 1 here.)
+    The metadata-sized grouped result is pinned with an eager
+    ``localCheckpoint`` so the three downstream branches read ~tens of
+    rows instead of re-running the pass.  The language entropy
+    ``−Σ p·ln p`` folds in sorted language order (``aggregate`` over
+    ``sort_array(collect_list(...))``, the bm25 doctrine) so the double
+    sum is bit-reproducible by an external engine.
 
     Output columns: ``n_docs, n_tokens, avg_doc_tokens, n_langs,
     lang_entropy, n_sources, top_source_share``.
@@ -84,10 +91,17 @@ def corpus_summary(df: DataFrame, text_col: str, lang_col: str,
     base = spread(df).select(
         F.col(lang_col).alias("lang"), F.col(source_col).alias("source"),
         token_count(F.col(text_col)).cast("long").alias("n_tok"))
-    totals = base.agg(F.count(F.lit(1)).alias("n_docs"),
-                      F.sum("n_tok").alias("n_tokens"))
-    by_lang = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    by_src = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # gid: 1 = by lang (source aggregated), 2 = by source, 3 = global
+    g = (base.groupingSets([["lang"], ["source"], []], "lang", "source")
+         .agg(F.grouping_id().alias("gid"),
+              F.count(F.lit(1)).alias("n"),
+              F.sum("n_tok").alias("tok"))
+         .localCheckpoint(eager=True))
+    totals = (g.filter(F.col("gid") == 3)
+              .select(F.col("n").alias("n_docs"),
+                      F.col("tok").alias("n_tokens")))
+    by_lang = g.filter(F.col("gid") == 1).select("lang", "n")
+    by_src = g.filter(F.col("gid") == 2).select("source", "n")
     ent = F.aggregate(
         F.transform(F.sort_array(F.collect_list(F.struct("lang", "n"))),
                     lambda s: s["n"]),
