@@ -1737,6 +1737,35 @@ def q_training_order(spark, sf_dir):
     return training_order(docs, "doc_id", n_shards=8).orderBy("rank")
 
 
+def q_stream_hll_distinct(spark, sf_dir):
+    """Streaming distinct-count tracking (streaming/ingest.py::
+    hll_ingest): each micro-batch's portable-HLL registers fold into
+    staged state by per-register MAX — idempotent, so replays are
+    no-ops without any epoch watermark.  Over the bounded source the
+    staged sketch equals the batch sketch exactly (max is associative
+    and commutative), so the estimate matches the batch HLL SQL
+    oracle bit-for-bit — a full value oracle for a streaming sketch."""
+    import tempfile
+
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_estimate,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import hll_ingest
+
+    sk_dir = tempfile.mkdtemp(prefix="hllsk_") + "/sketch"
+    hll_ingest(spark, f"{sf_dir}/documents.parquet", sk_dir, "doc_id",
+               schema=("doc_id long, text string, lang string, "
+                       "source string, n_chars long"), p=8)
+    est = hll_estimate(spark.read.parquet(sk_dir), p=8)
+    exact = _t(spark, sf_dir, "documents").agg(
+        F.countDistinct("doc_id").cast("long").alias("exact_ndv"))
+    return est.crossJoin(exact).select(
+        F.lit("doc_id").alias("key_col"), "n_registers_hit", "v_zero",
+        "raw_register_sum", "estimate", "exact_ndv",
+        F.round(F.abs(F.col("estimate") - F.col("exact_ndv"))
+                / F.col("exact_ndv"), 6).alias("rel_error"))
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-source duplicate word-8-gram rate (operators.text.
     dup_ngram_stats — the Lee et al. 2022 corpus-repetition
@@ -2012,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "training_order": q_training_order,
+        "stream_hll_distinct": q_stream_hll_distinct,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -2227,7 +2257,8 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
 
 
 def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
-                                      "l_suppkey"), p: int = 8) -> str:
+                                      "l_suppkey"), p: int = 8,
+             table: str = "lineitem") -> str:
     """Portable-HLL oracle: same md5 registers, exact integer register
     sums, same arithmetic order, round-4 estimate — bit-for-bit the
     engine's hll_build/hll_estimate."""
@@ -2258,7 +2289,7 @@ def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
      cast(n_hit as bigint) AS n_registers_hit,
      cast({m} - n_hit as bigint) AS v_zero,
      cast(s_hit + ({m} - n_hit) * {two_nbits} as bigint) AS raw_register_sum,
-     (SELECT count(DISTINCT {c}) FROM lineitem) AS exact_ndv
+     (SELECT count(DISTINCT {c}) FROM {table}) AS exact_ndv
    FROM (
      SELECT count(*) AS n_hit,
        coalesce(sum(cast(power(2.0, {nbits} - max_rank) as bigint)), 0) AS s_hit
@@ -2267,7 +2298,7 @@ def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
          SELECT h % {m} AS register,
            CASE WHEN (h // {m}) > 0 THEN {nbits + 1} - length(bin(h // {m}))
                 ELSE {nbits + 1} END AS rank
-         FROM (SELECT {h} AS h FROM lineitem WHERE {c} IS NOT NULL))
+         FROM (SELECT {h} AS h FROM {table} WHERE {c} IS NOT NULL))
        GROUP BY register))))""")
     union = " UNION ALL ".join(arms)
     return (f"SELECT key_col, n_registers_hit, v_zero, raw_register_sum, "
@@ -4154,6 +4185,9 @@ FROM pg GROUP BY source ORDER BY source
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),
+        # --- round 4: streaming HLL ingest (== batch sketch over bounded src)
+        "stream_hll_distinct": _hll_sql(cols=("doc_id",),
+                                        table="documents"),
         # --- round 4: MinHash-LSH precision/recall gauge --------------------
         "minhash_quality": f"""
 WITH sh AS (

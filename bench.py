@@ -98,6 +98,7 @@ HEADLINE = [
     "volume_shipping",
     "market_share",
     "training_order",
+    "stream_hll_distinct",
 ]
 
 

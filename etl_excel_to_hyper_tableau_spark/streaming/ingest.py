@@ -416,3 +416,70 @@ def run_budget_gate_availablenow(spark: SparkSession, input_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def hll_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
+               key_col: str, schema: str, p: int = 8,
+               max_files_per_trigger: int = 1,
+               checkpoint_dir: str | None = None) -> dict:
+    """Continuous distinct-count tracking: fold every arriving
+    micro-batch's PORTABLE HyperLogLog registers
+    (``..operators.sketches.hll_build``) into a staged sketch by
+    per-register MAX — "distinct ids seen so far" over an unbounded
+    stream with FIXED state (≤ 2^p register rows on disk), the
+    streaming companion to :func:`sketch_ingest`'s count-min
+    frequencies.
+
+    Replay safety differs from CMS by construction: register merge is
+    ``max`` — IDEMPOTENT — so re-merging a replayed batch after a
+    post-swap crash is a no-op and no epoch watermark is needed (CMS
+    cells are summed, which double-counts; hence sketch_ingest's
+    ``_merged_epoch`` marker).  The swap is still atomic
+    (write-to-tmp + rename) so readers never see a torn sketch.
+
+    Estimates at any point: ``hll_estimate(spark.read.parquet(
+    sketch_dir), p)``.  Returns ``{"batches", "rows"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.sketches import hll_build
+
+    stats = {"batches": 0, "rows": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sk = hll_build(batch, key_col, p=p)
+        if has_parquet_files(sketch_dir):
+            staged = spark.read.parquet(sketch_dir)
+            sk = (staged.unionByName(sk)
+                  .groupBy("register")
+                  .agg(F.max("max_rank").alias("max_rank")))
+        tmp = sketch_dir.rstrip("/") + "__tmp"
+        sk.write.mode("overwrite").parquet(tmp)
+        old = sketch_dir.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["batches"] += 1
+        stats["rows"] += batch.count()
+
+    name = "hll_" + uuid.uuid4().hex[:8]
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_hll_")
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    # file source streams a *directory*; accept a single-file path by
+    # splitting into (parent, glob) — the budget_gate_stream contract
+    if input_dir.endswith(".parquet"):
+        parent, _, fname = input_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        input_dir = parent
+    q = (reader.parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

@@ -299,3 +299,50 @@ def test_budget_gate_state_survives_micro_batches(spark, tmp_path):
            for r in out}
     assert got == {1: ("s0", 5, 5), 2: ("s0", 3, 8), 4: ("s1", 2, 2)}
     assert 3 not in got  # 8 + 3 > 10: state carried across batches
+
+
+def test_hll_ingest_accumulates_and_remerge_is_noop(spark, tmp_path):
+    """Registers accumulate across micro-batches to exactly the batch
+    sketch; re-running the whole stream into the same sketch dir (a
+    full replay with a fresh checkpoint) changes nothing — max-merge
+    is idempotent, the property that lets hll_ingest skip the CMS
+    epoch-watermark machinery."""
+    import glob
+    import shutil
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import hll_ingest
+
+    land = tmp_path / "hll_land"
+    land.mkdir()
+    all_rows = []
+
+    def write_batch(ids, name):
+        rows = [(i, f"user_{i}") for i in ids]
+        all_rows.extend(rows)
+        df = spark.createDataFrame(rows, "id long, uid string")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"hb_{name}"))
+        src = glob.glob(str(tmp_path / f"hb_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    write_batch(range(0, 300), "b1")
+    write_batch(range(200, 500), "b2")  # overlap: 200..299 repeat
+    sk = str(tmp_path / "sketch")
+    stats = hll_ingest(spark, str(land), sk, "uid",
+                       schema="id long, uid string", p=6)
+    assert stats["batches"] == 2
+    staged = {(r["register"], r["max_rank"])
+              for r in spark.read.parquet(sk).collect()}
+    batch = {(r["register"], r["max_rank"])
+             for r in hll_build(
+                 spark.createDataFrame(all_rows, "id long, uid string"),
+                 "uid", p=6).collect()}
+    assert staged == batch
+    # full replay into the same sketch dir: a no-op on the registers
+    hll_ingest(spark, str(land), sk, "uid",
+               schema="id long, uid string", p=6)
+    staged2 = {(r["register"], r["max_rank"])
+               for r in spark.read.parquet(sk).collect()}
+    assert staged2 == staged
