@@ -1766,6 +1766,15 @@ def q_stream_hll_distinct(spark, sf_dir):
                 / F.col("exact_ndv"), 6).alias("rel_error"))
 
 
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (operators.text.token_fertility
+    — Rust et al. 2021): sub-tokens per whitespace word and chars per
+    sub-token by language, over the deterministic BPE-ish proxy
+    counter.  Ratios are single divisions over exact integer sums."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_fertility(docs, "text", "lang").orderBy("lang")
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-source duplicate word-8-gram rate (operators.text.
     dup_ngram_stats — the Lee et al. 2022 corpus-repetition
@@ -2042,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "training_order": q_training_order,
         "stream_hll_distinct": q_stream_hll_distinct,
+        "token_fertility": q_token_fertility,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4166,6 +4176,24 @@ SELECT id, cast(rank as bigint) AS rank,
   cast((rank - 1) % 8 as bigint) AS shard,
   cast((rank - 1) // 8 as bigint) AS pos
 FROM r ORDER BY rank
+""",
+        # --- round 4: tokenizer fertility by language -----------------------
+        "token_fertility": f"""
+WITH base AS (
+  SELECT lang,
+    cast(len({_tokens_sql('text')}) as bigint) AS w,
+    cast(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
+         as bigint)
+      + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sw,
+    cast(length(text) as bigint) AS ch
+  FROM documents)
+SELECT lang, cast(count(*) as bigint) AS n_docs,
+  cast(sum(w) as bigint) AS n_words,
+  cast(sum(sw) as bigint) AS n_subwords,
+  cast(sum(ch) as bigint) AS n_chars,
+  sum(sw) / cast(sum(w) as double) AS fertility,
+  sum(ch) / cast(sum(sw) as double) AS chars_per_subword
+FROM base GROUP BY lang ORDER BY lang
 """,
         # --- round 4: per-source duplicate n-gram rate ----------------------
         "dup_ngram_stats": f"""

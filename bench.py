@@ -99,6 +99,7 @@ HEADLINE = [
     "market_share",
     "training_order",
     "stream_hll_distinct",
+    "token_fertility",
 ]
 
 

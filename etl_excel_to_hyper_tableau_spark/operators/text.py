@@ -1204,3 +1204,37 @@ def dup_ngram_stats(df: DataFrame, text_col: str, group_col: str,
                         / F.col("total_ngrams").cast("double"))
             .select(F.col("grp").alias(group_col), "total_ngrams",
                     "distinct_ngrams", "dup_frac"))
+
+
+def token_fertility(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    """Tokenizer fertility per language — the tokenizer-QA gauge
+    (Rust et al. 2021, "How Good is Your Tokenizer?"): sub-tokens per
+    whitespace word (``fertility``) and characters per sub-token, by
+    language.  High fertility for a language means the tokenizer
+    fragments its words — that language pays more sequence length for
+    the same text, skewing both training cost and effective context.
+    Uses :func:`word_token_count`'s deterministic BPE-ish proxy (the
+    container has no tokenizer libs; the shape of the gauge is the
+    deliverable, and the proxy is engine-portable).
+
+    One scan → per-language partial aggregate (language-bounded rows);
+    ratios are single divisions over exact integer sums —
+    bit-reproducible.  Output: ``lang, n_docs, n_words, n_subwords,
+    n_chars, fertility, chars_per_subword``.
+    """
+    base = spread(df).select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).cast("long").alias("w"),
+        word_token_count(F.col(text_col)).alias("sw"),
+        F.length(F.col(text_col)).cast("long").alias("ch"))
+    return (base.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("n_words"),
+                 F.sum("sw").cast("long").alias("n_subwords"),
+                 F.sum("ch").cast("long").alias("n_chars"))
+            .select("lang", "n_docs", "n_words", "n_subwords", "n_chars",
+                    (F.col("n_subwords")
+                     / F.col("n_words").cast("double")).alias("fertility"),
+                    (F.col("n_chars")
+                     / F.col("n_subwords").cast("double"))
+                    .alias("chars_per_subword")))

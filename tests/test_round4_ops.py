@@ -553,3 +553,22 @@ def test_training_order_is_a_permutation_and_stable(spark):
     out2 = training_order(df.repartition(7), "id", n_shards=4).collect()
     assert sorted((r["id"], r["rank"]) for r in out) == \
         sorted((r["id"], r["rank"]) for r in out2)
+
+
+def test_token_fertility_math(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        token_fertility,
+    )
+    # "abcdefgh ij" -> words 2; word_chars 10 -> ceil(10/4)=3 subwords;
+    # "x!" -> words 1; word_chars 1 -> 1 subword + 1 punct glyph = 2
+    df = spark.createDataFrame(
+        [(1, "abcdefgh ij", "en"), (2, "x!", "de")],
+        "id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           token_fertility(df, "text", "lang").collect()}
+    assert out["en"]["n_words"] == 2
+    assert out["en"]["n_subwords"] == 3
+    assert out["en"]["fertility"] == pytest.approx(1.5)
+    assert out["de"]["n_words"] == 1
+    assert out["de"]["n_subwords"] == 2
+    assert out["de"]["chars_per_subword"] == pytest.approx(1.0)
