@@ -1766,6 +1766,32 @@ def q_stream_hll_distinct(spark, sf_dir):
                 / F.col("exact_ndv"), 6).alias("rel_error"))
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT price quantiles (operators.sketches.exact_quantiles):
+    value at rank ceil(q·N) via the distributed two-phase rank — the
+    when-the-number-must-be-right companion to the approximate
+    sketches; no FP arithmetic, the answer is an actual data value.
+    The oracle is the single-window formulation (the one-reducer shape
+    the engine designs out) and must agree exactly."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice",
+                           qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+def q_priority_sample(spark, sf_dir):
+    """Exact-size weighted sample without replacement (operators.
+    sampling.priority_sample — Efraimidis-Spirakis priorities over the
+    deterministic hash uniform): top-100 documents by u^(1/n_chars),
+    longer docs proportionally likelier.  Map-only scoring + global
+    TakeOrderedAndProject top-k."""
+    from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    return sp.priority_sample(docs, "doc_id", F.col("n_chars"), k=100)
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility per language (operators.text.token_fertility
     — Rust et al. 2021): sub-tokens per whitespace word and chars per
@@ -2052,6 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "stream_hll_distinct": q_stream_hll_distinct,
         "token_fertility": q_token_fertility,
+        "exact_quantiles": q_exact_quantiles,
+        "priority_sample": q_priority_sample,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4176,6 +4204,29 @@ SELECT id, cast(rank as bigint) AS rank,
   cast((rank - 1) % 8 as bigint) AS shard,
   cast((rank - 1) // 8 as bigint) AS pos
 FROM r ORDER BY rank
+""",
+        # --- round 4: exact-size weighted priority sample -------------------
+        "priority_sample": f"""
+WITH s AS (
+  SELECT doc_id AS id, cast(n_chars as double) AS weight,
+    pow(({_MD5I.format(x="'prio:'||cast(doc_id as varchar)")} % 10000 + 0.5)
+          / 10000.0,
+        1.0 / cast(n_chars as double)) AS priority
+  FROM documents WHERE cast(n_chars as double) > 0)
+SELECT id, weight, priority FROM s
+ORDER BY priority DESC, id ASC LIMIT 100
+""",
+        # --- round 4: exact distributed quantiles ---------------------------
+        "exact_quantiles": """
+WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rank FROM v),
+t AS (SELECT q, cast(ceil(q * n) as bigint) AS rank
+      FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q) CROSS JOIN n),
+td AS (SELECT max(q) AS q, rank FROM t GROUP BY rank)
+SELECT td.q, td.rank, cast(r.v as double) AS value
+FROM td JOIN r USING (rank) ORDER BY q
 """,
         # --- round 4: tokenizer fertility by language -----------------------
         "token_fertility": f"""

@@ -100,6 +100,8 @@ HEADLINE = [
     "training_order",
     "stream_hll_distinct",
     "token_fertility",
+    "exact_quantiles",
+    "priority_sample",
 ]
 
 

@@ -426,3 +426,36 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
             .agg(F.max("is_t").alias("is_t"),
                  F.sum("n").cast("long").alias("n_grams"),
                  F.round(folded, 9).alias("log_w")))
+
+
+def priority_sample(df: DataFrame, id_col: str, weight: Column, k: int,
+                    salt: str = "prio") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``k`` rows, selection probability proportional to weight
+    (Efraimidis & Spirakis 2006 weighted reservoir sampling, with the
+    hash bucket standing in for the uniform draw): each row gets
+    priority ``u^(1/w)`` for ``u = (bucket(id)+0.5)/10000 ∈ (0,1)``
+    and the top-``k`` priorities win.  Unlike
+    :func:`weighted_sample`'s per-row Bernoulli (output size varies,
+    weights are probabilities ≤ 1), this gives an exact-size sample
+    under arbitrary positive weights — the "pick exactly 100k docs,
+    quality-weighted" step.  Rows with weight ≤ 0 are excluded.
+
+    Deterministic and engine-portable: one md5 bucket + one libm
+    ``pow`` per row (bit-identical for identical doubles), ties broken
+    by id.  Map-only scoring; the global top-k is
+    ``TakeOrderedAndProject`` — never a rank window over the corpus.
+
+    Output: ``id, weight, priority`` for the ``k`` winners, priority
+    descending.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (hash_bucket(F.col("id"), salt).cast("double") + F.lit(0.5)) \
+        / F.lit(float(BUCKETS))
+    return (df.select(F.col(id_col).alias("id"),
+                      weight.cast("double").alias("weight"))
+            .where(F.col("weight") > 0)
+            .withColumn("priority", F.pow(u, F.lit(1.0) / F.col("weight")))
+            .orderBy(F.col("priority").desc(), F.col("id").asc())
+            .limit(k))

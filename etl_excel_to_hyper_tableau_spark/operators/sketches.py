@@ -172,3 +172,61 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     return base.select("n_registers_hit", "v_zero",
                        F.col("s").alias("raw_register_sum"),
                        F.round(e, 4).alias("estimate"))
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                    ) -> DataFrame:
+    """EXACT quantiles at scale — the companion to the approximate
+    sketches when the number must be right (SLA percentiles, pricing
+    boundaries): quantile ``q`` is defined as the value at 1-based rank
+    ``ceil(q·N)`` of the ascending sort (the classic lower/"disc"
+    definition — always an actual data value, never an interpolation,
+    so it is engine-portable with no FP arithmetic at all).
+
+    Plan — the distributed two-phase rank, never a global one-reducer
+    sort: range-repartition on the value, per-partition counts
+    (metadata-sized collect), then each partition ranks only its own
+    rows with a local ``row_number`` plus its global offset, and a
+    map-only filter keeps the ≤ |qs| target ranks.  Work after the
+    repartition is one local sort per partition; the exchange is the
+    same one any global ORDER BY pays, minus the single-reducer
+    collapse.
+
+    Output: ``q, rank, value`` — one row per requested quantile
+    (empty input → empty output).
+    """
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    vals = (df.select(F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .repartitionByRange(F.col("v").asc())
+            .sortWithinPartitions(F.col("v").asc())
+            .withColumn("__pid__", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    part_counts = (vals.groupBy("__pid__")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .orderBy("__pid__").collect())
+    offsets, acc = {}, 0
+    for r in part_counts:
+        offsets[r["__pid__"]] = acc
+        acc += r["c"]
+    n = acc
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "q double, rank long, value double")
+    targets = {int(-(-q * n // 1)): q for q in sorted(qs)}  # ceil(q*n) -> q
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("__pid__").orderBy(F.col("v").asc())
+    rank = (off_map[F.col("__pid__")] + F.row_number().over(w)).cast("long")
+    tgt = F.create_map(
+        *[F.lit(x) for k, q in targets.items() for x in (k, float(q))])
+    return (vals.withColumn("rank", rank)
+            .where(F.col("rank").isin(*targets.keys()))
+            .select(tgt[F.col("rank")].alias("q"), "rank",
+                    F.col("v").cast("double").alias("value"))
+            .orderBy("q"))

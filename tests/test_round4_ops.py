@@ -572,3 +572,56 @@ def test_token_fertility_math(spark):
     assert out["de"]["n_words"] == 1
     assert out["de"]["n_subwords"] == 2
     assert out["de"]["chars_per_subword"] == pytest.approx(1.0)
+
+
+def test_exact_quantiles_matches_sorted_ranks(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+    import math
+    vals = [float(x) for x in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10, 11]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["q"]: (r["rank"], r["value"]) for r in
+           exact_quantiles(df, "x", qs=(0.5, 0.9, 1.0)).collect()}
+    srt = sorted(vals)
+    n = len(vals)
+    for q in (0.5, 0.9, 1.0):
+        k = math.ceil(q * n)
+        assert out[q] == (k, srt[k - 1])
+    # empty input -> empty output, stable schema
+    empty = exact_quantiles(df.limit(0), "x")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["q", "rank", "value"]
+
+
+def test_exact_quantiles_rejects_bad_q(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", qs=(0.0,))
+
+
+def test_priority_sample_exact_size_and_weight_bias(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        priority_sample,
+    )
+    # heavy rows weight 100, light rows weight 1 — the heavy half should
+    # dominate a k=20 sample out of 200 rows
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = priority_sample(df, "id", F.col("w"), k=20).collect()
+    assert len(out) == 20
+    heavy = sum(1 for r in out if r["id"] < 100)
+    assert heavy >= 15                       # strong weight bias
+    # zero/negative weights excluded; k larger than survivors truncates
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)],
+                                "id long, w double")
+    out2 = priority_sample(df2, "id", F.col("w"), k=10).collect()
+    assert [r["id"] for r in out2] == [3]
+    # stable under repartitioning
+    a = [r["id"] for r in priority_sample(df, "id", F.col("w"), k=20).collect()]
+    b = [r["id"] for r in priority_sample(df.repartition(9), "id",
+                                          F.col("w"), k=20).collect()]
+    assert a == b
