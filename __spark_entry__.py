@@ -1792,6 +1792,38 @@ def q_priority_sample(spark, sf_dir):
     return sp.priority_sample(docs, "doc_id", F.col("n_chars"), k=100)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Dataset-release diff (operators.cdc.corpus_diff): added /
+    removed / changed / unchanged per doc id across two snapshots
+    derived deterministically from the documents table (v1 drops ids
+    ≡0 mod 7; v2 drops ids ≡0 mod 5 and rewrites ids ≡0 mod 3).
+    One full-outer id join; content equality by md5."""
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import corpus_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = (docs.filter(F.col("doc_id") % 5 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 3 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return corpus_diff(old, new, "doc_id", "text").orderBy("id")
+
+
+def q_robust_anomalies(spark, sf_dir):
+    """Robust per-key outliers (streaming/events.py::
+    robust_value_anomalies): exact median/MAD modified z-scores per
+    event_type — the breakdown-resistant alternative to
+    event_rate_anomalies' moment z-scores.  Medians use the
+    rank-ceil(n/2) disc definition, so no FP beyond the final score."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        robust_value_anomalies,
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (robust_value_anomalies(ev, "event_type", "value",
+                                   "event_id", z=3.5)
+            .orderBy("key", "id"))
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility per language (operators.text.token_fertility
     — Rust et al. 2021): sub-tokens per whitespace word and chars per
@@ -2080,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "exact_quantiles": q_exact_quantiles,
         "priority_sample": q_priority_sample,
+        "corpus_diff": q_corpus_diff,
+        "robust_anomalies": q_robust_anomalies,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4204,6 +4238,49 @@ SELECT id, cast(rank as bigint) AS rank,
   cast((rank - 1) % 8 as bigint) AS shard,
   cast((rank - 1) // 8 as bigint) AS pos
 FROM r ORDER BY rank
+""",
+        # --- round 4: dataset-release diff ----------------------------------
+        "corpus_diff": """
+WITH o AS (SELECT doc_id AS id, md5(text) AS old_hash
+           FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id AS id,
+        md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+          AS new_hash
+      FROM documents WHERE doc_id % 5 <> 0),
+j AS (SELECT coalesce(o.id, n.id) AS id, old_hash, new_hash
+      FROM o FULL OUTER JOIN n ON o.id = n.id)
+SELECT id,
+  CASE WHEN old_hash IS NULL THEN 'added'
+       WHEN new_hash IS NULL THEN 'removed'
+       WHEN old_hash = new_hash THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  old_hash, new_hash
+FROM j ORDER BY id
+""",
+        # --- round 4: robust median/MAD anomalies ---------------------------
+        "robust_anomalies": """
+WITH vals AS (SELECT event_type AS key, event_id AS id,
+                cast(value as double) AS v
+              FROM events WHERE value IS NOT NULL),
+r1 AS (SELECT key, id, v,
+         row_number() OVER (PARTITION BY key ORDER BY v ASC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+       FROM vals),
+med AS (SELECT key, v AS med FROM r1
+        WHERE rn = cast(ceil(n / 2.0) as bigint)),
+dev AS (SELECT vals.key, id, v, med, abs(v - med) AS d
+        FROM vals JOIN med USING (key)),
+r2 AS (SELECT key, id, d,
+         row_number() OVER (PARTITION BY key ORDER BY d ASC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+       FROM dev),
+mad AS (SELECT key, d AS mad FROM r2
+        WHERE rn = cast(ceil(n / 2.0) as bigint)),
+s AS (SELECT dev.key, id, v AS value, med, mad,
+        0.6745 * (v - med) / mad AS rscore
+      FROM dev JOIN mad USING (key) WHERE mad > 0)
+SELECT key, id, value, med, mad, rscore
+FROM s WHERE abs(rscore) > 3.5 ORDER BY key, id
 """,
         # --- round 4: exact-size weighted priority sample -------------------
         "priority_sample": f"""

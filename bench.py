@@ -102,6 +102,8 @@ HEADLINE = [
     "token_fertility",
     "exact_quantiles",
     "priority_sample",
+    "corpus_diff",
+    "robust_anomalies",
 ]
 
 

@@ -476,3 +476,56 @@ def event_transitions(events: DataFrame,
                     F.col("prev_total").cast("long").alias("prev_total"),
                     (F.col("cnt") / F.col("prev_total")).alias("p"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def robust_value_anomalies(df: DataFrame, key_col: str, value_col: str,
+                           id_col: str, z: float = 3.5) -> DataFrame:
+    """Robust per-key outlier detection — median/MAD modified z-scores
+    (Iglewicz & Hoaglin 1993: ``0.6745·(x − med)/MAD``, flag |score| >
+    3.5) instead of mean/stddev, so a burst of extreme values cannot
+    drag the baseline toward itself and mask the very anomaly it is
+    (the breakdown-point argument; compare ``event_rate_anomalies``'
+    moment z-scores, which assume a clean majority).
+
+    Medians are EXACT, the rank-``ceil(n/2)`` disc definition (the
+    :func:`..operators.sketches.exact_quantiles` contract): two
+    key-bounded window passes — rank the values per key and keep the
+    median rank, then rank the absolute deviations per key for the
+    MAD — with each key-sized medians table joined back (broadcast-
+    eligible: one row per key).  Partition state is bounded by the
+    hottest key's row count, the same discipline as every per-key
+    window here.
+
+    Output: flagged rows ``key, id, value, med, mad, rscore``; keys
+    with MAD = 0 (over half the values identical) flag nothing —
+    documented: a constant-majority key needs a frequency gate, not a
+    dispersion gate.
+    """
+    vals = df.select(F.col(key_col).alias("key"),
+                     F.col(id_col).alias("id"),
+                     F.col(value_col).cast("double").alias("v")) \
+        .where(F.col("v").isNotNull())
+
+    def per_key_median(d: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("key").orderBy(F.col(col).asc(),
+                                              F.col("id").asc())
+        wc = Window.partitionBy("key")
+        return (d.withColumn("__rn__", F.row_number().over(w))
+                .withColumn("__n__", F.count(F.lit(1)).over(wc))
+                .where(F.col("__rn__")
+                       == F.ceil(F.col("__n__") / F.lit(2.0)).cast("int"))
+                .select("key", F.col(col).alias(f"med_{col}")))
+
+    med = per_key_median(vals, "v").withColumnRenamed("med_v", "med")
+    dev = (vals.join(F.broadcast(med), "key")
+           .withColumn("d", F.abs(F.col("v") - F.col("med"))))
+    mad = per_key_median(dev.select("key", "id", F.col("d").alias("v")),
+                         "v").withColumnRenamed("med_v", "mad")
+    scored = (dev.join(F.broadcast(mad), "key")
+              .where(F.col("mad") > 0)
+              .withColumn("rscore",
+                          F.lit(0.6745) * (F.col("v") - F.col("med"))
+                          / F.col("mad")))
+    return (scored.where(F.abs(F.col("rscore")) > z)
+            .select("key", "id", F.col("v").alias("value"), "med", "mad",
+                    "rscore"))

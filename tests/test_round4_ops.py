@@ -625,3 +625,37 @@ def test_priority_sample_exact_size_and_weight_bias(spark):
     b = [r["id"] for r in priority_sample(df.repartition(9), "id",
                                           F.col("w"), k=20).collect()]
     assert a == b
+
+
+def test_corpus_diff_classification(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "id long, text string")
+    out = {r["id"]: r["status"] for r in
+           corpus_diff(old, new, "id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_robust_anomalies_resist_outlier_mass(spark):
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        robust_value_anomalies,
+    )
+    # 20 values near 10 plus two far outliers: the MEDIAN baseline
+    # stays ~10 and both outliers flag (a mean/std z would be dragged)
+    rows = ([(i, "k", 10.0 + (i % 5) * 0.1) for i in range(20)]
+            + [(100, "k", 500.0), (101, "k", -400.0)])
+    df = spark.createDataFrame(rows, "id long, key string, v double")
+    out = robust_value_anomalies(df, "key", "v", "id", z=3.5).collect()
+    flagged = {r["id"] for r in out}
+    assert flagged == {100, 101}
+    by_id = {r["id"]: r for r in out}
+    assert by_id[100]["rscore"] > 0 and by_id[101]["rscore"] < 0
+    # constant-majority key (MAD = 0): flags nothing by contract
+    const = spark.createDataFrame(
+        [(i, "c", 1.0) for i in range(9)] + [(99, "c", 1000.0)],
+        "id long, key string, v double")
+    assert robust_value_anomalies(const, "key", "v", "id").collect() == []
