@@ -1824,6 +1824,21 @@ def q_robust_anomalies(spark, sf_dir):
             .orderBy("key", "id"))
 
 
+def q_dup_graph_stats(spark, sf_dir):
+    """Triangle census of the near-duplicate pair graph
+    (operators.graph.triangle_stats over ngram-Jaccard≥0.8 pairs):
+    global transitivity near 1 = clique-like true-dup groups, near 0 =
+    chained false positives — the one-number dedup-threshold health
+    check, run as a gauge like minhash_quality."""
+    from etl_excel_to_hyper_tableau_spark.operators.graph import (
+        triangle_stats,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                   threshold=0.8, max_df=100)
+    return triangle_stats(pairs, "id_a", "id_b")
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility per language (operators.text.token_fertility
     — Rust et al. 2021): sub-tokens per whitespace word and chars per
@@ -2114,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "corpus_diff": q_corpus_diff,
         "robust_anomalies": q_robust_anomalies,
+        "dup_graph_stats": q_dup_graph_stats,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4238,6 +4254,37 @@ SELECT id, cast(rank as bigint) AS rank,
   cast((rank - 1) % 8 as bigint) AS shard,
   cast((rank - 1) // 8 as bigint) AS pos
 FROM r ORDER BY rank
+""",
+        # --- round 4: dup-graph triangle census -----------------------------
+        "dup_graph_stats": f"""
+WITH sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+st AS (SELECT count(*) AS n_nodes,
+         cast(sum(deg * (deg - 1)) / 2 as bigint) AS n_wedges FROM deg),
+ne AS (SELECT count(*) AS n_edges FROM e)
+SELECT cast(n_nodes as bigint) AS n_nodes, cast(n_edges as bigint) AS n_edges,
+  cast(n_triangles as bigint) AS n_triangles, n_wedges,
+  CASE WHEN n_wedges > 0
+       THEN 3.0 * n_triangles / cast(n_wedges as double) END AS transitivity
+FROM st, ne, tri
 """,
         # --- round 4: dataset-release diff ----------------------------------
         "corpus_diff": """

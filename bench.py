@@ -104,6 +104,7 @@ HEADLINE = [
     "priority_sample",
     "corpus_diff",
     "robust_anomalies",
+    "dup_graph_stats",
 ]
 
 

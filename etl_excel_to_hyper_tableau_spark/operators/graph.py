@@ -110,3 +110,57 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       .alias("pagerank"))
               .localCheckpoint(eager=False))
     return pr
+
+
+def triangle_stats(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Triangle census of an undirected graph — one row with node/edge
+    counts, triangle count, wedge (open-triple) count, and global
+    transitivity ``3·T / W``.  On a near-duplicate pair graph this is
+    the clique-density gauge: true duplicate groups are near-cliques
+    (transitivity → 1), while chained false positives from an
+    over-loose threshold form paths (transitivity → 0) — a one-number
+    health check for the dedup threshold, run like the MinHash
+    precision/recall gauge.
+
+    Plan — the classic oriented-join formulation: dedupe + orient every
+    edge low-id → high-id (each triangle counted exactly once as
+    a < b < c), then one self-join on the shared middle vertex and one
+    membership join against the oriented edge list.  Join fan-out is
+    Σ C(deg⁺, 2) — bounded by the pair generator's ``max_df`` guard
+    upstream on dedup graphs; for general graphs the orientation
+    already assigns each edge to its lower-id end, the standard
+    skew-taming trick.  Wedges come from a degree aggregate
+    (Σ C(deg, 2), exact integers).  Transitivity is the single final
+    division.
+
+    Output: ``n_nodes, n_edges, n_triangles, n_wedges, transitivity``
+    (NULL transitivity on a wedge-free graph).
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    # triangles: (a<b) ⋈ (b<c) ⋈ membership of (a<c)
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (e1.join(e2, "b")
+           .join(e3, (F.col("a") == F.col("ta"))
+                 & (F.col("c") == F.col("tc")))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    und = e.select(F.col("a").alias("node")) \
+        .unionAll(e.select(F.col("b").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("long").alias("n_wedges"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (stats.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    F.when(F.col("n_wedges") > 0,
+                           F.lit(3.0) * F.col("n_triangles")
+                           / F.col("n_wedges").cast("double"))
+                    .alias("transitivity")))

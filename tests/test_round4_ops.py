@@ -659,3 +659,24 @@ def test_robust_anomalies_resist_outlier_mass(spark):
         [(i, "c", 1.0) for i in range(9)] + [(99, "c", 1000.0)],
         "id long, key string, v double")
     assert robust_value_anomalies(const, "key", "v", "id").collect() == []
+
+
+def test_triangle_stats_census(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.graph import (
+        triangle_stats,
+    )
+    # a triangle (1,2,3) + a path tail (3-4); duplicate + reversed
+    # edges must not double-count
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (4, 3)],
+        "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 4
+    assert row["n_triangles"] == 1
+    # wedges: deg(1)=2, deg(2)=2, deg(3)=3, deg(4)=1 -> 1+1+3+0 = 5
+    assert row["n_wedges"] == 5
+    assert row["transitivity"] == pytest.approx(3 / 5)
+    # wedge-free graph: one edge -> NULL transitivity
+    one = spark.createDataFrame([(7, 8)], "src long, dst long")
+    r1 = triangle_stats(one).collect()[0]
+    assert r1["n_wedges"] == 0 and r1["transitivity"] is None
