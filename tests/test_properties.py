@@ -427,3 +427,59 @@ def test_quantile_buckets_monotone_and_in_range(spark, vals):
     assert all(0 <= r["b"] < 8 for r in rows)
     by_v = sorted(rows, key=lambda r: r["v"])
     assert all(a["b"] <= b["b"] for a, b in zip(by_v, by_v[1:]))
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 10**6),
+                               st.sampled_from(["a", "b", "c"])),
+                     min_size=1, max_size=25, unique_by=lambda t: t[0]),
+       e_int=st.integers(0, 3),
+       e_frac=st.sampled_from([0.0, 0.25, 0.5, 0.75]))
+def test_upsample_epochs_matches_python_model(spark, rows, e_int, e_frac):
+    """Replica multiset == the Python model: floor(e) copies plus one
+    iff the row's hash bucket clears the fractional threshold."""
+    import hashlib
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        BUCKETS, upsample_epochs,
+    )
+    e = e_int + e_frac
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = sorted((r["id"], r["epoch"]) for r in
+                 upsample_epochs(df, "id", "src", {"a": e, "b": e},
+                                 default=e).collect())
+
+    def bucket(i):
+        h = hashlib.md5(f"epoch:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % BUCKETS
+
+    frac_buckets = int(round(e_frac * BUCKETS))
+    want = sorted(
+        (i, k)
+        for i, _ in rows
+        for k in range(e_int + (1 if bucket(i) < frac_buckets else 0)))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30,
+                    unique=True),
+       n_shards=st.integers(1, 5))
+def test_training_order_matches_python_model(spark, ids, n_shards):
+    """The distributed two-phase rank reproduces the plain sorted-by-
+    md5 permutation, shard striping included."""
+    import hashlib
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        training_order,
+    )
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted((r["id"], r["rank"], r["shard"], r["pos"]) for r in
+                 training_order(df, "id", n_shards=n_shards).collect())
+
+    def h(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode())
+                   .hexdigest()[:15], 16)
+
+    order = sorted(ids, key=lambda i: (h(i), i))
+    want = sorted((i, r + 1, r % n_shards, r // n_shards)
+                  for r, i in enumerate(order))
+    assert got == want
