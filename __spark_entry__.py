@@ -1839,6 +1839,19 @@ def q_dup_graph_stats(spark, sf_dir):
     return triangle_stats(pairs, "id_a", "id_b")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators.quality.k_anonymity_report —
+    Sweeney 2002): customer groups under k=3 on the
+    (nation, market-segment) quasi-identifier pair, the structural
+    privacy check next to the regex PII scrub."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        k_anonymity_report,
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=3)
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
 def q_token_fertility(spark, sf_dir):
     """Tokenizer fertility per language (operators.text.token_fertility
     — Rust et al. 2021): sub-tokens per whitespace word and chars per
@@ -2130,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
+        "k_anonymity": q_k_anonymity,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4254,6 +4268,13 @@ SELECT id, cast(rank as bigint) AS rank,
   cast((rank - 1) % 8 as bigint) AS shard,
   cast((rank - 1) // 8 as bigint) AS pos
 FROM r ORDER BY rank
+""",
+        # --- round 4: k-anonymity audit -------------------------------------
+        "k_anonymity": """
+SELECT c_nationkey, c_mktsegment,
+  cast(count(*) as bigint) AS group_size
+FROM customer GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 3 ORDER BY c_nationkey, c_mktsegment
 """,
         # --- round 4: dup-graph triangle census -----------------------------
         "dup_graph_stats": f"""

@@ -126,3 +126,28 @@ def corpus_summary(df: DataFrame, text_col: str, lang_col: str,
                      / F.col("n_docs").cast("double")).alias("avg_doc_tokens"),
                     "n_langs", "lang_entropy", "n_sources",
                     "top_source_share"))
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): rows whose quasi-identifier
+    combination is shared by fewer than ``k`` records are
+    re-identifiable by linkage — the structural privacy check that
+    complements the regex PII scrub (``pii_redact`` finds explicit
+    identifiers; this finds rows made identifiable by the COMBINATION
+    of innocuous attributes).  Training-data releases run both.
+
+    One partial-aggregating ``groupBy`` over the quasi-identifier
+    columns → filter groups under ``k``.  Output: one row per
+    violating group (``*quasi_cols, group_size``) — release-blocking
+    until generalization/suppression brings every group to ≥ k.
+    Group-count output is bounded by the number of DISTINCT
+    quasi-identifier combinations, not rows.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+            .where(F.col("group_size") < k))

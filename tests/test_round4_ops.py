@@ -680,3 +680,20 @@ def test_triangle_stats_census(spark):
     one = spark.createDataFrame([(7, 8)], "src long, dst long")
     r1 = triangle_stats(one).collect()[0]
     assert r1["n_wedges"] == 0 and r1["transitivity"] is None
+
+
+def test_k_anonymity_report_flags_small_groups(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        k_anonymity_report,
+    )
+    rows = ([(i, 30, "US") for i in range(5)]      # group of 5: safe at k=5
+            + [(10, 30, "FR"), (11, 30, "FR")]     # group of 2: violates
+            + [(20, 40, "US")])                    # singleton: violates
+    df = spark.createDataFrame(rows, "id long, age long, country string")
+    out = {(r["age"], r["country"]): r["group_size"] for r in
+           k_anonymity_report(df, ["age", "country"], k=5).collect()}
+    assert out == {(30, "FR"): 2, (40, "US"): 1}
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["age"], k=1)
