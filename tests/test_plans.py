@@ -50,3 +50,36 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_no_rowwise_python_udf_anywhere(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_round4_plan_shapes(spark, sf_dir):
+    """Pin the round-4 operators' scale claims to their physical plans:
+    map-only ops compile without a shuffle Exchange, single-shuffle ops
+    carry exactly the claimed exchanges, top-k ops use
+    TakeOrderedAndProject (never a global rank window)."""
+    # epoch_upsample: map-only explode — zero shuffle exchanges
+    p = _plan(spark, sf_dir, "epoch_upsample")
+    assert "Exchange hashpartitioning" not in p \
+        and "Exchange rangepartitioning" not in p
+    # priority_sample: map-only scoring + global top-k
+    p = _plan(spark, sf_dir, "priority_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    # vocab_drift: ONE data shuffle (the token groupBy) — the tagged
+    # union must not add per-side exchanges; top-k is TakeOrdered
+    p = _plan(spark, sf_dir, "vocab_drift")
+    assert p.count("Exchange hashpartitioning") <= 2  # counts + tot agg
+    assert "TakeOrderedAndProject" in p
+    # corpus_diff: a single id-keyed exchange per side, no nested loops
+    p = _plan(spark, sf_dir, "corpus_diff")
+    assert "CartesianProduct" not in p \
+        and "BroadcastNestedLoopJoin" not in p
+    # dup_ngram_stats / token_fertility: partial+final aggregate pairs
+    for name in ("dup_ngram_stats", "token_fertility"):
+        p = _plan(spark, sf_dir, name)
+        assert p.count("HashAggregate") >= 2, name
+    # TPC-H Q7/Q8: every dim side broadcast, facts never nested-loop
+    for name, n_bhj in (("volume_shipping", 3), ("market_share", 4)):
+        p = _plan(spark, sf_dir, name)
+        assert p.count("BroadcastHashJoin") >= n_bhj, name
+        assert "CartesianProduct" not in p, name
