@@ -30,8 +30,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # round-4: dsir_weights / vocab_drift cross-join
                   # broadcast ONE-ROW totals (tot_t/tot_r, tot_a/tot_b);
                   # corpus_summary cross-joins its one-row doc/token
-                  # totals into the metadata-sized lang/source aggs
-                  "dsir_weights", "vocab_drift", "corpus_summary"}
+                  # totals into the metadata-sized lang/source aggs;
+                  # dup_graph_stats combines its three ONE-ROW census
+                  # aggregates (stats × n_edges × triangles) the same way
+                  "dsir_weights", "vocab_drift", "corpus_summary",
+                  "dup_graph_stats"}
 
 
 def _plan(df) -> str:
