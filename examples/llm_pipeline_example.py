@@ -6,8 +6,9 @@ operators a 100 TB data-curation run chains, on one page:
     canonical-document election (highest-quality survivor per cluster)
     → decontaminate vs a benchmark slice → PII redact →
     train/val/test split → mixture weights + sample → negative pairs →
-    context-window packing → token-balanced shards → stage to parquet
-    → compact
+    context-window packing → token-balanced shards → epoch
+    upsampling + reproducible training-order shuffle → stage to
+    parquet → compact
 
 Every stage is one of the engine's oracle-verified operators; this
 script just composes them.  Run:
@@ -127,6 +128,19 @@ def main() -> None:
     tmax = max(r["t"] for r in shard_tokens)
     tmin = min(r["t"] for r in shard_tokens)
 
+    # 6d. data-recipe repetition: the high-quality source trains for
+    # 2 epochs, everything else for 1 (Touvron et al. §2.1) — then a
+    # reproducible global order shuffle so SGD doesn't see one domain
+    # at a time (hash permutation, never ORDER BY rand())
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        training_order,
+    )
+    repeated = sp.upsample_epochs(mixed, "doc_id", "source",
+                                  {"src0": 2.0}, default=1.0)
+    n_rep = repeated.count()
+    ordered = training_order(mixed, "doc_id", n_shards=8)
+    first_ids = [r["id"] for r in ordered.orderBy("rank").limit(3).collect()]
+
     # 7. stage to parquet partitioned by split (the training-ready
     # layout), then compact — incremental ingests accrete small files
     split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
@@ -142,7 +156,9 @@ def main() -> None:
           f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "
           f"staged at {out_dir} "
           f"({stats['files_in']}→{stats['files_out']} files compacted); "
-          f"8 shards balanced to {tmin}-{tmax} tokens")
+          f"8 shards balanced to {tmin}-{tmax} tokens; "
+          f"epoch-repeated to {n_rep} rows; "
+          f"training order opens with docs {first_ids}")
     spark.stop()
 
 
