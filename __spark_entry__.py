@@ -1843,12 +1843,15 @@ def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit (operators.quality.k_anonymity_report —
     Sweeney 2002): customer groups under k=3 on the
     (nation, market-segment) quasi-identifier pair, the structural
-    privacy check next to the regex PII scrub."""
+    privacy check next to the regex PII scrub.  k=8 so the threshold
+    bites at the driver's sf0.01 (the smallest (nation, segment) group
+    there has 5 members; k=3 returned zero rows — a trivially-matching
+    empty oracle is weak correctness evidence)."""
     from etl_excel_to_hyper_tableau_spark.operators.quality import (
         k_anonymity_report,
     )
     cust = _t(spark, sf_dir, "customer")
-    return (k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=3)
+    return (k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=8)
             .orderBy("c_nationkey", "c_mktsegment"))
 
 
@@ -1872,27 +1875,41 @@ def q_dup_ngram_stats(spark, sf_dir):
 
 
 def q_sketch_profile(spark, sf_dir):
-    """Approximate aggregation sketches — the 100 TB profiling tools:
-    HyperLogLog++ distinct counts (fixed-size state, map-side
-    combinable, exact count-distinct's shuffle-free cousin) and a
-    quantile sketch.  Rows-only entry: sketch estimates are
-    engine-specific by construction; the error bound vs exact values
-    is pinned in tests/test_sketches.py instead.  The quantile array
-    is unpacked to three scalar columns at this boundary (driver
-    canonicalizer can't hash list cells)."""
+    """One-row fact-table data card built ENTIRELY from portable
+    sketches, so every estimate is value-verifiable by the DuckDB
+    oracle (rounds 1-3 used Spark's built-in HLL++ /
+    ``percentile_approx``, whose internal state is engine-specific —
+    that left this entry rows-only; the built-in sketches' error
+    bounds stay pinned in tests/test_sketches.py): md5-register HLL
+    NDVs for the three join keys (operators.sketches.hll_build, m=256
+    registers each) and equi-width histogram-sketch price quantiles
+    (histogram_sketch / histogram_quantiles, 512 integer cells, linear
+    interpolation).  Each sketch's exchange is register-bounded — ≤ m
+    (or ≤ bins) rows per partition regardless of data size — and the
+    final assembly is one-row broadcast cross joins, the same shape a
+    1000-executor profiling job would ship to the driver dashboard."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch, hll_build, hll_estimate,
+    )
     li = _t(spark, sf_dir, "lineitem")
-    pq = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("ndv_orders"),
-        F.approx_count_distinct("l_partkey").alias("ndv_parts"),
-        F.approx_count_distinct("l_suppkey").alias("ndv_suppliers"),
-        pq.alias("__pq__"),
-        F.count("*").alias("n_rows")).select(
-            "ndv_orders", "ndv_parts", "ndv_suppliers",
-            F.element_at("__pq__", 1).alias("price_p50"),
-            F.element_at("__pq__", 2).alias("price_p95"),
-            F.element_at("__pq__", 3).alias("price_p99"),
-            "n_rows")
+    ndvs = [
+        hll_estimate(hll_build(li, c, p=8), p=8)
+        .select(F.col("estimate").alias(alias))
+        for c, alias in (("l_orderkey", "ndv_orders"),
+                         ("l_partkey", "ndv_parts"),
+                         ("l_suppkey", "ndv_suppliers"))]
+    prices = (histogram_quantiles(
+        histogram_sketch(li, "l_extendedprice", bins=512), 512,
+        (0.5, 0.95, 0.99))
+        .agg(*[F.max(F.when(F.col("q") == q, F.col("estimate")))
+               .alias(a) for q, a in ((0.5, "price_p50"),
+                                      (0.95, "price_p95"),
+                                      (0.99, "price_p99"))]))
+    n = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    out = ndvs[0]
+    for one_row in (*ndvs[1:], prices, n):
+        out = out.crossJoin(one_row)
+    return out
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -2038,8 +2055,8 @@ def q_content_chunks(spark, sf_dir):
 
 def q_hll_distinct(spark, sf_dir):
     """PORTABLE HyperLogLog distinct counts (operators.sketches.
-    hll_build/hll_estimate): unlike the engine-specific HLL++ state in
-    sketch_profile, every register is md5-derived and the estimate is
+    hll_build/hll_estimate): unlike Spark's engine-specific built-in
+    HLL++ state, every register is md5-derived and the estimate is
     pure arithmetic over exact integer register sums — so the DuckDB
     oracle reproduces the whole sketch AND the estimate bit-for-bit
     (the count-min portability doctrine applied to count-distinct).
@@ -2407,6 +2424,85 @@ def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
             f"estimate, cast(exact_ndv as bigint) AS exact_ndv, "
             f"round(abs(estimate - exact_ndv) / exact_ndv, 6) AS rel_error "
             f"FROM ({union}) ORDER BY key_col")
+
+
+def _sketch_profile_sql(p: int = 8, bins: int = 512) -> str:
+    """Portable-sketch data-card oracle: the same md5-register HLL
+    arithmetic as :func:`_hll_sql` (estimate only) for the three NDV
+    columns, plus the equi-width histogram quantile estimator with the
+    engine's exact op order — bin ``least(bins-1, floor((v - lo) /
+    (hi - lo) * bins))``, cumulative integer counts, and the linear
+    interpolation ``lo + (bin + (t - cum_before)/cnt)*(hi - lo)/bins``
+    rounded to 6 decimals on both sides."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        _hll_alpha,
+    )
+    m = 1 << p
+    nbits = 60 - p
+    two_nbits = 1 << nbits
+    alpha = _hll_alpha(m)
+    er = (f"cast({alpha!r} as double) * cast({float(m)!r} as double) "
+          f"* cast({float(m)!r} as double) "
+          f"* cast({float(two_nbits)!r} as double) "
+          f"/ cast(raw_register_sum as double)")
+    arms = []
+    for c, alias in (("l_orderkey", "ndv_orders"),
+                     ("l_partkey", "ndv_parts"),
+                     ("l_suppkey", "ndv_suppliers")):
+        h = _MD5I.format(x=f"cast({c} as varchar)")
+        arms.append(f"""
+(SELECT round(CASE WHEN ({er}) <= {2.5 * m!r} AND v_zero > 0
+            THEN {float(m)!r} * ln({float(m)!r} / cast(v_zero as double))
+            ELSE ({er}) END, 4) AS {alias}
+ FROM (
+   SELECT cast({m} - n_hit as bigint) AS v_zero,
+     cast(s_hit + ({m} - n_hit) * {two_nbits} as bigint)
+       AS raw_register_sum
+   FROM (
+     SELECT count(*) AS n_hit,
+       coalesce(sum(cast(power(2.0, {nbits} - max_rank) as bigint)), 0)
+         AS s_hit
+     FROM (
+       SELECT register, max(rank) AS max_rank FROM (
+         SELECT h % {m} AS register,
+           CASE WHEN (h // {m}) > 0
+                THEN {nbits + 1} - length(bin(h // {m}))
+                ELSE {nbits + 1} END AS rank
+         FROM (SELECT {h} AS h FROM lineitem WHERE {c} IS NOT NULL))
+       GROUP BY register)))) AS t_{alias}""")
+    hist = f"""
+vals AS (SELECT cast(l_extendedprice as double) v FROM lineitem
+         WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT min(v) lo, max(v) hi, count(*) n FROM vals),
+cells AS (
+  SELECT CASE WHEN hi = lo THEN 0
+         ELSE cast(least({bins - 1},
+                         floor((v - lo) / (hi - lo) * {bins})) as int)
+         END AS bin, count(*) cnt
+  FROM vals, b GROUP BY 1),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum,
+        sum(cnt) OVER (ORDER BY bin) - cnt cum_before FROM cells),
+tgt AS (SELECT cast(q as double) q,
+        cast(ceil(cast(q as double) * n) as bigint) target_rank, lo, hi
+        FROM (SELECT unnest([0.5, 0.95, 0.99]) q), b),
+hit AS (SELECT q, target_rank, lo, hi,
+        min_by(bin, bin) bin, min_by(cnt, bin) cnt,
+        min_by(cum_before, bin) cum_before
+        FROM tgt JOIN cum ON cum >= target_rank
+        GROUP BY q, target_rank, lo, hi),
+est AS (SELECT q,
+        round(CASE WHEN hi = lo THEN lo ELSE
+          lo + (bin + (target_rank - cum_before) / cnt) * (hi - lo)
+          / cast({bins} as double) END, 6) estimate FROM hit),
+prices AS (SELECT
+   max(CASE WHEN q = 0.5 THEN estimate END) AS price_p50,
+   max(CASE WHEN q = 0.95 THEN estimate END) AS price_p95,
+   max(CASE WHEN q = 0.99 THEN estimate END) AS price_p99 FROM est),
+nr AS (SELECT cast(count(*) as bigint) AS n_rows FROM lineitem)"""
+    return (f"WITH {hist} "
+            f"SELECT ndv_orders, ndv_parts, ndv_suppliers, "
+            f"price_p50, price_p95, price_p99, n_rows FROM "
+            + ", ".join(arms) + ", prices, nr")
 
 
 _DOT = ("list_reduce(list_apply(range(1, 65), "
@@ -4274,7 +4370,7 @@ FROM r ORDER BY rank
 SELECT c_nationkey, c_mktsegment,
   cast(count(*) as bigint) AS group_size
 FROM customer GROUP BY c_nationkey, c_mktsegment
-HAVING count(*) < 3 ORDER BY c_nationkey, c_mktsegment
+HAVING count(*) < 8 ORDER BY c_nationkey, c_mktsegment
 """,
         # --- round 4: dup-graph triangle census -----------------------------
         "dup_graph_stats": f"""
@@ -4409,6 +4505,8 @@ FROM pg GROUP BY source ORDER BY source
 """,
         # --- round 4: portable HyperLogLog (bit-exact oracle) ---------------
         "hll_distinct": _hll_sql(),
+        # --- round 4: fully-portable sketch data card -----------------------
+        "sketch_profile": _sketch_profile_sql(),
         # --- round 4: streaming HLL ingest (== batch sketch over bounded src)
         "stream_hll_distinct": _hll_sql(cols=("doc_id",),
                                         table="documents"),

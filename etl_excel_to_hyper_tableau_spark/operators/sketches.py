@@ -2,8 +2,8 @@
 "An Improved Data Stream Summary: The Count-Min Sketch and its
 Applications", J. Algorithms 2005).
 
-Completes the approximate-aggregation family next to the built-in
-HyperLogLog++ / quantile sketches (`sketch_profile` entry): CMS answers
+Completes the approximate-aggregation family (portable HLL below,
+histogram quantile sketch, exact distributed quantiles): CMS answers
 point-frequency queries ("how often does key k appear?") from d×w
 counters — fixed-size state no matter the stream length, cell-wise
 additive across partitions/batches, over-estimating only.
@@ -230,3 +230,130 @@ def exact_quantiles(df: DataFrame, value_col: str,
             .select(tgt[F.col("rank")].alias("q"), "rank",
                     F.col("v").cast("double").alias("value"))
             .orderBy("q"))
+
+
+# ---------------------------------------------------------------------------
+# Portable equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def histogram_sketch(df: DataFrame, value_col: str, bins: int = 256,
+                     lo: float | None = None,
+                     hi: float | None = None) -> DataFrame:
+    """Equi-width histogram sketch of ``value_col`` — the PORTABLE
+    quantile sketch next to :func:`hll_build` (count-distinct) and
+    :func:`count_min_build` (point frequency): unlike the
+    engine-specific ``percentile_approx`` (Greenwald-Khanna) state,
+    every cell is exact integer arithmetic an external SQL oracle
+    reproduces bit-for-bit, so the estimates are value-verifiable, not
+    just error-bounded.
+
+    Two passes: a one-row bounds aggregate (exact ``min, max, count`` —
+    at a 100 TB deployment this pass reads only parquet footer stats
+    when the column is unfiltered), then a map-only bin assignment
+    ``least(bins-1, floor((v - lo) / (hi - lo) * bins))`` and ONE
+    partial-agg groupBy onto ≤ ``bins`` cells — every partition
+    contributes at most ``bins`` rows to the exchange regardless of row
+    count, and sketches over disjoint data (same bounds) merge by
+    cell-wise sum, the same fixed-communication property as HLL/CMS.
+
+    Output: ``bin, cnt, lo, hi, n`` (≤ bins rows; the bounds travel
+    with the sketch so it is self-describing; absent bins are empty).
+    Degenerate inputs: all-equal values land in bin 0; all-NULL/empty
+    input yields an empty sketch.
+
+    ``lo``/``hi`` pin the bounds explicitly instead of the min/max
+    pre-pass — the shard-merge workflow: compute global bounds once,
+    sketch disjoint shards against the SAME fixed grid, merge by
+    cell-wise sum (out-of-range values clamp into the edge bins).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    vals = (df.select(F.col(value_col).cast("double").alias("v"))
+            .where(F.col("v").isNotNull()))
+    if lo is None:
+        bounds = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                          F.count(F.lit(1)).alias("n"))
+    else:
+        if not lo <= hi:
+            raise ValueError("lo must be <= hi")
+        bounds = vals.agg(F.lit(float(lo)).alias("lo"),
+                          F.lit(float(hi)).alias("hi"),
+                          F.count(F.lit(1)).alias("n"))
+    # (v - lo) / (hi - lo) * bins in EXACTLY this association — the SQL
+    # oracle mirrors the op order so IEEE correct rounding makes the
+    # bin id engine-independent.
+    raw = F.floor((F.col("v") - F.col("lo"))
+                  / (F.col("hi") - F.col("lo")) * F.lit(bins))
+    # greatest(0, ...) only bites under explicit bounds (clamps
+    # out-of-range values into the edge bins); with the min/max
+    # pre-pass raw is already >= 0, so the auto-bounds output — and
+    # the SQL oracle mirroring it — is unchanged.
+    bin_id = F.when(F.col("hi") == F.col("lo"), F.lit(0)) \
+        .otherwise(F.greatest(F.lit(0).cast("bigint"),
+                              F.least(F.lit(bins - 1).cast("bigint"),
+                                      raw))).cast("int")
+    return (vals.crossJoin(F.broadcast(bounds))
+            .select(bin_id.alias("bin"), "lo", "hi", "n")
+            .groupBy("bin", "lo", "hi", "n")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select("bin", "cnt", "lo", "hi", "n"))
+
+
+def histogram_quantiles(sketch: DataFrame, bins: int,
+                        qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                        round_to: int = 6) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_sketch`: for target
+    rank ``ceil(q*n)`` find the first bin whose cumulative count
+    reaches it, then interpolate linearly inside the bin —
+    ``lo + (bin + (target - cum_before) / cnt) * (hi - lo) / bins`` is
+    the classic equi-width estimator with error ≤ one bin width.
+    ``bins`` must be the build's value (the sketch stores only occupied
+    cells, so the width constant cannot be recovered from it).
+
+    The cumulative scan is a window over the ≤ ``bins``-row sketch
+    (metadata-sized — never over the data; the single-partition window
+    is deliberate at that size).  FP portability: counts and targets
+    are exact integers; the estimate is four FP ops performed in the
+    same order by the SQL oracle and rounded at the boundary.
+
+    Output: ``q, target_rank, estimate`` — one row per requested
+    quantile (empty sketch → empty output; a degenerate lo == hi
+    sketch estimates every quantile as ``lo`` exactly).
+    """
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)) \
+                .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double")
+    tgt = qdf.crossJoin(F.broadcast(
+        sketch.select("n", "lo", "hi").limit(1))) \
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n"))
+                    .cast("long"))
+    # first bin with cum >= target: min(bin-struct) over the qualifying
+    # set — a broadcast theta-join against the ≤ bins-row cumulative
+    # table (never against the data).
+    hit = (tgt.join(F.broadcast(cum.select("bin", "cnt", "cum",
+                                           "cum_before")),
+                    F.col("cum") >= F.col("target_rank"))
+           .groupBy("q", "target_rank", "n", "lo", "hi")
+           .agg(F.min(F.struct("bin", "cnt", "cum_before"))
+                .alias("__b__")))
+    est = (F.col("lo")
+           + (F.col("__b__.bin")
+              + (F.col("target_rank") - F.col("__b__.cum_before"))
+              / F.col("__b__.cnt"))
+           * (F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(est)
+    return (hit.select("q", "target_rank",
+                       F.round(est, round_to).alias("estimate"))
+            .orderBy("q"))
+
+

@@ -34,7 +34,12 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # dup_graph_stats combines its three ONE-ROW census
                   # aggregates (stats × n_edges × triangles) the same way
                   "dsir_weights", "vocab_drift", "corpus_summary",
-                  "dup_graph_stats"}
+                  "dup_graph_stats",
+                  # sketch_profile assembles ONE-ROW sketch estimates
+                  # by broadcast cross join, and histogram_quantiles
+                  # theta-joins the ≤ |qs|-row target table against the
+                  # BROADCAST ≤ bins-row cumulative sketch
+                  "sketch_profile"}
 
 
 def _plan(df) -> str:

@@ -1,8 +1,9 @@
-"""Approximate-sketch profiling (`sketch_profile`): the estimates are
-engine-specific (hence rows-only in the driver oracle), so correctness
-here means *bounded relative error vs the exact answers* plus the
-plan property that makes sketches the scale tool: fixed-size partial
-aggregation, no shuffle of raw values."""
+"""Approximate-sketch profiling: bounded relative error vs the exact
+answers plus the plan property that makes sketches the scale tool —
+fixed-size partial aggregation, no shuffle of raw values.  The
+`sketch_profile` entry runs on the PORTABLE md5-HLL + histogram
+family (value-exact vs the DuckDB oracle); Spark's engine-specific
+built-in sketches are error-bound-pinned separately below."""
 
 from __future__ import annotations
 
@@ -18,28 +19,49 @@ def test_sketch_estimates_within_error_bounds(spark, sf_dir):
         F.countDistinct("l_partkey").alias("p"),
         F.countDistinct("l_suppkey").alias("s"),
         F.count("*").alias("n")).collect()[0]
-    # HLL++ default rsd = 5%; assert a loose 10% envelope
+    # portable HLL at m=256: stderr ~6.5%; assert a 3-sigma envelope
     for got, want in [(row["ndv_orders"], exact["o"]),
                       (row["ndv_parts"], exact["p"]),
                       (row["ndv_suppliers"], exact["s"])]:
-        assert abs(got - want) <= max(0.10 * want, 2), (got, want)
+        assert abs(got - want) <= max(0.20 * want, 4), (got, want)
     assert row["n_rows"] == exact["n"]
-    # quantile sketch (accuracy 10000 → ~0.01% rank error): compare
-    # against exact percentile_cont-style quantiles within 1% of value
+    # histogram quantile sketch: error ≤ one bin width = (hi-lo)/512
     qs = [row["price_p50"], row["price_p95"], row["price_p99"]]
     assert qs[0] < qs[1] < qs[2]
+    lo, hi = li.agg(F.min("l_extendedprice"),
+                    F.max("l_extendedprice")).collect()[0]
+    bin_w = (hi - lo) / 512
     exact_q = li.selectExpr(
-        "percentile(l_extendedprice, array(0.5, 0.95, 0.99)) as q").collect()[0]["q"]
+        "percentile(l_extendedprice, array(0.5, 0.95, 0.99)) as q"
+    ).collect()[0]["q"]
     for got, want in zip(qs, exact_q):
-        assert abs(got - want) <= 0.01 * want, (got, want)
+        assert abs(got - want) <= bin_w, (got, want, bin_w)
 
 
-def test_sketch_plan_is_partial_aggregate(spark, sf_dir):
+def test_native_spark_sketches_within_error_bounds(spark, sf_dir):
+    """Spark's built-in HLL++ / Greenwald-Khanna sketches (engine-
+    specific state — the reason sketch_profile switched to the portable
+    family for its value oracle) stay pinned by error bound here."""
+    li = entry._t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("ndv"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.countDistinct("l_orderkey").alias("exact_ndv"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    ).collect()[0]
+    assert abs(row["ndv"] - row["exact_ndv"]) <= 0.10 * row["exact_ndv"]
+    assert abs(row["p50"] - row["exact_p50"]) <= 0.01 * row["exact_p50"]
+
+
+def test_sketch_profile_exchanges_are_register_bounded(spark, sf_dir):
     plan = (entry.q_sketch_profile(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
-    # partial sketch state reduces map-side; one exchange to merge
+    # every sketch reduces map-side before its exchange
     assert "partial" in plan.lower()
-    assert plan.count("Exchange") == 1, plan
+    # 3 HLL register merges + histogram cell merge + bounds/count aggs:
+    # all single-column partial aggregates; no join exchange anywhere
+    # (assembly is broadcast-only)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_count_min_matches_python_model_and_bounds(spark):
@@ -141,3 +163,65 @@ def test_hll_build_is_register_bounded(spark):
     sk = hll_build(df, "k", p=6).collect()
     assert len(sk) <= 64
     assert all(1 <= r["max_rank"] <= 55 for r in sk)
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """Equi-width estimator error bound: each estimate is within one
+    bin width of the exact quantile."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch,
+    )
+    df = spark.range(10_000).select(
+        ((F.col("id") * 37) % 10_000).cast("double").alias("v"))
+    sk = histogram_sketch(df, "v", bins=100)
+    got = {r["q"]: r["estimate"]
+           for r in histogram_quantiles(sk, 100, (0.25, 0.5, 0.9)).collect()}
+    # values are the permutation of 0..9999 -> exact quantile q*N
+    for q in (0.25, 0.5, 0.9):
+        assert abs(got[q] - q * 10_000) <= 9_999 / 100 + 1, (q, got[q])
+
+
+def test_histogram_sketches_merge_cellwise(spark):
+    """The shard-merge workflow: sketches over disjoint halves built
+    against the SAME pinned bounds, merged by cell-wise sum, equal the
+    whole-stream (auto-bounds) sketch exactly."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_sketch,
+    )
+    whole = spark.range(4_000).select(F.col("id").cast("double").alias("v"))
+    sk_w = {r["bin"]: r["cnt"]
+            for r in histogram_sketch(whole, "v", bins=64).collect()}
+    a = whole.filter(F.col("v") % 2 == 0)
+    b = whole.filter(F.col("v") % 2 == 1)
+    merged = (histogram_sketch(a, "v", bins=64, lo=0.0, hi=3999.0)
+              .unionByName(histogram_sketch(b, "v", bins=64,
+                                            lo=0.0, hi=3999.0))
+              .groupBy("bin").agg(F.sum("cnt").alias("cnt")))
+    sk_m = {r["bin"]: r["cnt"] for r in merged.collect()}
+    assert sk_m == sk_w
+
+
+def test_histogram_sketch_state_is_bin_bounded(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_sketch,
+    )
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).cast("double").alias("v"))
+    sk = histogram_sketch(df, "v", bins=32)
+    assert sk.count() <= 32
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+
+
+def test_histogram_sketch_degenerate_inputs(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch,
+    )
+    const = spark.range(50).select(F.lit(7.0).alias("v"))
+    sk = histogram_sketch(const, "v", bins=16)
+    rows = sk.collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["cnt"] == 50
+    est = histogram_quantiles(sk, 16, (0.5, 0.99)).collect()
+    assert [r["estimate"] for r in est] == [7.0, 7.0]
+    empty = spark.range(5).select(F.lit(None).cast("double").alias("v"))
+    assert histogram_sketch(empty, "v", bins=16).count() == 0
