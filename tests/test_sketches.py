@@ -225,3 +225,29 @@ def test_histogram_sketch_degenerate_inputs(spark):
     assert [r["estimate"] for r in est] == [7.0, 7.0]
     empty = spark.range(5).select(F.lit(None).cast("double").alias("v"))
     assert histogram_sketch(empty, "v", bins=16).count() == 0
+
+
+def test_sketch_profile_entry_pins_operator_outputs(spark, sf_dir):
+    """The entry's one-row card must equal the public operators'
+    outputs column-for-column (guards the entry-level pivot/rename
+    plumbing around hll_estimate / histogram_quantiles)."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch, hll_build, hll_estimate,
+    )
+    li = entry._t(spark, sf_dir, "lineitem")
+    ndvs = {alias: hll_estimate(hll_build(li, c, p=8), p=8)
+            .collect()[0]["estimate"]
+            for c, alias in (("l_orderkey", "ndv_orders"),
+                             ("l_partkey", "ndv_parts"),
+                             ("l_suppkey", "ndv_suppliers"))}
+    qs = {r["q"]: r["estimate"] for r in histogram_quantiles(
+        histogram_sketch(li, "l_extendedprice", bins=512), 512,
+        (0.5, 0.95, 0.99)).collect()}
+    fused = entry.q_sketch_profile(spark, sf_dir).collect()[0]
+    assert fused["ndv_orders"] == ndvs["ndv_orders"]
+    assert fused["ndv_parts"] == ndvs["ndv_parts"]
+    assert fused["ndv_suppliers"] == ndvs["ndv_suppliers"]
+    assert fused["price_p50"] == qs[0.5]
+    assert fused["price_p95"] == qs[0.95]
+    assert fused["price_p99"] == qs[0.99]
+    assert fused["n_rows"] == li.count()
