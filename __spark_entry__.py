@@ -1724,6 +1724,111 @@ def q_market_share(spark, sf_dir):
             .orderBy("o_year"))
 
 
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: suppliers achieving the MAXIMUM quarterly
+    revenue (the create-view + scalar-subquery-max pattern, ties
+    kept).  The revenue aggregate is computed once and self-compared
+    against its broadcast one-row max — no re-scan of the fact table
+    for the subquery, which is the plan Q15's VIEW formulation exists
+    to enable (reference delegates all SQL — query.py:30-34 — so
+    shapes, not text, are the contract)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_revenue_dec()).alias("total_rev"))
+           .localCheckpoint(eager=True))  # view computed ONCE, used 2×
+    mx = rev.agg(F.max("total_rev").alias("__mx__"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx__"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev"))
+            .orderBy("s_suppkey"))
+
+
+def q_big_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers who placed an order whose summed
+    line quantity exceeds a threshold — the IN (GROUP BY ... HAVING)
+    pattern.  The having-filter runs on the aggregate BEFORE the
+    customer/order joins, so only qualifying keys (a tiny set) enter
+    the join; both dims then join broadcast-vs-qualifying."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec2(F.col("l_quantity"))).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 200))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_orderdate").cast("date").cast("string")
+                    .alias("o_orderdate"),
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy("c_custkey", "o_orderkey"))
+
+
+def q_late_blame_supplier(spark, sf_dir):
+    """TPC-H Q21 shape adapted to this schema (no commit/receipt
+    dates): among multi-supplier orders, count per supplier the orders
+    where THEY shipped later than 60 days after the order date and NO
+    other supplier on the order did — the double-correlated
+    EXISTS / NOT EXISTS census, rewritten as one per-(order, supplier)
+    aggregate + a window over the order (two hash exchanges, no
+    correlated re-scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max(F.when(
+               F.col("l_shipdate") > F.col("o_orderdate")
+               + F.expr("INTERVAL 60 DAYS"),
+               1).otherwise(0)).alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (per
+               .withColumn("n_supp", F.count(F.lit(1)).over(w))
+               .withColumn("n_late", F.sum("late").over(w))
+               .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+                       & (F.col("late") == 1)))
+    supp = _t(spark, sf_dir, "supplier")
+    return (flagged.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_suppkey"))
+
+
+def q_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape adapted (no phone column; every testdata
+    customer has SOME order, so "idle" = no order since 2000-01-01):
+    positive-balance customers in a nation set with no recent orders,
+    whose balance beats the average positive balance — scalar
+    subquery vs broadcast one-row aggregate, anti-join for the
+    correlated NOT EXISTS (its date filter pushed below the anti-join
+    build side), grouped census per nation.  The average test is
+    algebraically rewritten ``bal * n > Σbal`` over EXACT decimals: a
+    double ``avg()`` is summation-order-dependent, so rows at the
+    boundary could flip between engines."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.sum(_dec2(F.col("c_acctbal"))).alias("__sum__"),
+                    F.count(F.lit(1)).alias("__n__")))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01")
+    keep = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(_dec2(F.col("c_acctbal")) * F.col("__n__")
+                    > F.col("__sum__"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti"))
+    return (keep.groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 F.sum(_dec2(F.col("c_acctbal"))).cast("double")
+                 .alias("totacctbal"))
+            .orderBy("nation"))
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic global training-order shuffle (operators.packing.
     training_order): md5-permutation rank via the distributed two-phase
@@ -2170,6 +2275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "big_quantity_orders": q_big_quantity_orders,
+        "late_blame_supplier": q_late_blame_supplier,
+        "idle_customer_balance": q_idle_customer_balance,
         # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
@@ -4334,6 +4443,68 @@ WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1998-01-0
        OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3))
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
+""",
+        # --- round 4: TPC-H Q15 shape (max-revenue supplier, ties kept) -----
+        "top_revenue_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01'
+    AND l_shipdate < timestamp '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, cast(total_rev as double) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+        # --- round 4: TPC-H Q18 shape (large-quantity orders) ---------------
+        "big_quantity_orders": """
+SELECT c_custkey, c_name, o_orderkey,
+  cast(cast(o_orderdate as date) as varchar) AS o_orderdate,
+  cast(o_totalprice as double) AS o_totalprice,
+  cast(sum_qty as double) AS sum_qty
+FROM (SELECT l_orderkey, sum(cast(l_quantity as decimal(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey, o_orderkey
+""",
+        # --- round 4: TPC-H Q21 shape (sole-late-supplier blame) ------------
+        "late_blame_supplier": """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+flagged AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, late,
+      count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per)
+  WHERE n_supp >= 2 AND n_late = 1 AND late = 1)
+SELECT s_suppkey, s_name, cast(count(*) as bigint) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+""",
+        # --- round 4: TPC-H Q22 shape (idle high-balance customers) ---------
+        "idle_customer_balance": """
+WITH cust AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 5, 9, 13, 17, 21)),
+a AS (
+  SELECT sum(cast(c_acctbal as decimal(12,2))) AS s, count(*) AS n
+  FROM cust WHERE c_acctbal > 0)
+SELECT cast(c_nationkey as bigint) AS nation,
+  cast(count(*) as bigint) AS numcust,
+  cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS totacctbal
+FROM cust, a
+WHERE cast(c_acctbal as decimal(12,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= timestamp '2000-01-01')
+GROUP BY c_nationkey ORDER BY nation
 """,
         # --- round 4: TPC-H Q8 shape (national market share) ----------------
         "market_share": """

@@ -39,7 +39,10 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # by broadcast cross join, and histogram_quantiles
                   # theta-joins the ≤ |qs|-row target table against the
                   # BROADCAST ≤ bins-row cumulative sketch
-                  "sketch_profile"}
+                  "sketch_profile",
+                  # Q22 shape: scalar-subquery average = ONE-ROW
+                  # broadcast cross join ahead of the anti-join
+                  "idle_customer_balance"}
 
 
 def _plan(df) -> str:
