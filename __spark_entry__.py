@@ -2026,6 +2026,23 @@ def q_sketch_profile(spark, sf_dir):
     return out
 
 
+def q_lang_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles from the GROUPED
+    histogram sketch (operators.sketches.histogram_sketch_by /
+    histogram_quantiles_by): approximate p25/p50/p95 for every group
+    in two passes with a ≤ |groups|·bins cell exchange — where the
+    exact per-group alternative pays a full data sort.  Same portable
+    integer-cell arithmetic as sketch_profile, so the DuckDB oracle
+    reproduces every estimate bit-for-bit per group."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles_by, histogram_sketch_by,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sk = histogram_sketch_by(docs, "n_chars", "lang", bins=128)
+    return (histogram_quantiles_by(sk, "lang", 128, (0.25, 0.5, 0.95))
+            .orderBy("lang", "q"))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental-ingestion dedup: LSH candidates between a new batch
     (doc_id % 10 = 0) and the already-ingested corpus — cross-side
@@ -2275,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "lang_length_quantiles": q_lang_length_quantiles,
         "top_revenue_supplier": q_top_revenue_supplier,
         "big_quantity_orders": q_big_quantity_orders,
         "late_blame_supplier": q_late_blame_supplier,
@@ -4687,6 +4705,36 @@ FROM pg GROUP BY source ORDER BY source
         "hll_distinct": _hll_sql(),
         # --- round 4: fully-portable sketch data card -----------------------
         "sketch_profile": _sketch_profile_sql(),
+        # --- round 4: grouped histogram quantile sketch ---------------------
+        "lang_length_quantiles": """
+WITH vals AS (
+  SELECT lang AS g, cast(n_chars as double) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+b AS (SELECT g, min(v) lo, max(v) hi, count(*) n FROM vals GROUP BY g),
+cells AS (
+  SELECT vals.g,
+    CASE WHEN hi = lo THEN 0
+         ELSE cast(least(127, floor((v - lo) / (hi - lo) * 128)) as int)
+    END AS bin, count(*) cnt
+  FROM vals JOIN b ON vals.g = b.g GROUP BY 1, 2),
+cum AS (SELECT g, bin, cnt,
+        sum(cnt) OVER (PARTITION BY g ORDER BY bin) cum,
+        sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt cum_before
+        FROM cells),
+tgt AS (SELECT b.g, cast(q as double) q,
+        cast(ceil(cast(q as double) * n) as bigint) target_rank,
+        lo, hi FROM b, (SELECT unnest([0.25, 0.5, 0.95]) q)),
+hit AS (SELECT g, q, target_rank, lo, hi,
+        min_by(bin, bin) bin, min_by(cnt, bin) cnt,
+        min_by(cum_before, bin) cum_before
+        FROM tgt JOIN cum USING (g) WHERE cum >= target_rank
+        GROUP BY g, q, target_rank, lo, hi)
+SELECT g AS lang, q, target_rank,
+  round(CASE WHEN hi = lo THEN lo ELSE
+    lo + (bin + (target_rank - cum_before) / cnt) * (hi - lo)
+    / cast(128 as double) END, 6) AS estimate
+FROM hit ORDER BY lang, q
+""",
         # --- round 4: streaming HLL ingest (== batch sketch over bounded src)
         "stream_hll_distinct": _hll_sql(cols=("doc_id",),
                                         table="documents"),

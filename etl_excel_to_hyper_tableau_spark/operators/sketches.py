@@ -357,3 +357,84 @@ def histogram_quantiles(sketch: DataFrame, bins: int,
             .orderBy("q"))
 
 
+
+
+def histogram_sketch_by(df: DataFrame, value_col: str, group_col: str,
+                        bins: int = 256) -> DataFrame:
+    """Per-group :func:`histogram_sketch` — approximate quantiles for
+    EVERY group in two passes (the profiling shape: length quantiles
+    per language, latency quantiles per tenant), where one exact
+    per-group sort-based quantile would pay a full data exchange.
+
+    Pass 1 aggregates per-group bounds (exchange ≤ |groups| rows);
+    pass 2 broadcast-joins them back — the bounds table is
+    metadata-sized for profiling dimensions — and bin-assigns map-only
+    into a partial-agg groupBy of ≤ |groups|·bins cells.  Same bin
+    arithmetic as the ungrouped build, so the SQL oracle carries over
+    per group.
+
+    Output: ``group_col, bin, cnt, lo, hi, n`` (≤ |groups|·bins rows).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    g = F.col(group_col)
+    vals = (df.select(g.alias("g"),
+                      F.col(value_col).cast("double").alias("v"))
+            .where(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    bounds = (vals.groupBy("g")
+              .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                   F.count(F.lit(1)).alias("n")))
+    raw = F.floor((F.col("v") - F.col("lo"))
+                  / (F.col("hi") - F.col("lo")) * F.lit(bins))
+    bin_id = F.when(F.col("hi") == F.col("lo"), F.lit(0)) \
+        .otherwise(F.least(F.lit(bins - 1).cast("bigint"), raw)) \
+        .cast("int")
+    return (vals.join(F.broadcast(bounds), "g")
+            .select(F.col("g").alias(group_col), bin_id.alias("bin"),
+                    "lo", "hi", "n")
+            .groupBy(group_col, "bin", "lo", "hi", "n")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(group_col, "bin", "cnt", "lo", "hi", "n"))
+
+
+def histogram_quantiles_by(sketch: DataFrame, group_col: str, bins: int,
+                           qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                           round_to: int = 6) -> DataFrame:
+    """Per-group quantile estimates from :func:`histogram_sketch_by` —
+    the same first-bin-reaching-``ceil(q·n)`` + linear interpolation
+    as the ungrouped estimator, with every step partitioned by group:
+    the cumulative window and the target join both run over the
+    ≤ |groups|·bins cell table, never over the data.
+
+    Output: ``group_col, q, target_rank, estimate`` (one row per
+    group × quantile; a degenerate lo == hi group estimates ``lo``)."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    w = (Window.partitionBy(group_col).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)) \
+                .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double")
+    groups = sketch.select(group_col, "n", "lo", "hi").distinct()
+    tgt = (groups.crossJoin(F.broadcast(qdf))
+           .withColumn("target_rank",
+                       F.ceil(F.col("q") * F.col("n")).cast("long")))
+    hit = (tgt.join(cum.select(group_col, "bin", "cnt", "cum",
+                               "cum_before"), group_col)
+           .where(F.col("cum") >= F.col("target_rank"))
+           .groupBy(group_col, "q", "target_rank", "n", "lo", "hi")
+           .agg(F.min(F.struct("bin", "cnt", "cum_before"))
+                .alias("__b__")))
+    est = (F.col("lo")
+           + (F.col("__b__.bin")
+              + (F.col("target_rank") - F.col("__b__.cum_before"))
+              / F.col("__b__.cnt"))
+           * (F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(est)
+    return (hit.select(group_col, "q", "target_rank",
+                       F.round(est, round_to).alias("estimate"))
+            .orderBy(group_col, "q"))

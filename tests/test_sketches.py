@@ -251,3 +251,36 @@ def test_sketch_profile_entry_pins_operator_outputs(spark, sf_dir):
     assert fused["price_p95"] == qs[0.95]
     assert fused["price_p99"] == qs[0.99]
     assert fused["n_rows"] == li.count()
+
+
+def test_grouped_histogram_matches_ungrouped_per_group(spark, sf_dir):
+    """Filtering one group out of the grouped build must equal the
+    ungrouped operators run on that group's rows alone."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_quantiles_by, histogram_sketch,
+        histogram_sketch_by,
+    )
+    docs = entry._t(spark, sf_dir, "documents")
+    lang = docs.select("lang").where(F.col("lang").isNotNull()) \
+        .orderBy("lang").first()["lang"]
+    grouped = {r["q"]: r["estimate"] for r in histogram_quantiles_by(
+        histogram_sketch_by(docs, "n_chars", "lang", bins=64),
+        "lang", 64, (0.5, 0.9)).where(F.col("lang") == lang).collect()}
+    single = {r["q"]: r["estimate"] for r in histogram_quantiles(
+        histogram_sketch(docs.where(F.col("lang") == lang),
+                         "n_chars", bins=64), 64, (0.5, 0.9)).collect()}
+    assert grouped == single
+
+
+def test_grouped_histogram_state_is_group_times_bin_bounded(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_sketch_by,
+    )
+    df = spark.range(100_000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"))
+    sk = histogram_sketch_by(df, "v", "g", bins=16)
+    assert sk.count() <= 7 * 16
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan  # bounds join never shuffles data
