@@ -2026,6 +2026,16 @@ def q_sketch_profile(spark, sf_dir):
     return out
 
 
+def q_label_noise(spark, sf_dir):
+    """Label-noise screen over the labeled embedding corpus
+    (operators.similarity.label_noise_audit — the centroid-margin
+    variant of Confident Learning): vectors closer to another class's
+    centroid than their own, worst margin first.  Map-only distance
+    pass over literal centroids; the corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.label_noise_audit(emb, "embedding", "vec_id", "label")
+
+
 def q_lang_length_quantiles(spark, sf_dir):
     """Per-language document-length quantiles from the GROUPED
     histogram sketch (operators.sketches.histogram_sketch_by /
@@ -2292,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "label_noise": q_label_noise,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_revenue_supplier": q_top_revenue_supplier,
         "big_quantity_orders": q_big_quantity_orders,
@@ -4705,6 +4716,39 @@ FROM pg GROUP BY source ORDER BY source
         "hll_distinct": _hll_sql(),
         # --- round 4: fully-portable sketch data card -----------------------
         "sketch_profile": _sketch_profile_sql(),
+        # --- round 4: centroid-margin label-noise screen --------------------
+        "label_noise": """
+WITH dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(embedding))
+                                          FROM embeddings))) AS i),
+pos AS (
+  SELECT label, i - 1 AS pos, embedding[i] AS x
+  FROM embeddings, dims WHERE i <= len(embedding)),
+sums AS (
+  SELECT label, pos, sum(cast(cast(x as double) as decimal(28,12))) s,
+         count(*) n
+  FROM pos GROUP BY label, pos),
+cent AS (SELECT label AS l,
+         list(round(cast(s as double) / n, 9) ORDER BY pos) carr
+         FROM sums GROUP BY label),
+dist AS (
+  SELECT e.vec_id, e.label, c.l AS other_l,
+    list_reduce(list_apply(range(1, len(e.embedding) + 1),
+      i -> (cast(e.embedding[i] as double) - c.carr[i])
+         * (cast(e.embedding[i] as double) - c.carr[i])),
+      (a, b) -> a + b) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+own AS (SELECT vec_id, label, d2 AS own_d2 FROM dist
+        WHERE other_l = label),
+oth AS (SELECT vec_id, label, other_l, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, other_l) rn
+        FROM dist WHERE other_l <> label)
+SELECT o.vec_id AS id, o.label, t.other_l AS nearest_label,
+  round(o.own_d2, 6) AS own_d2, round(t.d2, 6) AS other_d2,
+  round(o.own_d2 - t.d2, 6) AS margin
+FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1
+WHERE o.own_d2 > t.d2
+ORDER BY margin DESC, id
+""",
         # --- round 4: grouped histogram quantile sketch ---------------------
         "lang_length_quantiles": """
 WITH vals AS (

@@ -841,3 +841,73 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
         cols.append(term)
     return spread(df).select(F.col(id_col).alias("id"),
                              F.array(*cols).alias("vec"))
+
+
+def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
+                      label_col: str, round_to: int = 6) -> DataFrame:
+    """Geometric label-noise screen for a labeled embedding table (the
+    centroid-margin variant of Confident Learning, Northcutt et al.
+    JAIR 2021): flag vectors that sit closer (squared L2) to another
+    class's centroid than to their own — the candidates a relabeling /
+    filtering pass should look at before training.
+
+    Plan: per-label centroids from ONE posexplode + exact-decimal
+    partial agg (exchange ≤ |labels|·dims rows — the label_centroids
+    shuffle), centroids driver-collected as literals (metadata-sized,
+    the IVF/PQ precedent), then a MAP-ONLY pass computes every
+    per-label distance as a literal sequential fold and takes the
+    struct-min over other labels — the corpus never shuffles and no
+    per-row Python runs.
+
+    FP portability: centroids are rounded to 9 decimals (HALF_UP, both
+    engines) before use; each distance is a fixed-order fold of
+    ``(x - c)²`` doubles, so the oracle reproduces the margins
+    bit-for-bit at the 6-decimal output rounding.
+
+    Output: suspected rows only — ``id, label, nearest_label, own_d2,
+    other_d2, margin`` (margin = own − other > 0), worst first.
+    Single-label inputs produce no output (no "other" centroid).
+    """
+    sums = (df.select(F.col(label_col).alias("l"),
+                      F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("pos", "x"))
+            .groupBy("l", "pos")
+            .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    crows = sums.select("l", "pos",
+                        F.round(F.col("s").cast("double") / F.col("n"), 9)
+                        .alias("c")).collect()
+    cents: dict = {}
+    for r in crows:
+        cents.setdefault(r["l"], {})[r["pos"]] = r["c"]
+    labels = sorted(cents)
+    if len(labels) < 2:
+        return df.sparkSession.createDataFrame(
+            [], f"id long, label int, nearest_label int, "
+                f"own_d2 double, other_d2 double, margin double")
+
+    def d2_expr(lbl) -> str:
+        dims = cents[lbl]
+        arr = "array(" + ",".join(f"{dims[i]!r}D"
+                                  for i in range(len(dims))) + ")"
+        return (f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
+                f"{arr}, (x, y) -> (x - y) * (x - y)), 0D, "
+                f"(a, t) -> a + t)")
+
+    dists = "array(" + ",".join(
+        f"named_struct('d2', {d2_expr(l)}, 'l', {l})" for l in labels) + ")"
+    own = f"element_at(filter(__dists__, s -> s.l = `{label_col}`), 1).d2"
+    other = f"array_min(filter(__dists__, s -> s.l != `{label_col}`))"
+    out = (spread(df)
+           .withColumn("__dists__", F.expr(dists))
+           .withColumn("own_d2", F.expr(own))
+           .withColumn("__o__", F.expr(other))
+           .where(F.col("own_d2") > F.col("__o__.d2"))
+           .select(F.col(id_col).alias("id"),
+                   F.col(label_col).alias("label"),
+                   F.col("__o__.l").alias("nearest_label"),
+                   F.round("own_d2", round_to).alias("own_d2"),
+                   F.round("__o__.d2", round_to).alias("other_d2"),
+                   F.round(F.col("own_d2") - F.col("__o__.d2"), round_to)
+                   .alias("margin")))
+    return out.orderBy(F.desc("margin"), "id")

@@ -284,3 +284,58 @@ def test_semantic_dedup_empty_corpus_schema_matches_normal_path(spark):
     s_empty = semantic_dedup(empty, "emb", "id", n_cells=2).schema
     assert [(f.name, f.dataType) for f in s_empty] == \
            [(f.name, f.dataType) for f in s_full]
+
+
+def test_label_noise_audit_flags_the_planted_mislabel(spark):
+    """Two tight clusters; one vector carries the wrong label and must
+    be the (only) flagged row, with the numpy-model margin."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        label_noise_audit,
+    )
+    a = [[1.0, 0.0], [0.9, 0.1], [1.1, -0.1]]       # class 0
+    b = [[0.0, 1.0], [0.1, 0.9], [-0.1, 1.1]]       # class 1
+    rows = ([(i, v, 0) for i, v in enumerate(a)]
+            + [(10 + i, v, 1) for i, v in enumerate(b[:2])]
+            + [(99, b[2], 0)])                       # planted noise
+    df = spark.createDataFrame(
+        rows, "id long, emb array<double>, label int")
+    out = label_noise_audit(df, "emb", "id", "label").collect()
+    assert [r["id"] for r in out] == [99]
+    r = out[0]
+    assert r["label"] == 0 and r["nearest_label"] == 1
+    # numpy model: centroids include the mislabeled point (as the
+    # operator's do), rounded to 9 like the implementation
+    pts = {i: np.array(v) for i, v, _ in rows}
+    lab = {i: l for i, _, l in rows}
+    cents = {l: np.round(np.mean([pts[i] for i in pts if lab[i] == l],
+                                 axis=0), 9) for l in (0, 1)}
+    own = float(((pts[99] - cents[0]) ** 2).sum())
+    oth = float(((pts[99] - cents[1]) ** 2).sum())
+    assert abs(r["margin"] - round(own - oth, 6)) <= 1e-6
+    assert r["own_d2"] > r["other_d2"]
+
+
+def test_label_noise_audit_single_label_is_empty(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        label_noise_audit,
+    )
+    df = spark.createDataFrame([(1, [1.0], 0), (2, [2.0], 0)],
+                               "id long, emb array<double>, label int")
+    assert label_noise_audit(df, "emb", "id", "label").count() == 0
+
+
+def test_label_noise_audit_distance_pass_is_map_only(spark):
+    """After the centroid collect, the scoring pass must not shuffle
+    the corpus: no Exchange in the plan."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        label_noise_audit,
+    )
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], i % 2) for i in range(40)],
+        "id long, emb array<double>, label int")
+    out = label_noise_audit(df, "emb", "id", "label")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the final suspect-sized sort's
+    # range partitioning; the corpus-side pass joins nothing
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
