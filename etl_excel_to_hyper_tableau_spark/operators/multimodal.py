@@ -427,3 +427,68 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10,
 
     return (repartition_by_bytes(df, target_partition_bytes=target_partition_bytes)
             .mapInPandas(run, schema=out_schema))
+
+
+def make_avi_media(spark, n: int = 8, width: int = 32, height: int = 24,
+                   n_frames: int = 12, quality: int = 90) -> DataFrame:
+    """Synthetic media table whose ``content`` is REAL MJPEG AVI bytes
+    (:mod:`..functions.avi` — a RIFF muxer over the real baseline-JPEG
+    codec): deterministic per-id moving-gradient frames, so the
+    COMPRESSED-video demux → frame-sample → remux path runs on genuine
+    container bytes with no video library installed (the compressed
+    companion to :func:`make_y4m_media`)."""
+    from ..functions.avi import encode_avi_mjpeg
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:height, 0:width]
+        frames = np.stack([
+            ((xx * 5 + yy * 11 + i * 17 + f * 29) % 256).astype(np.uint8)
+            for f in range(n_frames)])
+        rows.append((i, "video", encode_avi_mjpeg(frames, quality=quality),
+                     ("avi", width, height, None, n_frames)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sample_frames_avi(df: DataFrame, every_n: int = 10,
+                      quality: int = 90,
+                      target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """REAL compressed-video frame sampling: demux genuine MJPEG AVI
+    bytes, keep every ``every_n``-th frame, remux.  MJPEG's
+    frame-independence (every frame its own JPEG) is exactly what makes
+    this a map-only operation — no inter-frame state crosses rows or
+    partitions, so the byte-budget repartition + Arrow ``mapInPandas``
+    shape is identical to the uncompressed :func:`sample_frames_y4m`.
+    Undecodable rows pass through unchanged (quarantine-and-continue).
+    Note the kept frames are re-encoded (one JPEG generation loss);
+    lossless passthrough of the selected '00dc' chunks would need only
+    the muxer, but re-encode keeps the API symmetric with the Y4M path
+    and exercises the encoder distributed."""
+    from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m in zip(pdf["content"], pdf["meta"]):
+                if c is None:
+                    contents.append(None)
+                    metas.append(m)
+                    continue
+                try:
+                    frames, fps = decode_avi_mjpeg(bytes(c))
+                except (ValueError, struct.error):
+                    contents.append(bytes(c))
+                    metas.append(m)
+                    continue
+                kept = frames[::every_n]
+                contents.append(encode_avi_mjpeg(kept, fps=fps,
+                                                 quality=quality))
+                metas.append({**(m or {}), "n_frames": int(len(kept))})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "content": contents, "meta": metas})
+
+    return (repartition_by_bytes(df, target_partition_bytes=target_partition_bytes)
+            .mapInPandas(run, schema=out_schema))

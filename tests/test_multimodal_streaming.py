@@ -626,3 +626,91 @@ def test_audio_features_over_adpcm_bytes(spark):
         assert r["sample_rate"] == 8000 and r["n_samples"] == 800
         freq = 200.0 + 100.0 * i
         assert abs(r["zero_crossing_rate"] - 2 * freq / 8000) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG codec (functions/avi.py): real compressed-video round trips
+# ---------------------------------------------------------------------------
+
+def test_avi_mjpeg_roundtrip_and_tolerant_walker():
+    """Encode→demux: frame count, fps, and high PSNR (MJPEG is lossy
+    per-frame JPEG — pixel-exactness is not the contract); a JUNK chunk
+    and a missing idx1 must not break the walker."""
+    import numpy as np
+    import struct as _s
+    from etl_excel_to_hyper_tableau_spark.functions.avi import (
+        decode_avi_mjpeg, encode_avi_mjpeg,
+    )
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = np.stack([
+        (128 + 100 * np.sin(xx / 6.0 + f) * np.cos(yy / 5.0)).astype(np.uint8)
+        for f in range(6)])
+    data = encode_avi_mjpeg(frames, fps=(30, 1), quality=90)
+    out, fps = decode_avi_mjpeg(data)
+    assert out.shape == frames.shape and fps == (30, 1)
+    mse = ((out.astype(float) - frames.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 35.0
+    # tolerant walker: inject a top-level JUNK chunk between hdrl and
+    # the movi LIST, drop idx1
+    movi_at = data.index(b"movi") - 8  # the movi LIST's 8-byte header
+    junk = b"JUNK" + _s.pack("<I", 4) + b"\x00" * 4
+    idx_at = data.rindex(b"idx1")
+    mangled = data[:idx_at]  # no idx1
+    mangled = mangled[:movi_at] + junk + mangled[movi_at:]
+    mangled = (b"RIFF" + _s.pack("<I", len(mangled) - 8) + mangled[8:])
+    out2, fps2 = decode_avi_mjpeg(mangled)
+    assert np.array_equal(out2, out) and fps2 == (30, 1)
+
+
+def test_avi_mjpeg_rejects_non_avi_and_empty():
+    import numpy as np
+    import pytest
+    from etl_excel_to_hyper_tableau_spark.functions.avi import (
+        decode_avi_mjpeg, encode_avi_mjpeg,
+    )
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"short")
+    data = encode_avi_mjpeg(
+        np.zeros((2, 8, 8), np.uint8))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(data[:40])  # headers only, no frames
+
+
+def test_sample_frames_avi_real_demux(spark):
+    """Distributed compressed-video sampling on genuine AVI bytes:
+    every 4th frame survives, content stays decodable MJPEG, metadata
+    updates; JPEG loss bounded (same gradient frames re-encode within
+    a tight PSNR)."""
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.avi import (
+        decode_avi_mjpeg,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_avi_media, sample_frames_avi,
+    )
+    media = make_avi_media(spark, n=3, width=16, height=8, n_frames=10)
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = {r["media_id"]: r
+           for r in sample_frames_avi(media, every_n=4).collect()}
+    for mid, r in out.items():
+        orig, _ = decode_avi_mjpeg(src[mid])
+        kept, _ = decode_avi_mjpeg(bytes(r["content"]))
+        assert r["meta"]["n_frames"] == 3          # frames 0, 4, 8 of 10
+        assert kept.shape == orig[::4].shape
+        err = ((kept.astype(float) - orig[::4].astype(float)) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / max(err, 1e-9)) > 30.0
+    assert all(r["meta"]["width"] == 16 for r in out.values())
+
+
+def test_sample_frames_avi_quarantines_bad_bytes(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, sample_frames_avi,
+    )
+    rows = [(7, "video", b"not an avi", ("avi", 4, 4, None, 3))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames_avi(df, every_n=2).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["content"]) == b"not an avi"
+    assert out[0]["meta"]["n_frames"] == 3  # untouched
