@@ -2026,6 +2026,30 @@ def q_sketch_profile(spark, sf_dir):
     return out
 
 
+def q_json_field_profile(spark, sf_dir):
+    """Schema-on-read JSON discovery (operators.quality.
+    json_field_profile): per-key presence / numeric-parse / distinct
+    counts.  The testdata's ``props`` is a uniform one-key object, so
+    the entry derives a richer JSON value per event — ints and strings
+    only, built character-identically in the oracle (no float
+    formatting crosses engines) — with a conditionally-present key to
+    make the presence counts discriminating."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    ev = _t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k": '), F.get_json_object("props", "$.k"),
+        F.lit(', "cents": '),
+        F.floor(F.col("value") * 100).cast("long").cast("string"),
+        F.lit(', "tag": "'), F.col("event_type"), F.lit('"'),
+        F.when(F.col("event_id") % 7 == 0,
+               F.lit(', "rare": "x"')).otherwise(F.lit("")),
+        F.lit("}"))
+    return (json_field_profile(ev.select(j.alias("j")), "j")
+            .orderBy("key"))
+
+
 def q_label_noise(spark, sf_dir):
     """Label-noise screen over the labeled embedding corpus
     (operators.similarity.label_noise_audit — the centroid-margin
@@ -2302,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "json_field_profile": q_json_field_profile,
         "label_noise": q_label_noise,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_revenue_supplier": q_top_revenue_supplier,
@@ -4727,6 +4752,23 @@ FROM pg GROUP BY source ORDER BY source
         "hll_distinct": _hll_sql(),
         # --- round 4: fully-portable sketch data card -----------------------
         "sketch_profile": _sketch_profile_sql(),
+        # --- round 4: schema-on-read JSON field profile ---------------------
+        "json_field_profile": """
+WITH src AS (
+  SELECT '{"k": ' || json_extract_string(props, '$.k')
+      || ', "cents": ' || cast(cast(floor(value * 100) as bigint) as varchar)
+      || ', "tag": "' || event_type || '"'
+      || CASE WHEN event_id % 7 = 0 THEN ', "rare": "x"' ELSE '' END
+      || '}' AS j
+  FROM events),
+kv AS (
+  SELECT key, json_extract_string(j, '$.' || key) AS value
+  FROM (SELECT j, unnest(json_keys(j)) AS key FROM src))
+SELECT key, cast(count(*) as bigint) AS n_present,
+  cast(count(try_cast(value as double)) as bigint) AS n_numeric,
+  cast(count(DISTINCT value) as bigint) AS n_distinct
+FROM kv GROUP BY key ORDER BY key
+""",
         # --- round 4: centroid-margin label-noise screen --------------------
         "label_noise": """
 WITH dims AS (SELECT unnest(range(1, 1 + (SELECT max(len(embedding))

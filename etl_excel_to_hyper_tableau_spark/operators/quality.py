@@ -151,3 +151,32 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
             .where(F.col("group_size") < k))
+
+
+def json_field_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-on-read discovery for a JSON-string column: one row per
+    top-level key with presence, numeric-parse, and distinct-value
+    counts — the profile that decides which fields become typed
+    columns before a `from_json`-with-schema extraction is committed.
+
+    Plan: ONE scan — `from_json` to ``map<string,string>`` (scalar
+    values arrive unquoted), explode, partial-agg groupBy on the key.
+    The exchange is bounded by |keys| × partitions for the count
+    columns; the exact distinct-count pays the usual distinct
+    expansion (swap in the portable HLL sketch when |values| is
+    corpus-sized).  Rows whose JSON fails to parse contribute nothing
+    (from_json → NULL map; count them upstream if the failure rate
+    matters — see check_report).
+
+    Output: ``key, n_present, n_numeric, n_distinct`` (exact ints,
+    engine-portable — no float formatting crosses the boundary).
+    """
+    kv = df.select(F.explode(F.from_json(F.col(json_col),
+                                         "map<string,string>"))
+                   .alias("key", "value"))
+    return (kv.groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_present"),
+                 F.count(F.expr("try_cast(value AS double)"))
+                 .cast("long").alias("n_numeric"),
+                 F.countDistinct("value").cast("long")
+                 .alias("n_distinct")))

@@ -62,3 +62,26 @@ def test_backslash_in_check_name_survives(spark):
     df = spark.createDataFrame([(1,)], "id long")
     rows = check_report(df, {r"re:\d+ match": F.col("id") > 0}).collect()
     assert rows[0]["check"] == r"re:\d+ match"
+
+
+def test_json_field_profile_counts_and_quarantine(spark):
+    """Presence/numeric/distinct per key; invalid JSON contributes
+    nothing; values profile as strings (scalars arrive unquoted)."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2.5, "b": "x", "c": "7"}',),
+        ('{"a": "notnum"}',),
+        ("not json at all",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = {r["key"]: r for r in json_field_profile(df, "j").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_present"] == 3
+    assert out["a"]["n_numeric"] == 2          # "notnum" fails try_cast
+    assert out["a"]["n_distinct"] == 3
+    assert out["b"]["n_present"] == 2 and out["b"]["n_distinct"] == 1
+    assert out["c"]["n_numeric"] == 1          # "7" parses even quoted
