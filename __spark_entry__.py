@@ -2026,6 +2026,39 @@ def q_sketch_profile(spark, sf_dir):
     return out
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-free train/val/test assignment (operators.sampling.
+    group_split): split on coalesce(near-dup cluster id, own doc id)
+    so a cluster's members can never straddle train and eval — the fix
+    for what the split_leakage entry audits.  Inherits dedup_clusters'
+    banded pair plan; the assignment itself is map-only.  Output: one
+    census row per (split, clustered?) cell plus the cluster-integrity
+    invariant column (clusters whose members span >1 split — must be
+    0)."""
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        group_split,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.duplicate_clusters(docs, "text", "doc_id", n=3,
+                                     threshold=0.8, max_df=100)
+    joined = docs.select("doc_id").join(
+        clusters, "doc_id", "left")
+    assigned = group_split(
+        joined, "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")),
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = (assigned.groupBy("group_key")
+                 .agg(F.countDistinct("split").alias("n_splits")))
+    violations = (per_group.agg(
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long").alias("clusters_spanning_splits")))
+    census = (assigned.groupBy(
+        "split", F.col("cluster_id").isNotNull().alias("clustered"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return (census.crossJoin(F.broadcast(violations))
+            .orderBy("split", "clustered"))
+
+
 def q_json_field_profile(spark, sf_dir):
     """Schema-on-read JSON discovery (operators.quality.
     json_field_profile): per-key presence / numeric-parse / distinct
@@ -2326,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "group_split": q_group_split,
         "json_field_profile": q_json_field_profile,
         "label_noise": q_label_noise,
         "lang_length_quantiles": q_lang_length_quantiles,
@@ -2459,6 +2493,33 @@ def _grams_sql(x: str, n: int = 3) -> str:
     return (f"case when length({x}) >= {n} then "
             f"[substring({x}, i, {n}) for i in range(1, length({x}) - {n} + 2)] "
             f"else [] end")
+
+
+def _cluster_ctes() -> str:
+    """Shared CTE chain: char-3-gram Jaccard ≥ 0.8 pair graph (max_df
+    100) closed to connected components — ends at ``cl(doc_id,
+    cluster_id)``.  Used by both dedup_clusters and group_split so the
+    cluster labels are definitionally identical."""
+    return f"""sh AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
+ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
+sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
+ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
 
 def _minhash_sql_terms(k: int) -> list[str]:
@@ -3372,27 +3433,31 @@ GROUP BY doc_id ORDER BY doc_id
 """,
         # --- duplicate clusters (recursive CTE over the same pair graph) --
         "dedup_clusters": f"""
-WITH RECURSIVE
-sh AS (
-  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
-ex0 AS (SELECT id, unnest(grams) AS g FROM sh),
-keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 100),
-ex1 AS (SELECT id, g FROM ex0 WHERE g IN (SELECT g FROM keep)),
-sizes AS (SELECT id, count(*) AS sz FROM ex1 GROUP BY id),
-ex AS (SELECT ex1.id, sizes.sz, ex1.g FROM ex1 JOIN sizes USING (id)),
-pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-    FROM ex a JOIN ex b USING (g) WHERE a.id < b.id
-    GROUP BY 1, 2, 3, 4)
-  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach(id, r) AS (
-  SELECT s, s FROM edges
-  UNION
-  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+WITH RECURSIVE {_cluster_ctes()}
+SELECT doc_id, cluster_id FROM cl ORDER BY doc_id
+""",
+        # --- round 4: leakage-free group split over the same clusters -----
+        "group_split": f"""
+WITH RECURSIVE {_cluster_ctes()},
+assigned AS (
+  SELECT d.doc_id, cl.cluster_id,
+    cast(coalesce(cl.cluster_id, d.doc_id) as varchar) AS group_key
+  FROM documents d LEFT JOIN cl USING (doc_id)),
+named AS (
+  SELECT doc_id, cluster_id, group_key,
+    CASE WHEN bucket < 8000 THEN 'train'
+         WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, {_MD5I.format(x="'split:'||group_key")} % 10000
+               AS bucket FROM assigned)),
+v AS (
+  SELECT cast(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) as bigint)
+         AS clusters_spanning_splits
+  FROM (SELECT group_key, count(DISTINCT split) AS ns
+        FROM named GROUP BY group_key))
+SELECT split, cluster_id IS NOT NULL AS clustered,
+  cast(count(*) as bigint) AS n_docs, clusters_spanning_splits
+FROM named, v GROUP BY split, clustered, clusters_spanning_splits
+ORDER BY split, clustered
 """,
         # --- stream-stream join: bounded-source result == batch join ------
         "stream_purchase_click_join": """

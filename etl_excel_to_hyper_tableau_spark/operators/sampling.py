@@ -459,3 +459,30 @@ def priority_sample(df: DataFrame, id_col: str, weight: Column, k: int,
             .withColumn("priority", F.pow(u, F.lit(1.0) / F.col("weight")))
             .orderBy(F.col("priority").desc(), F.col("id").asc())
             .limit(k))
+
+
+def group_split(df: DataFrame, id_col: str, group_col: Column,
+                splits: dict[str, float],
+                salt: str = "split") -> DataFrame:
+    """Leakage-free split assignment: hash the GROUP key, not the row
+    id, so every member of a group (a near-duplicate cluster, a
+    domain, a user) lands in the same split — the fix for the
+    off-diagonal cells :func:`split_leakage_report` flags (near-dups
+    of training text leaking into eval, Lee et al. 2022).
+
+    ``group_col`` is any deterministic column — typically
+    ``coalesce(cluster_id, own id)`` from
+    :func:`..dedup.duplicate_clusters` so unclustered documents split
+    independently.  Assignment reuses :func:`split_assignment`
+    (cumulative md5-bucket ranges), so per-group membership is stable
+    across runs, partitionings, and engines.
+
+    Output: input columns + ``group_key, split``.  Map-only over
+    whatever join produced ``group_col``; the split arithmetic itself
+    never shuffles.
+    """
+    gk = group_col.cast("string")
+    return (df.withColumn("group_key", gk)
+            .withColumn("split",
+                        split_assignment(F.col("group_key"), splits,
+                                         salt)))

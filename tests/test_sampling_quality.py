@@ -305,3 +305,43 @@ def test_split_leakage_counts_cross_split_near_dups(spark):
     # leakage exists iff both splits are populated
     if len(set(asg.values())) == 2:
         assert any(a != b for a, b in rep)
+
+
+def test_group_split_keeps_cluster_members_together(spark):
+    """Members of one group must always share a split; per-row hash
+    splitting of the same ids demonstrably violates this (the leakage
+    group_split exists to prevent)."""
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        group_split, hash_split,
+    )
+    # 60 docs in 20 clusters of 3 (ids i, i+100, i+200 share cluster i)
+    rows = [(i + off, i) for i in range(20) for off in (0, 100, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = group_split(df, "doc_id", F.col("cluster_id"),
+                      {"train": 0.6, "val": 0.2, "test": 0.2})
+    per = (out.groupBy("group_key")
+           .agg(F.countDistinct("split").alias("ns")).collect())
+    assert all(r["ns"] == 1 for r in per)
+    # same members split per-ROW id: at least one cluster straddles
+    row_split = hash_split(df, "doc_id",
+                           {"train": 0.6, "val": 0.2, "test": 0.2})
+    per_row = (row_split.groupBy("cluster_id")
+               .agg(F.countDistinct("split").alias("ns")).collect())
+    assert any(r["ns"] > 1 for r in per_row)
+
+
+def test_group_split_is_deterministic_and_map_only(spark):
+    from pyspark.sql import functions as F
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        group_split,
+    )
+    df = spark.range(500).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") % 50).alias("cluster_id"))
+    a = group_split(df, "doc_id", F.col("cluster_id"),
+                    {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = group_split(df.repartition(7), "doc_id", F.col("cluster_id"),
+                    {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the assignment itself never shuffles
