@@ -112,6 +112,8 @@ HEADLINE = [
     "big_quantity_orders",
     "late_blame_supplier",
     "idle_customer_balance",
+    "json_field_profile",
+    "group_split",
 ]
 
 

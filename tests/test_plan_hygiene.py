@@ -42,7 +42,14 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "sketch_profile",
                   # Q22 shape: scalar-subquery average = ONE-ROW
                   # broadcast cross join ahead of the anti-join
-                  "idle_customer_balance"}
+                  "idle_customer_balance",
+                  # grouped histogram quantiles: |groups| × |qs| target
+                  # table built by broadcast cross join over the
+                  # metadata-sized bounds/quantile tables
+                  "lang_length_quantiles",
+                  # group_split census cross-joins its ONE-ROW
+                  # spanning-clusters invariant aggregate
+                  "group_split"}
 
 
 def _plan(df) -> str:
