@@ -2292,6 +2292,17 @@ def q_minhash_quality(spark, sf_dir):
                                      max_df=100)
 
 
+def q_simhash_quality(spark, sf_dir):
+    """SimHash Hamming-ball gauge (operators.dedup.
+    simhash_quality_report): precision/recall of hamming ≤ 3 token-
+    SimHash candidates vs exact char-3-gram Jaccard ≥ 0.8 truth —
+    completes the gauge family next to minhash_quality/ann_recall."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_quality_report(docs, "text", "doc_id", n=3,
+                                     threshold=0.8, max_hamming=3,
+                                     max_df=100)
+
+
 def q_cluster_representatives(spark, sf_dir):
     """Canonical-document election (operators.dedup.
     cluster_representatives): connected components over the
@@ -2359,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "simhash_quality": q_simhash_quality,
         "group_split": q_group_split,
         "json_field_profile": q_json_field_profile,
         "label_noise": q_label_noise,
@@ -3435,6 +3447,46 @@ GROUP BY doc_id ORDER BY doc_id
         "dedup_clusters": f"""
 WITH RECURSIVE {_cluster_ctes()}
 SELECT doc_id, cluster_id FROM cl ORDER BY doc_id
+""",
+        # --- round 4: SimHash Hamming-ball quality gauge -------------------
+        "simhash_quality": f"""
+WITH g0 AS (
+  SELECT doc_id AS id, list_distinct({_grams_sql('text')}) AS grams FROM documents),
+gex0 AS (SELECT id, unnest(grams) AS g FROM g0),
+gkeep AS (SELECT g FROM gex0 GROUP BY g HAVING count(*) <= 100),
+gex1 AS (SELECT id, g FROM gex0 WHERE g IN (SELECT g FROM gkeep)),
+gsizes AS (SELECT id, count(*) AS sz FROM gex1 GROUP BY id),
+gex AS (SELECT gex1.id, gsizes.sz, gex1.g FROM gex1 JOIN gsizes USING (id)),
+t AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+           count(*) AS common
+    FROM gex a JOIN gex b USING (g) WHERE a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE common / cast(sz_a + sz_b - common as double) >= 0.8),
+th_t AS (
+  SELECT doc_id AS id,
+    list_apply({_tokens_sql('text')}, t -> {_MD5I.format(x='t')}) AS th
+  FROM documents),
+sh AS (SELECT id, {_simhash_bits_sql('th')} AS h FROM th_t),
+chunked AS (
+  SELECT id, h, c AS chunk, (h >> (c * 15)) & 32767 AS ck
+  FROM sh, (SELECT unnest(range(4)) AS c) _c),
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+    FROM chunked a JOIN chunked b
+      ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id)
+  WHERE bit_count(xor(h_a, h_b)) <= 3),
+c AS (
+  SELECT cast((SELECT count(*) FROM t) as bigint) AS n_truth,
+         cast((SELECT count(*) FROM p) as bigint) AS n_pred,
+         cast((SELECT count(*) FROM t JOIN p USING (id_a, id_b)) as bigint)
+           AS n_hit)
+SELECT n_truth, n_pred, n_hit,
+  CASE WHEN n_pred > 0 THEN n_hit / cast(n_pred as double) END AS precision,
+  CASE WHEN n_truth > 0 THEN n_hit / cast(n_truth as double) END AS recall
+FROM c
 """,
         # --- round 4: leakage-free group split over the same clusters -----
         "group_split": f"""

@@ -952,6 +952,50 @@ def minhash_quality_report(df: DataFrame, text_col: str, id_col: str,
          .alias("recall"))
 
 
+def simhash_quality_report(df: DataFrame, text_col: str, id_col: str,
+                           n: int = 3, threshold: float = 0.8,
+                           max_hamming: int = 3,
+                           max_df: int | None = 100) -> DataFrame:
+    """Precision/recall of the SimHash Hamming-ball candidate path
+    against exact n-gram Jaccard ground truth — the SimHash twin of
+    :func:`minhash_quality_report`, closing the gauge family (MinHash
+    S-curve, ANN recall/MRR, and now the Hamming radius dial).  What it
+    measures is sharper than the MinHash gauge: SimHash fingerprints
+    whitespace TOKENS while the truth is char-n-gram Jaccard, so the
+    report quantifies cross-featurization agreement, not just banding
+    loss.
+
+    Scale: inherits both operands' bucketed plans (pigeonhole chunk
+    join and capped shingle join — never all-pairs); the evaluation
+    join is pair-count-sized.  Output: ONE row ``n_truth, n_pred,
+    n_hit, precision, recall`` (NULL ratio when its denominator is 0,
+    mirrored by the SQL oracle).
+    """
+    truth = (ngram_jaccard_pairs(df, text_col, id_col, n=n,
+                                 threshold=threshold, max_df=max_df)
+             .select("id_a", "id_b").withColumn("__t__", F.lit(1)))
+    pred = (simhash_pairs(df, text_col, id_col, max_hamming=max_hamming)
+            .select("id_a", "id_b").withColumn("__p__", F.lit(1)))
+    j = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    n_truth = F.coalesce(F.sum(F.coalesce(F.col("__t__"), F.lit(0))),
+                         F.lit(0)).cast("long")
+    n_pred = F.coalesce(F.sum(F.coalesce(F.col("__p__"), F.lit(0))),
+                        F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.sum(F.coalesce(F.col("__t__"), F.lit(0))
+                             * F.coalesce(F.col("__p__"), F.lit(0))),
+                       F.lit(0)).cast("long")
+    agg = j.agg(n_truth.alias("n_truth"), n_pred.alias("n_pred"),
+                n_hit.alias("n_hit"))
+    return agg.select(
+        "n_truth", "n_pred", "n_hit",
+        F.when(F.col("n_pred") > 0,
+               F.col("n_hit") / F.col("n_pred").cast("double"))
+         .alias("precision"),
+        F.when(F.col("n_truth") > 0,
+               F.col("n_hit") / F.col("n_truth").cast("double"))
+         .alias("recall"))
+
+
 def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, threshold: float = 0.5,
                        max_df: int | None = 100) -> DataFrame:

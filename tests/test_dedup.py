@@ -320,3 +320,30 @@ def test_minhash_quality_report_empty_corpus_nulls(spark):
     r = minhash_quality_report(df, "text", "doc_id").collect()[0]
     assert r["n_truth"] == 0 and r["n_pred"] == 0 and r["n_hit"] == 0
     assert r["precision"] is None and r["recall"] is None
+
+
+def test_simhash_quality_report_planted_pairs(spark):
+    """Two near-identical docs (truth AND simhash-close) + one disjoint
+    doc: the gauge must count the planted pair on both sides."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        simhash_quality_report,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " x"),
+            (3, "zz qq ww ee rr tt yy uu ii oo pp completely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = simhash_quality_report(df, "text", "doc_id", n=3, threshold=0.5,
+                               max_hamming=10, max_df=None).collect()[0]
+    assert r["n_truth"] >= 1 and r["n_hit"] >= 1
+    assert r["precision"] is not None and r["recall"] is not None
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+
+
+def test_simhash_quality_report_empty_corpus(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        simhash_quality_report,
+    )
+    df = spark.createDataFrame([], "doc_id long, text string")
+    r = simhash_quality_report(df, "text", "doc_id").collect()[0]
+    assert (r["n_truth"], r["n_pred"], r["n_hit"]) == (0, 0, 0)
+    assert r["precision"] is None and r["recall"] is None
