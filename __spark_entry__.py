@@ -2292,6 +2292,36 @@ def q_minhash_quality(spark, sf_dir):
                                      max_df=100)
 
 
+def q_stream_price_quantiles(spark, sf_dir):
+    """Streaming quantile tracking (streaming/ingest.py::
+    histogram_ingest): each micro-batch's pinned-grid histogram cells
+    fold into staged state by cell-wise SUM (epoch-watermarked against
+    replay double-counting, the CMS discipline).  Over the bounded
+    source the staged cells equal the batch sketch exactly (sum is
+    associative/commutative and the grid is pinned), so the quantile
+    estimates match the batch histogram SQL oracle bit-for-bit —
+    a full value oracle for a streaming quantile sketch.  Bounds are
+    pinned to the price domain (900, 105000 — the price_histogram
+    width_bucket domain); out-of-range values clamp to edge bins."""
+    import tempfile
+
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        histogram_ingest, staged_histogram_quantiles,
+    )
+    sk_dir = tempfile.mkdtemp(prefix="histsk_") + "/sketch"
+    histogram_ingest(
+        spark, f"{sf_dir}/lineitem.parquet", sk_dir, "l_extendedprice",
+        schema=("l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber long, l_quantity double, "
+                "l_extendedprice double, l_discount double, "
+                "l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate timestamp"),
+        bins=256, lo=900.0, hi=105000.0)
+    return (staged_histogram_quantiles(spark, sk_dir, 256,
+                                       (0.5, 0.95, 0.99))
+            .orderBy("q"))
+
+
 def q_simhash_quality(spark, sf_dir):
     """SimHash Hamming-ball gauge (operators.dedup.
     simhash_quality_report): precision/recall of hamming ≤ 3 token-
@@ -2370,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
+        "stream_price_quantiles": q_stream_price_quantiles,
         "simhash_quality": q_simhash_quality,
         "group_split": q_group_split,
         "json_field_profile": q_json_field_profile,
@@ -3447,6 +3478,36 @@ GROUP BY doc_id ORDER BY doc_id
         "dedup_clusters": f"""
 WITH RECURSIVE {_cluster_ctes()}
 SELECT doc_id, cluster_id FROM cl ORDER BY doc_id
+""",
+        # --- round 4: streaming pinned-grid histogram quantiles -------------
+        "stream_price_quantiles": """
+WITH vals AS (
+  SELECT cast(l_extendedprice as double) v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL),
+cells AS (
+  SELECT cast(greatest(0, least(255,
+      floor((v - cast(900.0 as double))
+            / (cast(105000.0 as double) - cast(900.0 as double))
+            * 256))) as int) AS bin,
+    count(*) cnt
+  FROM vals GROUP BY 1),
+n_t AS (SELECT sum(cnt) AS n FROM cells),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum,
+        sum(cnt) OVER (ORDER BY bin) - cnt cum_before FROM cells),
+tgt AS (SELECT cast(q as double) q,
+        cast(ceil(cast(q as double) * n) as bigint) target_rank
+        FROM (SELECT unnest([0.5, 0.95, 0.99]) q), n_t),
+hit AS (SELECT q, target_rank,
+        min_by(bin, bin) bin, min_by(cnt, bin) cnt,
+        min_by(cum_before, bin) cum_before
+        FROM tgt JOIN cum ON cum >= target_rank
+        GROUP BY q, target_rank)
+SELECT q, target_rank,
+  round(cast(900.0 as double)
+    + (bin + (target_rank - cum_before) / cnt)
+      * (cast(105000.0 as double) - cast(900.0 as double))
+      / cast(256 as double), 6) AS estimate
+FROM hit ORDER BY q
 """,
         # --- round 4: SimHash Hamming-ball quality gauge -------------------
         "simhash_quality": f"""

@@ -483,3 +483,109 @@ def hll_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
          .start())
     q.awaitTermination()
     return stats
+
+
+def histogram_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
+                     value_col: str, schema: str, bins: int,
+                     lo: float, hi: float,
+                     max_files_per_trigger: int = 1,
+                     checkpoint_dir: str | None = None) -> dict:
+    """Continuous quantile tracking: fold every arriving micro-batch's
+    equi-width histogram cells (``..operators.sketches.
+    histogram_sketch`` with PINNED bounds — the explicit-``lo/hi``
+    shard-merge contract) into staged state by cell-wise SUM —
+    "distribution so far" over an unbounded stream with FIXED state
+    (≤ ``bins`` cell rows on disk).  Completes the streaming sketch
+    family: CMS frequencies (:func:`sketch_ingest`), HLL distincts
+    (:func:`hll_ingest`), and now quantiles.
+
+    Bounds must be pinned up front (domain knowledge or a bounds job
+    over a seed batch): cells from different grids don't merge.
+    Out-of-range values clamp into the edge bins, so ``Σ cnt`` equals
+    the number of non-null values seen — the ``n`` the quantile
+    estimator needs, derived instead of stored.
+
+    Replay safety: cells are SUMMED (like CMS, unlike HLL's max), so a
+    replayed batch after a post-swap crash would double-count — the
+    same ``_merged_epoch`` watermark as :func:`sketch_ingest` skips
+    already-merged epochs.  The swap is atomic (write-tmp + rename).
+
+    Estimates at any point: :func:`staged_histogram_quantiles`.
+    Returns ``{"batches", "rows"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.sketches import histogram_sketch
+
+    stats = {"batches": 0, "rows": 0}
+    marker = "_merged_epoch"
+
+    def _staged_epoch() -> int | None:
+        p = os.path.join(sketch_dir, marker)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return int(fh.read().strip())
+        return None
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        staged_exists = has_parquet_files(sketch_dir)
+        if staged_exists:
+            last = _staged_epoch()
+            if last is not None and int(epoch_id) <= last:
+                stats["batches"] += 1
+                return
+        sk = histogram_sketch(batch, value_col, bins=bins,
+                              lo=lo, hi=hi).select("bin", "cnt",
+                                                   "lo", "hi")
+        if staged_exists:
+            staged = spark.read.parquet(sketch_dir)
+            sk = (staged.unionByName(sk)
+                  .groupBy("bin", "lo", "hi")
+                  .agg(F.sum("cnt").alias("cnt"))
+                  .select("bin", "cnt", "lo", "hi"))
+        tmp = sketch_dir.rstrip("/") + "__tmp"
+        sk.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(int(epoch_id)))
+        old = sketch_dir.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(sketch_dir):
+            os.rename(sketch_dir, old)
+        os.rename(tmp, sketch_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["batches"] += 1
+        stats["rows"] += batch.count()
+
+    name = "hist_" + uuid.uuid4().hex[:8]
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_hist_")
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if input_dir.endswith(".parquet"):
+        parent, _, fname = input_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        input_dir = parent
+    q = (reader.parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats
+
+
+def staged_histogram_quantiles(spark: SparkSession, sketch_dir: str,
+                               bins: int,
+                               qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                               round_to: int = 6) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_ingest` staged sketch:
+    re-attach ``n = Σ cnt`` (exact — clamping guarantees every
+    non-null value landed in a cell) and run the standard
+    :func:`..operators.sketches.histogram_quantiles` estimator."""
+    from ..operators.sketches import histogram_quantiles
+
+    sk = spark.read.parquet(sketch_dir)
+    n = sk.agg(F.sum("cnt").cast("long").alias("n"))
+    return histogram_quantiles(
+        sk.crossJoin(F.broadcast(n)), bins, qs, round_to=round_to)

@@ -346,3 +346,59 @@ def test_hll_ingest_accumulates_and_remerge_is_noop(spark, tmp_path):
     staged2 = {(r["register"], r["max_rank"])
                for r in spark.read.parquet(sk).collect()}
     assert staged2 == staged
+
+
+def test_histogram_ingest_accumulates_and_skips_replayed_epochs(spark,
+                                                                tmp_path):
+    """Two-batch staged cells == one-shot pinned-grid sketch over the
+    concatenated stream; a replayed epoch (fresh checkpoint, same
+    landing file) is rejected by the watermark — summed cells must
+    never double-count."""
+    import glob
+    import shutil
+    import time
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_sketch,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        histogram_ingest, staged_histogram_quantiles,
+    )
+    land = tmp_path / "histland"
+    land.mkdir()
+    sketch_dir = str(tmp_path / "hsketch")
+
+    def write_batch(vals, name):
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"h_{name}"))
+        src = glob.glob(str(tmp_path / f"h_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(land / f"{name}.parquet"))
+
+    b1 = list(range(0, 50))
+    b2 = list(range(50, 120)) + [999.0]  # 999 clamps into the top bin
+    ckpt = str(tmp_path / "hist_ckpt")
+    write_batch(b1, "b1")
+    histogram_ingest(spark, str(land), sketch_dir, "v", "v double",
+                     bins=16, lo=0.0, hi=100.0, checkpoint_dir=ckpt)
+    time.sleep(1.1)
+    write_batch(b2, "b2")
+    histogram_ingest(spark, str(land), sketch_dir, "v", "v double",
+                     bins=16, lo=0.0, hi=100.0, checkpoint_dir=ckpt)
+
+    whole = spark.createDataFrame([(float(v),) for v in b1 + b2],
+                                  "v double")
+    want = {r["bin"]: r["cnt"] for r in histogram_sketch(
+        whole, "v", bins=16, lo=0.0, hi=100.0).collect()}
+    got = {r["bin"]: r["cnt"]
+           for r in spark.read.parquet(sketch_dir).collect()}
+    assert got == want
+
+    before = {r["q"]: r["estimate"] for r in staged_histogram_quantiles(
+        spark, sketch_dir, 16, (0.5, 0.9)).collect()}
+    # fresh checkpoint re-delivers both files as replayed epochs
+    histogram_ingest(spark, str(land), sketch_dir, "v", "v double",
+                     bins=16, lo=0.0, hi=100.0,
+                     checkpoint_dir=str(tmp_path / "hist_ckpt2"))
+    after = {r["q"]: r["estimate"] for r in staged_histogram_quantiles(
+        spark, sketch_dir, 16, (0.5, 0.9)).collect()}
+    assert after == before
