@@ -2344,6 +2344,24 @@ def q_cluster_representatives(spark, sf_dir):
                                       threshold=0.8, max_df=100)
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (operators.text.
+    remove_boilerplate_lines — RefinedWeb §3 / Lee et al. line-wise
+    filter): a line present in ≥ ceil(0.5·n_docs) DISTINCT documents
+    is stripped from every document, which is reassembled from its
+    surviving lines in order.  The synthetic corpus is single-line, so
+    the entry runs the same operator at token granularity
+    (delimiter=' ') — a document-frequency token census, the identical
+    plan shape.  Census groups on the portable 60-bit md5 hash (the
+    exchange never carries line text); removal is one LEFT ANTI
+    equi-join (AQE broadcasts the small boilerplate set at runtime);
+    reassembly is a key-bounded groupBy(id) with in-group array_sort —
+    never a global window."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.remove_boilerplate_lines(docs, "text", "doc_id",
+                                       min_frac=0.5, delimiter=" ")
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2373,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_recall": q_ann_recall,
         # -- new in round 4 (inside the 50-row window) ---------------
+        "boilerplate_lines": q_boilerplate_lines,
         "balanced_shards": q_balanced_shards,
         "mmr_select": q_mmr_select,
         "embedding_covariance": q_embedding_covariance,
@@ -4462,6 +4481,35 @@ FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 ORDER BY i, j
 """,
         # --- round 4: text normalization (NFC/lower/strip/collapse) --------
+        # --- round 4: corpus-frequency boilerplate-line removal ---
+        "boilerplate_lines": f"""
+WITH lines AS (
+  SELECT doc_id AS id,
+         generate_subscripts(ls, 1) AS pos,
+         unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) t),
+hashed AS (
+  SELECT id, pos, line, {_MD5I.format(x='line')} AS h FROM lines),
+census AS (
+  SELECT h, count(*) AS cnt
+  FROM (SELECT DISTINCT id, h FROM hashed WHERE line <> '')
+  GROUP BY h),
+total AS (SELECT count(*) AS n_docs FROM documents),
+bad AS (SELECT h FROM census, total WHERE cnt >= ceil(0.5 * n_docs)),
+kept AS (
+  SELECT hashed.* FROM hashed LEFT JOIN bad USING (h)
+  WHERE bad.h IS NULL),
+reasm AS (
+  SELECT id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         cast(count(*) AS bigint) AS n_kept
+  FROM kept GROUP BY id)
+SELECT d.doc_id AS id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       cast(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+            AS bigint) AS n_removed
+FROM documents d LEFT JOIN reasm r ON r.id = d.doc_id
+""",
         "text_normalize": """
 WITH messy AS (
   SELECT doc_id,

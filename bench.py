@@ -114,6 +114,7 @@ HEADLINE = [
     "idle_customer_balance",
     "json_field_profile",
     "group_split",
+    "boilerplate_lines",
 ]
 
 

@@ -1238,3 +1238,77 @@ def token_fertility(df: DataFrame, text_col: str, lang_col: str) -> DataFrame:
                     (F.col("n_chars")
                      / F.col("n_subwords").cast("double"))
                     .alias("chars_per_subword")))
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str, id_col: str,
+                             min_docs: int | None = None,
+                             min_frac: float = 0.5,
+                             delimiter: str = "\n") -> DataFrame:
+    """Corpus-frequency boilerplate-line removal (the line-wise corpus
+    filter of RefinedWeb §3 / Lee et al. 2022): a line that appears in
+    at least ``min_docs`` DISTINCT documents (or ``ceil(min_frac ·
+    n_docs)`` when ``min_docs`` is None) is boilerplate — nav bars,
+    cookie banners, license headers — and is removed from EVERY
+    document; each document is reassembled from its surviving lines in
+    original order.  This is the cross-document complement of the
+    within-document ``repetition_profile`` gate.
+
+    Scale shape: one ``posexplode`` of the corpus; the line census
+    groups on the 60-bit portable ``md5_int64(line)`` — the exchange
+    carries (id, hash) pairs, never line text; the boilerplate set is
+    removed with a LEFT ANTI equi-join on the hash (AQE converts it to
+    a broadcast join at runtime when the set is small, which it is in
+    practice — its size is bounded by lines repeated across ≥ the
+    threshold of documents); reassembly is one key-bounded
+    ``groupBy(id)`` with an in-group ``array_sort`` — never a global
+    window.  The threshold denominator is a 1-row count broadcast via
+    cross join (metadata-sized, plan-hygiene allowlisted).
+
+    ``delimiter`` must be a regex-free literal (it is passed to both
+    Spark's regex ``split`` and the oracle's literal ``string_split``).
+    Empty lines are excluded from the census (a blank separator present
+    in every document is structure, not boilerplate) and therefore
+    always survive.
+
+    Output: ``id, clean_text, n_kept, n_removed`` — one row per input
+    document; a fully-boilerplate document yields ``clean_text = ''``.
+    """
+    if min_frac <= 0.0 or min_frac > 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    base = spread(df).select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("text"))
+    lines = base.select(
+        "id",
+        F.posexplode(F.split(F.col("text"), delimiter)).alias("pos", "line"))
+    hashed = lines.withColumn("h", md5_int64(F.col("line")))
+    census = (hashed.filter(F.col("line") != "")
+              .select("id", "h").distinct()
+              .groupBy("h").agg(F.count(F.lit(1)).alias("cnt")))
+    if min_docs is not None:
+        bad = census.filter(F.col("cnt") >= F.lit(int(min_docs))).select("h")
+    else:
+        total = base.select(F.count(F.lit(1)).alias("n_docs"))
+        bad = (census.crossJoin(F.broadcast(total))
+               .filter(F.col("cnt")
+                       >= F.ceil(F.lit(float(min_frac)) * F.col("n_docs")))
+               .select("h"))
+    kept = hashed.join(bad, "h", "left_anti")
+    reasm = (kept.groupBy("id")
+             .agg(F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct(F.col("pos"), F.col("line")))),
+                          lambda s: s["line"]),
+                      delimiter).alias("clean_text"),
+                  F.count(F.lit(1)).cast("long").alias("n_kept")))
+    totals = base.select(
+        "id",
+        F.size(F.split(F.col("text"), delimiter)).cast("long").alias("n_lines"))
+    return (totals.join(reasm, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.col("n_lines")
+                     - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long")
+                    .alias("n_removed")))

@@ -49,7 +49,10 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "lang_length_quantiles",
                   # group_split census cross-joins its ONE-ROW
                   # spanning-clusters invariant aggregate
-                  "group_split"}
+                  "group_split",
+                  # boilerplate_lines thresholds its census against the
+                  # broadcast ONE-ROW corpus count (ceil(frac·n_docs))
+                  "boilerplate_lines"}
 
 
 def _plan(df) -> str:

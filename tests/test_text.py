@@ -463,3 +463,41 @@ def test_bpe_apply_matches_reference_tokenization(spark):
         assert list(got[i]["tokens"]) == expect, (i, got[i]["tokens"], expect)
         assert got[i]["n_tokens"] == len(expect)
     assert got[1]["n_words"] == 3 and got[3]["n_words"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+    nl = "\n"
+    docs = [
+        (1, nl.join(["COOKIE BANNER", "real content one", "", "footer"])),
+        (2, nl.join(["COOKIE BANNER", "real content two", "footer"])),
+        (3, nl.join(["unique document", "COOKIE BANNER"])),
+        (4, "all alone"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in remove_boilerplate_lines(
+        df, "text", "doc_id", min_docs=2).collect()}
+    # COOKIE BANNER (3 docs) and footer (2 docs) are boilerplate
+    assert out[1]["clean_text"] == nl.join(["real content one", ""])
+    assert out[1]["n_kept"] == 2 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "real content two"
+    assert out[3]["clean_text"] == "unique document"
+    assert out[4]["clean_text"] == "all alone"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_boilerplate_lines_frac_and_all_removed(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+    df = spark.createDataFrame(
+        [(1, "x\nx"), (2, "x"), (3, "y z")],
+        "doc_id long, text string")
+    # min_frac=0.5 over 3 docs -> threshold ceil(1.5)=2 distinct docs
+    out = {r["id"]: r for r in remove_boilerplate_lines(
+        df, "text", "doc_id", min_frac=0.5).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["clean_text"] == "y z"
