@@ -115,6 +115,9 @@ HEADLINE = [
     "json_field_profile",
     "group_split",
     "boilerplate_lines",
+    "product_type_profit",
+    "promo_revenue",
+    "line_priority_census",
 ]
 
 

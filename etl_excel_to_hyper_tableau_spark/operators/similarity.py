@@ -864,17 +864,26 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
         mu[r["i"]] = r["m"]
     lam, u = np.linalg.eigh(cov)
     w = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))  # d×d
-    # literal projection: whitened_k = Σ_i (x_i - mu_i) · W[i, k]
+    # literal projection: whitened_k = Σ_i (x_i - mu_i) · W[i, k].
+    # LAMBDA-BOUND array ops, not d per-column fold chains: at d=64 the
+    # unrolled chains are ~16k expression nodes and the planner/codegen
+    # OOMs a default driver heap (measured) — the same hazard the
+    # quantile_buckets binary search exists to avoid.  The W columns and
+    # mu are literal arrays (d²+d doubles, ~35 KB at d=64 — metadata);
+    # per row the apply is d zip_with·aggregate folds, map-only.
     v = F.col(vec_col).cast("array<double>")
-    cols = []
-    for kk in range(d):
-        term = F.lit(0.0)
-        for i in range(d):
-            term = term + (F.element_at(v, i + 1) - F.lit(float(mu[i]))) \
-                * F.lit(float(w[i, kk]))
-        cols.append(term)
-    return spread(df).select(F.col(id_col).alias("id"),
-                             F.array(*cols).alias("vec"))
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    wcols = F.array(*[  # wcols[k][i] = W[i, k]
+        F.array(*[F.lit(float(w[i, kk])) for i in range(d)])
+        for kk in range(d)])
+    centered = F.zip_with(v, mu_arr, lambda x, mm: x - mm)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda k: F.aggregate(
+            F.zip_with(centered, F.element_at(wcols, k),
+                       lambda c, ww: c * ww),
+            F.lit(0.0), lambda acc, t: acc + t))
+    return spread(df).select(F.col(id_col).alias("id"), vec.alias("vec"))
 
 
 def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
