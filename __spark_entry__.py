@@ -2385,6 +2385,27 @@ def q_embedding_whiten(spark, sf_dir):
                 F.round("v", 6).alias("v"))
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup over REAL PNG bytes (operators.
+    multimodal.phash_pairs): class-seeded random images synthesized
+    distributively from doc_id (make_class_png_media — same class ⇒
+    byte-identical PNG), decoded through the stdlib codec, DCT-pHashed
+    in Arrow batches (map-only — bytes never shuffle), then paired by
+    the pigeonhole band join at Hamming ≤ 6.  The construction makes
+    the answer SQL-expressible: in-class pairs hash identically
+    (Hamming 0) and cross-class pHashes sit a measured ≥ 18 bits apart
+    (50-class margin check in make_class_png_media's docstring), so
+    the oracle is exactly the same-class pair enumeration."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_class_png_media, phash_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = make_class_png_media(docs, "doc_id", n_classes=50)
+    return (phash_pairs(media, max_hamming=6)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 def q_product_type_profit(spark, sf_dir):
     """TPC-H Q9 shape adapted to this schema (no partsupp table, so
     supply cost is modeled as 0.6·p_retailprice): per-nation,
@@ -2511,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_priority_census": q_line_priority_census,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "embedding_whiten": q_embedding_whiten,
+        "image_phash_dedup": q_image_phash_dedup,
         "balanced_shards": q_balanced_shards,
         "mmr_select": q_mmr_select,
         "embedding_covariance": q_embedding_covariance,
@@ -4600,6 +4622,13 @@ FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 ORDER BY i, j
 """,
         # --- round 4: text normalization (NFC/lower/strip/collapse) --------
+        # --- round 4: perceptual-hash image dedup (construction oracle) -----
+        "image_phash_dedup": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(0 AS bigint) AS hamming
+FROM documents a
+JOIN documents b
+  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+""",
         # --- round 4: TPC-H Q9 shape (product-type profit, adapted) ---------
         "product_type_profit": """
 SELECT n_name AS nation,

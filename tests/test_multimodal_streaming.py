@@ -714,3 +714,55 @@ def test_sample_frames_avi_quarantines_bad_bytes(spark):
     assert len(out) == 1
     assert bytes(out[0]["content"]) == b"not an avi"
     assert out[0]["meta"]["n_frames"] == 3  # untouched
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (pHash) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _grad_img(seed: int, height: int = 24, width: int = 32):
+    import numpy as np
+    yy, xx = np.mgrid[0:height, 0:width]
+    return np.clip(128 + 60 * np.sin((xx + seed * 5) / 6.0)
+                   * np.cos((yy + seed * 3) / 5.0), 0, 255).astype(np.uint8)
+
+
+def test_phash63_deterministic_and_discriminating():
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import phash63
+
+    a = _grad_img(1)
+    noisy = a.copy()
+    noisy[3, 7] = np.clip(int(noisy[3, 7]) + 4, 0, 255)  # 1-pixel nudge
+    b = 255 - _grad_img(9).T[:24, :24]  # structurally different
+    ha, hn, hb = phash63(a), phash63(noisy), phash63(b)
+    assert ha == phash63(a)  # deterministic
+    assert 0 <= ha < (1 << 63)
+    assert bin(ha ^ hn).count("1") <= 4  # near-dup stays close
+    assert bin(ha ^ hb).count("1") > 10  # different image is far
+
+
+def test_phash_pairs_finds_near_dups(spark):
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.png import encode_png
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        MEDIA_SCHEMA, phash_pairs,
+    )
+
+    base = _grad_img(2)
+    noisy = base.copy()
+    noisy[5, 5] = np.clip(int(noisy[5, 5]) + 3, 0, 255)
+    rows = [
+        (0, "image", encode_png(base), ("png", 32, 24, None, None)),
+        (1, "image", encode_png(noisy), ("png", 32, 24, None, None)),
+    ] + [
+        (i, "image", encode_png(_grad_img(i * 11 + 3)),
+         ("png", 32, 24, None, None))
+        for i in range(2, 6)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_pairs(df, max_hamming=6).collect()}
+    assert (0, 1) in got and got[(0, 1)] <= 4
+    # visually distinct gradients must not all collapse into dup pairs
+    assert len(got) < 6

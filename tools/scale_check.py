@@ -159,10 +159,28 @@ def _semantic_dedup_auto(spark, sf_dir):
                           threshold=0.5, lsh_planes=None)
 
 
+def _image_phash_scaled(spark, sf_dir):
+    """image_phash_dedup with the class count scaled to the corpus
+    (~100 docs/class), the production configuration: the queries()
+    entry pins n_classes=50 so the oracle enumerates fixed classes,
+    but a FIXED class count over a growing corpus grows per-class
+    membership linearly and pair output quadratically — the same documented hazard as semantic_dedup's
+    pinned cells.  Scaling classes with the corpus keeps duplicate
+    density constant, which is what a real dedup corpus looks like."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_class_png_media, phash_pairs,
+    )
+    docs = entry._t(spark, sf_dir, "documents").select("doc_id")
+    n_classes = max(50, docs.count() // 100)
+    media = make_class_png_media(docs, "doc_id", n_classes=n_classes)
+    return phash_pairs(media, max_hamming=6)
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = dict(entry.queries())
     qs["embedding_near_dup_lsh"] = _near_dup_lsh_auto
     qs["semantic_dedup"] = _semantic_dedup_auto
+    qs["image_phash_dedup"] = _image_phash_scaled
     out: dict[str, float] = {}
     for name in names:
         best = None
