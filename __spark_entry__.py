@@ -2406,6 +2406,28 @@ def q_image_phash_dedup(spark, sf_dir):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_audio_fp_dedup(spark, sf_dir):
+    """Near-duplicate audio dedup over REAL WAV bytes (operators.
+    multimodal.audio_fp_pairs — Haitsma–Kalker 2002 bit rule at a
+    63-bit budget): class-seeded white-noise clips synthesized
+    distributively from doc_id (make_class_wav_media — same class ⇒
+    byte-identical PCM16), decoded through the stdlib RIFF codec,
+    fingerprinted in Arrow batches (map-only), paired via the shared
+    distinct-signature-collapse band join (hash63_pairs).  Same
+    construction oracle as image_phash_dedup: in-class pairs are
+    Hamming 0 and cross-class fingerprints sit ≥ 18 bits apart
+    (measured over the 50-seed family; the entry uses 40 classes — a
+    subset of the checked seeds)."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        audio_fp_pairs, make_class_wav_media,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = make_class_wav_media(docs, "doc_id", n_classes=40)
+    return (audio_fp_pairs(media, max_hamming=6)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 def q_product_type_profit(spark, sf_dir):
     """TPC-H Q9 shape adapted to this schema (no partsupp table, so
     supply cost is modeled as 0.6·p_retailprice): per-nation,
@@ -2533,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "embedding_whiten": q_embedding_whiten,
         "image_phash_dedup": q_image_phash_dedup,
+        "audio_fp_dedup": q_audio_fp_dedup,
         "balanced_shards": q_balanced_shards,
         "mmr_select": q_mmr_select,
         "embedding_covariance": q_embedding_covariance,
@@ -4622,6 +4645,13 @@ FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 ORDER BY i, j
 """,
         # --- round 4: text normalization (NFC/lower/strip/collapse) --------
+        # --- round 4: audio fingerprint dedup (construction oracle) ---------
+        "audio_fp_dedup": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(0 AS bigint) AS hamming
+FROM documents a
+JOIN documents b
+  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id
+""",
         # --- round 4: perceptual-hash image dedup (construction oracle) -----
         "image_phash_dedup": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(0 AS bigint) AS hamming

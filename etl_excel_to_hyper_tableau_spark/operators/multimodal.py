@@ -588,26 +588,41 @@ def phash_pairs(df: DataFrame, max_hamming: int = 6,
     measured 2× wall regression at 10× data versus this form.
     Output: ``id_a, id_b, hamming``.
     """
+    ph = image_phash(df, hash_size, img_size, decode=decode)
+    return hash63_pairs(ph, "media_id", "phash", max_hamming)
+
+
+def hash63_pairs(sig: DataFrame, id_col: str, hash_col: str,
+                 max_hamming: int) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` over a 63-bit
+    signature table (shared machinery behind :func:`phash_pairs` and
+    :func:`audio_fp_pairs`).  Distinct-signature collapse first:
+    identical signatures pair via one full-hash equi-join (Hamming 0
+    by construction) and ONLY distinct hash values enter the
+    pigeonhole band join, whose matches are expanded back through
+    group membership — so duplicate-heavy corpora never push
+    m²·chunks candidate rows through a dedup exchange.
+    Output: ``id_a, id_b, hamming``.
+    """
     chunks = max_hamming + 1
     width = 63 // chunks
-    ph = image_phash(df, hash_size, img_size, decode=decode) \
-        .filter(F.col("phash").isNotNull()).persist()
-    # within-group (identical hash) pairs: hamming 0, one equi-join
-    m_a = ph.select("phash", F.col("media_id").alias("id_a"))
-    m_b = ph.select("phash", F.col("media_id").alias("id_b"))
-    within = (m_a.join(m_b, "phash")
+    ph = (sig.select(F.col(id_col).alias("__id__"),
+                     F.col(hash_col).alias("__h__"))
+          .filter(F.col("__h__").isNotNull()).persist())
+    m_a = ph.select("__h__", F.col("__id__").alias("id_a"))
+    m_b = ph.select("__h__", F.col("__id__").alias("id_b"))
+    within = (m_a.join(m_b, "__h__")
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b",
                       F.lit(0).cast("integer").alias("hamming")))
-    # cross-group: band join over DISTINCT hashes only
-    reps = ph.select("phash").distinct()
+    reps = ph.select("__h__").distinct()
     arms = ", ".join(
         f"struct({i} as chunk, "
-        f"(shiftright(phash, {i * width}) & {(1 << width) - 1}) as ck)"
+        f"(shiftright(__h__, {i * width}) & {(1 << width) - 1}) as ck)"
         for i in range(chunks))
-    buck = reps.selectExpr("phash", f"inline(array({arms}))")
-    a = buck.select(F.col("phash").alias("h_a"), "chunk", "ck")
-    b = buck.select(F.col("phash").alias("h_b"), "chunk", "ck")
+    buck = reps.selectExpr("__h__", f"inline(array({arms}))")
+    a = buck.select(F.col("__h__").alias("h_a"), "chunk", "ck")
+    b = buck.select(F.col("__h__").alias("h_b"), "chunk", "ck")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     hpairs = (a.join(b, ["chunk", "ck"])
               .filter(F.col("h_a") < F.col("h_b"))
@@ -615,8 +630,8 @@ def phash_pairs(df: DataFrame, max_hamming: int = 6,
               .withColumn("hamming", ham)
               .filter(F.col("hamming") <= max_hamming))
     cross = (hpairs
-             .join(m_a.select(F.col("phash").alias("h_a"), "id_a"), "h_a")
-             .join(m_b.select(F.col("phash").alias("h_b"), "id_b"), "h_b")
+             .join(m_a.select(F.col("__h__").alias("h_a"), "id_a"), "h_a")
+             .join(m_b.select(F.col("__h__").alias("h_b"), "id_b"), "h_b")
              .select(F.least("id_a", "id_b").alias("id_a"),
                      F.greatest("id_a", "id_b").alias("id_b"),
                      "hamming"))
@@ -660,6 +675,126 @@ def make_class_png_media(df: DataFrame, id_col: str,
                 "content": contents,
                 "meta": [{"format": "png", "width": width, "height": height,
                           "sample_rate": None, "n_frames": None}] * len(ids),
+            })
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def afp63(samples: np.ndarray, n_frames: int = 10, n_bands: int = 8) -> int:
+    """63-bit audio fingerprint (the Haitsma–Kalker 2002 "robust audio
+    fingerprint" bit rule at a 63-bit budget): split the signal into
+    ``n_frames`` equal frames, compute per-frame spectral energy in
+    ``n_bands`` contiguous rFFT bands (DC excluded), and emit
+    ``bit(t, b) = [ (E(t,b) − E(t,b+1)) − (E(t−1,b) − E(t−1,b+1)) > 0 ]``
+    — the sign of the time-delta of the band-energy gradient, robust to
+    level changes and mild noise.  (n_frames−1)·(n_bands−1) = 63 bits
+    exactly at the defaults; non-negative int64 in every engine.
+    Deterministic pure numpy.
+    """
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 2:  # stereo → mono
+        a = a.mean(axis=1)
+    frame_len = max(len(a) // n_frames, 1)
+    a = a[:frame_len * n_frames]
+    if len(a) < n_frames:  # degenerate input: pad to one sample/frame
+        a = np.pad(a, (0, n_frames - len(a)))
+        frame_len = 1
+    frames = a.reshape(n_frames, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = spec[:, 1:] if spec.shape[1] > 1 else spec  # drop DC
+    edges = np.linspace(0, spec.shape[1], n_bands + 1).astype(np.int64)
+    e = np.empty((n_frames, n_bands))
+    for b in range(n_bands):
+        lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+        e[:, b] = spec[:, lo:min(hi, spec.shape[1])].sum(axis=1) \
+            if lo < spec.shape[1] else 0.0
+    grad = e[:, :-1] - e[:, 1:]                   # band gradient
+    bits = (grad[1:] - grad[:-1] > 0).astype(np.uint64).flatten()
+    return int(bits @ (np.uint64(1) << np.arange(len(bits) - 1, -1, -1,
+                                                 dtype=np.uint64)))
+
+
+def audio_fingerprint(df: DataFrame, n_frames: int = 10,
+                      n_bands: int = 8) -> DataFrame:
+    """Per-clip audio fingerprint over a MEDIA_SCHEMA table: Arrow-
+    batched ``mapInPandas`` decode (real RIFF/PCM16 and IMA-ADPCM WAV
+    through the stdlib codec) → :func:`afp63`.  Map-only — audio bytes
+    never shuffle.  Output: ``media_id, afp``.
+    """
+    from ..functions.wav import decode_wav
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for c in pdf["content"]:
+                if c is None:
+                    fps.append(None)
+                    continue
+                try:
+                    samples, _sr = decode_wav(bytes(c))
+                except (ValueError, struct.error):
+                    fps.append(None)  # quarantine-and-continue contract
+                    continue
+                fps.append(afp63(samples, n_frames, n_bands))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "afp": pd.array(fps, dtype="Int64")})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_fp_pairs(df: DataFrame, max_hamming: int = 6,
+                   n_frames: int = 10, n_bands: int = 8) -> DataFrame:
+    """Near-duplicate audio pairs: clips whose :func:`afp63`
+    fingerprints differ in ≤ ``max_hamming`` of 63 bits, via the same
+    distinct-signature collapse + pigeonhole band join as
+    :func:`phash_pairs` (:func:`hash63_pairs`).
+    Output: ``id_a, id_b, hamming``.
+    """
+    fp = audio_fingerprint(df, n_frames, n_bands)
+    return hash63_pairs(fp, "media_id", "afp", max_hamming)
+
+
+def make_class_wav_media(df: DataFrame, id_col: str,
+                         n_classes: int = 50, sample_rate: int = 8000,
+                         n_samples: int = 1000) -> DataFrame:
+    """Distributed REAL-WAV synthesis from an id column: row ``i`` gets
+    a PCM16 clip determined ONLY by ``i % n_classes`` (class-seeded
+    uniform white noise), encoded through the stdlib RIFF codec inside
+    ``mapInPandas``.  Same class ⇒ byte-identical clip (fingerprint
+    Hamming 0); independent noise spectra put cross-class fingerprints
+    a wide margin apart (uniform bits — the same construction argument
+    as make_class_png_media, margin asserted by the entry's test).
+    """
+    from ..functions.wav import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = []
+            for i in ids:
+                k = int(i) % n_classes
+                if k not in cache:
+                    samples = np.random.default_rng(7000 + k).integers(
+                        -20000, 20000, size=n_samples).astype(np.int16)
+                    cache[k] = encode_wav(samples, sample_rate)
+                contents.append(cache[k])
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "audio",
+                "content": contents,
+                "meta": [{"format": "wav", "width": None, "height": None,
+                          "sample_rate": sample_rate,
+                          "n_frames": n_samples}] * len(ids),
             })
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)

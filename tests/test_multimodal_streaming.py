@@ -766,3 +766,47 @@ def test_phash_pairs_finds_near_dups(spark):
     assert (0, 1) in got and got[(0, 1)] <= 4
     # visually distinct gradients must not all collapse into dup pairs
     assert len(got) < 6
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (Haitsma-Kalker bit rule) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+def test_afp63_deterministic_robust_discriminating():
+    import numpy as np
+    from etl_excel_to_hyper_tableau_spark.functions.wav import (
+        decode_wav, encode_wav,
+    )
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import afp63
+
+    base = np.random.default_rng(7000).integers(
+        -20000, 20000, size=1000).astype(np.int16)
+    dec, _sr = decode_wav(encode_wav(base, 8000))
+    h = afp63(dec)
+    assert h == afp63(dec) and 0 <= h < (1 << 63)
+    # codec round trip is PCM16-exact, so fingerprint survives encode
+    assert h == afp63(base)
+    # mild additive noise flips few bits; scaling flips none (sign rule)
+    noisy = (base + np.random.default_rng(1).integers(
+        -50, 50, size=1000)).astype(np.int16)
+    assert bin(h ^ afp63(noisy)).count("1") <= 4
+    assert afp63((base // 2).astype(np.int16)) == h
+    other = np.random.default_rng(7031).integers(
+        -20000, 20000, size=1000).astype(np.int16)
+    assert bin(h ^ afp63(other)).count("1") > 10
+
+
+def test_audio_fp_pairs_finds_dups(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        audio_fp_pairs, make_class_wav_media,
+    )
+
+    ids = spark.range(12).withColumnRenamed("id", "media_id")
+    media = make_class_wav_media(ids, "media_id", n_classes=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in audio_fp_pairs(media, max_hamming=6).collect()}
+    # ids 0,4,8 share class 0 etc. — every same-class pair at hamming 0
+    expect = {(a, b) for a in range(12) for b in range(a + 1, 12)
+              if a % 4 == b % 4}
+    assert set(got) == expect
+    assert all(v == 0 for v in got.values())

@@ -60,7 +60,10 @@ def test_inventory_complete():
     # dedicated pytest error bounds.  sketch_profile left this set in
     # round 4: it now runs on the portable md5-HLL + histogram-sketch
     # family, whose estimates the DuckDB oracle reproduces bit-for-bit
-    rows_only = {"doc_compression"}
+    # embedding_whiten joined in round 4: eigendecomposition is not
+    # SQL-expressible; its whitened-covariance ≈ I contract is pinned
+    # in tests/test_round4_ops.py
+    rows_only = {"doc_compression", "embedding_whiten"}
     assert set(qs) - set(osql) == rows_only
 
 

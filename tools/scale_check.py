@@ -176,11 +176,26 @@ def _image_phash_scaled(spark, sf_dir):
     return phash_pairs(media, max_hamming=6)
 
 
+def _audio_fp_scaled(spark, sf_dir):
+    """audio_fp_dedup with the class count scaled to the corpus —
+    the same density-preserving production configuration as
+    _image_phash_scaled (the queries() entry pins n_classes=40 for
+    its enumeration oracle)."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        audio_fp_pairs, make_class_wav_media,
+    )
+    docs = entry._t(spark, sf_dir, "documents").select("doc_id")
+    n_classes = max(40, docs.count() // 100)
+    media = make_class_wav_media(docs, "doc_id", n_classes=n_classes)
+    return audio_fp_pairs(media, max_hamming=6)
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = dict(entry.queries())
     qs["embedding_near_dup_lsh"] = _near_dup_lsh_auto
     qs["semantic_dedup"] = _semantic_dedup_auto
     qs["image_phash_dedup"] = _image_phash_scaled
+    qs["audio_fp_dedup"] = _audio_fp_scaled
     out: dict[str, float] = {}
     for name in names:
         best = None
