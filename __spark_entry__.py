@@ -2428,6 +2428,46 @@ def q_audio_fp_dedup(spark, sf_dir):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def q_stream_media_dedup(spark, sf_dir):
+    """Continuous media curation (streaming/ingest.py::
+    media_dedup_ingest): class-seeded real-PNG media arrive in two
+    mtime-ordered micro-batches (lower doc_id half first); each batch
+    is pHashed map-only, gated within the batch (smaller id survives)
+    and against the staged signatures (band join), and accepted rows
+    land in idempotent batch_id partitions.  Because smaller ids
+    arrive no later than larger ones, the accepted set is exactly the
+    per-class minimum doc_id — the batch SQL oracle."""
+    import os
+    import tempfile
+
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_class_png_media,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        media_dedup_ingest,
+    )
+    base = tempfile.mkdtemp(prefix="mediastream_")
+    inp, idx = f"{base}/in", f"{base}/idx"
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    media = make_class_png_media(docs, "doc_id", n_classes=50)
+    t0 = 1_000_000_000
+    os.makedirs(inp, exist_ok=True)
+    for i, part in enumerate((media.filter(F.col("media_id") <= split),
+                              media.filter(F.col("media_id") > split))):
+        d = f"{base}/stage{i}"
+        part.coalesce(1).write.parquet(d)
+        # the file stream source lists FLAT files — surface the single
+        # part file at the top level with a pinned mtime (arrival order)
+        src = next(fn for fn in os.listdir(d) if fn.endswith(".parquet"))
+        dst = f"{inp}/b{i}.parquet"
+        os.replace(f"{d}/{src}", dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    media_dedup_ingest(spark, inp, idx, kind="image")
+    return (spark.read.parquet(idx)
+            .select("media_id").orderBy("media_id"))
+
+
 def q_product_type_profit(spark, sf_dir):
     """TPC-H Q9 shape adapted to this schema (no partsupp table, so
     supply cost is modeled as 0.6·p_retailprice): per-nation,
@@ -2556,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_whiten": q_embedding_whiten,
         "image_phash_dedup": q_image_phash_dedup,
         "audio_fp_dedup": q_audio_fp_dedup,
+        "stream_media_dedup": q_stream_media_dedup,
         "balanced_shards": q_balanced_shards,
         "mmr_select": q_mmr_select,
         "embedding_covariance": q_embedding_covariance,
@@ -4645,6 +4686,11 @@ FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 ORDER BY i, j
 """,
         # --- round 4: text normalization (NFC/lower/strip/collapse) --------
+        # --- round 4: streaming media dedup (arrival-order oracle) ----------
+        "stream_media_dedup": """
+SELECT min(doc_id) AS media_id
+FROM documents GROUP BY doc_id % 50 ORDER BY media_id
+""",
         # --- round 4: audio fingerprint dedup (construction oracle) ---------
         "audio_fp_dedup": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(0 AS bigint) AS hamming

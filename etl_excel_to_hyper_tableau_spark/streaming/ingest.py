@@ -589,3 +589,97 @@ def staged_histogram_quantiles(spark: SparkSession, sketch_dir: str,
     n = sk.agg(F.sum("cnt").cast("long").alias("n"))
     return histogram_quantiles(
         sk.crossJoin(F.broadcast(n)), bins, qs, round_to=round_to)
+
+
+def media_dedup_ingest(spark: SparkSession, input_dir: str, index_dir: str,
+                       kind: str = "image", max_hamming: int = 6,
+                       max_files_per_trigger: int = 1,
+                       checkpoint_dir: str | None = None) -> dict:
+    """Continuous MEDIA curation — the multimodal analogue of
+    :func:`vector_index_ingest`: media files (MEDIA_SCHEMA parquet)
+    land in ``input_dir``; each micro-batch is perceptually
+    fingerprinted (63-bit DCT pHash for images, Haitsma–Kalker
+    fingerprint for audio — real stdlib codecs, Arrow batches,
+    map-only), near-dup-gated FIRST within the batch itself (smaller
+    id survives — two near-identical images arriving together can't
+    both slip in), THEN against the signatures already staged, and
+    accepted rows are appended with their signature so later batches
+    never re-decode staged media.
+
+    Scale shape: media bytes never shuffle (signatures are two longs a
+    row); the staged comparison is a pigeonhole band equi-join between
+    batch signatures and the staged signature column — a batch row
+    meets only staged rows sharing a ``max_hamming + 1``-chunk band,
+    never the whole index; the append writes ``batch_id=…`` partitions
+    with dynamic overwrite, so a replayed micro-batch overwrites
+    itself (the :func:`curated_ingest` idempotency contract).
+
+    Returns ``{"batches", "accepted"}``.
+    """
+    import tempfile
+    import uuid
+
+    from ..operators.multimodal import audio_fingerprint, image_phash
+
+    fingerprint = image_phash if kind == "image" else audio_fingerprint
+    sig_col = "phash" if kind == "image" else "afp"
+    chunks = max_hamming + 1
+    width = 63 // chunks
+
+    def _bands(df: DataFrame, h: str) -> DataFrame:
+        arms = ", ".join(
+            f"struct({i} as chunk, "
+            f"(shiftright({h}, {i * width}) & {(1 << width) - 1}) as ck)"
+            for i in range(chunks))
+        return df.selectExpr("*", f"inline(array({arms}))")
+
+    stats = {"batches": 0, "accepted": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sig = (fingerprint(batch)
+               .withColumnRenamed(sig_col, "sig")
+               .filter(F.col("sig").isNotNull()))
+        b = batch.join(sig, "media_id")
+        # within-batch gate: smaller id survives any ≤ max_hamming pair
+        lhs = b.select("sig", F.col("media_id").alias("__ida__"))
+        rhs = b.select(F.col("sig").alias("__sb__"),
+                       F.col("media_id").alias("__idb__"))
+        ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("__sb__")))
+        intra = (_bands(lhs, "sig")
+                 .join(_bands(rhs, "__sb__"), ["chunk", "ck"])
+                 .where(F.col("__ida__") < F.col("__idb__"))
+                 .where(ham <= max_hamming)
+                 .select(F.col("__idb__").alias("media_id")).distinct())
+        b = b.join(intra, "media_id", "left_anti")
+        # cross-batch gate: band join against the staged signatures
+        if has_parquet_files(index_dir):
+            staged = (spark.read.parquet(index_dir)
+                      .select(F.col("sig").alias("__sb__")).distinct())
+            dup = (_bands(b.select("media_id", "sig"), "sig")
+                   .join(_bands(staged, "__sb__"), ["chunk", "ck"])
+                   .where(ham <= max_hamming)
+                   .select("media_id").distinct())
+            b = b.join(dup, "media_id", "left_anti")
+        n = b.count()
+        if n:
+            (b.withColumn("batch_id", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(index_dir))
+        stats["batches"] += 1
+        stats["accepted"] += n
+
+    schema = ("media_id long, kind string, content binary, "
+              "meta struct<format:string,width:int,height:int,"
+              "sample_rate:int,n_frames:int>")
+    name = "mediaingest_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation",
+                 checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_media_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

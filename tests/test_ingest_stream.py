@@ -402,3 +402,57 @@ def test_histogram_ingest_accumulates_and_skips_replayed_epochs(spark,
     after = {r["q"]: r["estimate"] for r in staged_histogram_quantiles(
         spark, sketch_dir, 16, (0.5, 0.9)).collect()}
     assert after == before
+
+
+def _write_media_batch(spark, path, ids_classes, mtime):
+    """Parquet batch of MEDIA_SCHEMA rows: real PNG bytes, class-seeded
+    (same class => byte-identical image)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_excel_to_hyper_tableau_spark.functions.png import encode_png
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    contents = []
+    for _mid, k in ids_classes:
+        arr = np.random.default_rng(1000 + k).integers(
+            0, 256, size=(24, 32), dtype=np.uint8)
+        contents.append(encode_png(arr))
+    meta_t = pa.struct([("format", pa.string()), ("width", pa.int32()),
+                        ("height", pa.int32()), ("sample_rate", pa.int32()),
+                        ("n_frames", pa.int32())])
+    tbl = pa.table({
+        "media_id": pa.array([m for m, _ in ids_classes], pa.int64()),
+        "kind": pa.array(["image"] * len(ids_classes), pa.string()),
+        "content": pa.array(contents, pa.binary()),
+        "meta": pa.array([("png", 32, 24, None, None)] * len(ids_classes),
+                         meta_t),
+    })
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_media_dedup_ingest_within_and_cross_batch(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        media_dedup_ingest,
+    )
+
+    inp = str(tmp_path / "media_in")
+    idx = str(tmp_path / "media_idx")
+    t0 = time.time() - 100
+    # batch 1: ids 0,1 duplicates (class 5) + id 2 unique (class 6)
+    _write_media_batch(spark, f"{inp}/b1.parquet",
+                       [(0, 5), (1, 5), (2, 6)], t0)
+    # batch 2: id 10 dup of staged class 5, id 11 new class 7
+    _write_media_batch(spark, f"{inp}/b2.parquet",
+                       [(10, 5), (11, 7)], t0 + 10)
+
+    stats = media_dedup_ingest(spark, inp, idx, kind="image")
+    assert stats["batches"] == 2
+    assert stats["accepted"] == 3  # 0, 2, 11 (1 intra-dup, 10 cross-dup)
+    staged = spark.read.parquet(idx)
+    assert sorted(r["media_id"] for r in staged.collect()) == [0, 2, 11]
+    # signatures staged alongside content — later batches never re-decode
+    assert "sig" in staged.columns
+    assert staged.filter(staged.sig.isNull()).count() == 0
