@@ -2576,10 +2576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # array-typed output crashed the r03 canonicalizer (now serialized
     # to scalars at the entry boundary) plus ann_recall (sat at
     # position 51 in r03 — the one r03 ordering-invariant violation).
-    # They occupy positions 1-4; new round-4 entries follow (the
-    # session-3 additions — boilerplate_lines, the four TPC-H shapes,
-    # embedding_whiten — sit right after them, inside the window); the
-    # rest of the window re-records r03-green entries.
+    # They occupy positions 1-4; new round-4 entries follow: the nine
+    # session-3 additions (boilerplate_lines, the four TPC-H shapes,
+    # embedding_whiten, the two media dedups, stream_media_dedup) at
+    # positions 5-13, then the 37 earlier round-4 entries — positions
+    # 1-50 exactly, so every entry without an archived driver-green
+    # row is inside the window.  r01-r03-green entries sit below 50.
     return {
         # -- no driver-green row in any round (r03 canonicalizer err /
         #    outside every window) — positions 1-4 ------------------
