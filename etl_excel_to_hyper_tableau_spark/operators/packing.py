@@ -72,13 +72,18 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
         offsets[r["__pid__"]] = acc
         acc += r["t"] or 0
     # phase 4: partition offset + within-partition inclusive scan
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]) \
-        if offsets else F.create_map()
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid__")]
+    else:
+        # empty input: an untyped empty map literal is map<void,void>
+        # and indexing it with the int partition id fails analysis —
+        # there are no rows, so the offset is a typed zero
+        off = F.lit(0).cast("long")
     w = (Window.partitionBy("__pid__").orderBy("id")
          .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (off_map[F.col("__pid__")]
-           + F.sum("n_tokens").over(w)).alias("__cum__")
+    cum = (off + F.sum("n_tokens").over(w)).alias("__cum__")
     out = sized.select("id", "n_tokens", cum)
     wt = F.lit(window_tokens).cast("long")
     start_off = (F.col("__cum__") - F.col("n_tokens"))

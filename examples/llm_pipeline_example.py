@@ -46,6 +46,24 @@ def main() -> None:
             .join(tx.normalize_text(docs, "text", "doc_id")
                   .select(F.col("id").alias("doc_id"), "text"), "doc_id"))
 
+    # 0b. corpus-frequency boilerplate removal (RefinedWeb line-wise
+    # filter; token granularity here — the synthetic corpus is
+    # single-line): anything present in ≥ 95% of documents is
+    # template, not content, and must go BEFORE dedup so boilerplate
+    # doesn't glue unrelated documents into near-dup clusters.  The
+    # threshold is deliberately high: this corpus IS template-built,
+    # and a 60% gate strips so much that every doc fails the later
+    # min-token gate (measured — the whole pipeline emptied)
+    # localCheckpoint: the normalize + census lineage above re-executes
+    # under every downstream dedup stage otherwise — truncating here
+    # keeps the plan (and the driver heap) flat for the whole chain
+    docs = (docs.drop("text")
+            .join(tx.remove_boilerplate_lines(docs, "text", "doc_id",
+                                              min_frac=0.95, delimiter=" ")
+                  .select(F.col("id").alias("doc_id"),
+                          F.col("clean_text").alias("text")), "doc_id")
+            .localCheckpoint(eager=True))
+
     # 1. quality gates (C4/Gopher-style trio)
     cleaned = tx.clean_corpus(docs, "text", "doc_id",
                               min_quality=0.3, min_tokens=5, max_tokens=5000,

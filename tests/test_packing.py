@@ -96,3 +96,14 @@ def test_window_doc_map_skips_empty_docs(spark):
                                "id long, text string")
     out = window_doc_map(df, "text", "id", window_tokens=4).collect()
     assert sorted(set(r["id"] for r in out)) == [1, 3]
+
+
+def test_seq_packing_empty_input(spark):
+    """Empty corpus must yield an empty result, not an analysis error
+    (the untyped empty-map offset literal regression)."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        pack_sequences,
+    )
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_sequences(df, "text", "doc_id", window_tokens=64)
+    assert out.count() == 0
