@@ -153,7 +153,8 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
             .where(F.col("group_size") < k))
 
 
-def json_field_profile(df: DataFrame, json_col: str) -> DataFrame:
+def json_field_profile(df: DataFrame, json_col: str,
+                       approx_ndv: bool = False, p: int = 8) -> DataFrame:
     """Schema-on-read discovery for a JSON-string column: one row per
     top-level key with presence, numeric-parse, and distinct-value
     counts — the profile that decides which fields become typed
@@ -163,17 +164,29 @@ def json_field_profile(df: DataFrame, json_col: str) -> DataFrame:
     values arrive unquoted), explode, partial-agg groupBy on the key.
     The exchange is bounded by |keys| × partitions for the count
     columns; the exact distinct-count pays the usual distinct
-    expansion (swap in the portable HLL sketch when |values| is
-    corpus-sized).  Rows whose JSON fails to parse contribute nothing
-    (from_json → NULL map; count them upstream if the failure rate
-    matters — see check_report).
+    expansion — pass ``approx_ndv=True`` to swap it for the portable
+    grouped-HLL estimate (:func:`.sketches.grouped_hll_ndv` — the
+    exchange then stays ≤ |keys|·2^p rows per partition, the scale
+    path when |values| is corpus-sized).  Rows whose JSON fails to
+    parse contribute nothing (from_json → NULL map; count them
+    upstream if the failure rate matters — see check_report).
 
     Output: ``key, n_present, n_numeric, n_distinct`` (exact ints,
-    engine-portable — no float formatting crosses the boundary).
+    engine-portable); with ``approx_ndv=True`` the last column is the
+    HLL double ``n_distinct`` estimate instead (rounded to 4).
     """
     kv = df.select(F.explode(F.from_json(F.col(json_col),
                                          "map<string,string>"))
                    .alias("key", "value"))
+    if approx_ndv:
+        from .sketches import grouped_hll_ndv
+        counts = (kv.groupBy("key")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_present"),
+                       F.count(F.expr("try_cast(value AS double)"))
+                       .cast("long").alias("n_numeric")))
+        ndv = grouped_hll_ndv(kv, "key", "value", p=p) \
+            .withColumnRenamed("ndv_estimate", "n_distinct")
+        return counts.join(ndv, "key")
     return (kv.groupBy("key")
             .agg(F.count(F.lit(1)).cast("long").alias("n_present"),
                  F.count(F.expr("try_cast(value AS double)"))

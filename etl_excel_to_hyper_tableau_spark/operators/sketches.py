@@ -438,3 +438,51 @@ def histogram_quantiles_by(sketch: DataFrame, group_col: str, bins: int,
     return (hit.select(group_col, "q", "target_rank",
                        F.round(est, round_to).alias("estimate"))
             .orderBy(group_col, "q"))
+
+
+def grouped_hll_ndv(df: DataFrame, key_col: str, val_col: str,
+                    p: int = 8) -> DataFrame:
+    """Per-key portable-HLL distinct-count estimate — the grouped form
+    of :func:`hll_build` + :func:`hll_estimate` (same md5 registers,
+    same exact-integer register sums, same linear-counting correction),
+    for the places an exact per-key ``countDistinct`` pays the full
+    distinct expansion: schema profiling, per-domain vocabularies,
+    per-source cardinality monitors.
+
+    Scale shape: one map (hash + split) + a partial-agg
+    ``groupBy(key, register)`` — every partition contributes at most
+    ``|keys| · 2^p`` rows to the exchange regardless of value volume —
+    then a key-bounded final aggregate.  Output: ``<key_col>,
+    ndv_estimate`` (rounded to 4 decimals, engine-portable).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    nbits = 60 - p
+    alpha = _hll_alpha(m)
+    h = md5_int64(F.col(val_col).cast("string"))
+    w = F.floor(h / m)
+    rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
+        .otherwise(F.lit(nbits + 1))
+    regs = (df.where(F.col(val_col).isNotNull())
+            .select(F.col(key_col).alias("__k__"),
+                    (h % m).alias("register"),
+                    rank.cast("int").alias("rank"))
+            .groupBy("__k__", "register")
+            .agg(F.max("rank").alias("max_rank")))
+    agg = regs.groupBy("__k__").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0),
+                               F.lit(nbits) - F.col("max_rank"))
+                         .cast("long")), F.lit(0))
+         .cast("long").alias("s_hit"))
+    v_zero = F.lit(m) - F.col("n_hit")
+    s = (F.col("s_hit") + v_zero * F.lit(1 << nbits)).cast("double")
+    e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+             * F.lit(float(1 << nbits)) / s)
+    e = F.when((e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+               F.lit(float(m)) * F.log(F.lit(float(m))
+                                       / v_zero.cast("double"))) \
+        .otherwise(e_raw)
+    return agg.select(F.col("__k__").alias(key_col),
+                      F.round(e, 4).alias("ndv_estimate"))

@@ -85,3 +85,27 @@ def test_json_field_profile_counts_and_quarantine(spark):
     assert out["a"]["n_distinct"] == 3
     assert out["b"]["n_present"] == 2 and out["b"]["n_distinct"] == 1
     assert out["c"]["n_numeric"] == 1          # "7" parses even quoted
+
+
+def test_json_field_profile_approx_ndv_within_hll_error(spark):
+    """approx_ndv=True swaps the exact per-key distinct for the
+    portable grouped HLL; p=8 gives ~6.5% typical error — assert 15%
+    on a few hundred distinct values, and that low-cardinality keys
+    (linear-counting range) come out near-exact."""
+    import json as _json
+
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    rows = [(_json.dumps({"uid": f"user{i}", "country": f"c{i % 7}"}),)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "j string")
+    exact = {r["key"]: r for r in json_field_profile(df, "j").collect()}
+    approx = {r["key"]: r for r in
+              json_field_profile(df, "j", approx_ndv=True).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert approx[k]["n_present"] == exact[k]["n_present"]
+        assert approx[k]["n_numeric"] == exact[k]["n_numeric"]
+    assert abs(approx["uid"]["n_distinct"] - 400) / 400 < 0.15
+    assert abs(approx["country"]["n_distinct"] - 7) < 1.0
