@@ -2044,7 +2044,7 @@ def q_group_split(spark, sf_dir):
     joined = docs.select("doc_id").join(
         clusters, "doc_id", "left")
     assigned = group_split(
-        joined, "doc_id",
+        joined,
         F.coalesce(F.col("cluster_id"), F.col("doc_id")),
         {"train": 0.8, "val": 0.1, "test": 0.1})
     per_group = (assigned.groupBy("group_key")
@@ -2841,11 +2841,12 @@ def _cos_sql(a: str, b: str) -> str:
 def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     """Greedy MMR as k chained CTEs — the exact recursion mmr_topk
     runs, with the same cosine fold order AND the same safe
-    relevance-bound prune (rel ≥ rel₍ₖ₎ − (1−lam)/lam over identical
-    doubles — provably output-preserving, see mmr_topk), so every
-    relevance and mmr_score double matches the engine bit-for-bit."""
+    relevance-bound prune (rel ≥ rel₍ₖ₎ − 2·(1−lam)/lam over identical
+    doubles — valid for cos ∈ [−1, 1], provably output-preserving, see
+    mmr_topk), so every relevance and mmr_score double matches the
+    engine bit-for-bit."""
     oml = 1.0 - lam  # same Python double the engine's F.lit(1.0 - lam) uses
-    off = (1.0 - lam) / lam  # same double as the engine's threshold
+    off = 2.0 * (1.0 - lam) / lam  # same double as the engine's threshold
     ctes = [
         ("corpus AS (SELECT vec_id AS id, embedding AS e "
          "FROM embeddings WHERE vec_id >= 3)"),

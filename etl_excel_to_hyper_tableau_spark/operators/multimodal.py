@@ -635,7 +635,14 @@ def hash63_pairs(sig: DataFrame, id_col: str, hash_col: str,
              .select(F.least("id_a", "id_b").alias("id_a"),
                      F.greatest("id_a", "id_b").alias("id_b"),
                      "hamming"))
-    return within.unionByName(cross)
+    # eager boundary (the incremental_dedup precedent): materialize the
+    # pair result so the signature cache is released deterministically
+    # — phash_pairs/audio_fp_pairs callers (including every
+    # media_dedup_ingest micro-batch) must not accumulate cached
+    # blocks for the session lifetime
+    out = within.unionByName(cross).localCheckpoint(eager=True)
+    ph.unpersist()
+    return out
 
 
 def make_class_png_media(df: DataFrame, id_col: str,

@@ -461,7 +461,7 @@ def priority_sample(df: DataFrame, id_col: str, weight: Column, k: int,
             .limit(k))
 
 
-def group_split(df: DataFrame, id_col: str, group_col: Column,
+def group_split(df: DataFrame, group_col: Column,
                 splits: dict[str, float],
                 salt: str = "split") -> DataFrame:
     """Leakage-free split assignment: hash the GROUP key, not the row

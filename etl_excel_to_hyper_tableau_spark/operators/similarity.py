@@ -682,12 +682,15 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     Scale shape: MMR is inherently sequential in ``k``, so the design
     splits into ONE distributed pass and k tiny rounds.  The
     distributed pass scores relevance over the full corpus and applies
-    a mathematically SAFE prune: with ``maxsim ∈ [0, 1]``, any round's
-    winner scores at least ``lam·rel₍ₖ₎ − (1−lam)`` (some top-k-
-    relevance item always remains pickable), so every item with
-    ``rel < rel₍ₖ₎ − (1−lam)/lam`` can never be selected in ANY round
-    — dropping it cannot change the output, ties included (pruning is
-    strict-less-than).  The survivor set is cached and coalesced to a
+    a mathematically SAFE prune: with ``maxsim ∈ [−1, 1]`` (cosine's
+    full range — real corpora do produce negative pairwise cosines),
+    any round's winner scores at least ``lam·rel₍ₖ₎ − (1−lam)`` (some
+    top-k-relevance item always remains pickable, its maxsim ≤ 1),
+    while a candidate's score is at most ``lam·rel + (1−lam)`` (its
+    maxsim ≥ −1), so every item with
+    ``rel < rel₍ₖ₎ − 2·(1−lam)/lam`` can never be selected in ANY
+    round — dropping it cannot change the output, ties included
+    (pruning is strict-less-than).  The survivor set is cached and coalesced to a
     task count matched to its size, so each greedy round is a small
     ``TakeOrderedAndProject`` argmax + one 1-row collect instead of a
     full-width corpus job.  Ties broken by id.  The cosine fold order
@@ -712,9 +715,9 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     base = scored
     if len(top_rows) == k:
         # same arithmetic (and the same doubles) as the oracle's
-        # kr - (1-lam)/lam threshold CTE; the filter re-applies per
+        # kr - 2(1-lam)/lam threshold CTE; the filter re-applies per
         # round over the cached parent — no second materialization
-        thr = top_rows[-1]["rel"] - (1.0 - float(lam)) / float(lam)
+        thr = top_rows[-1]["rel"] - 2.0 * (1.0 - float(lam)) / float(lam)
         base = scored.filter(F.col("rel") >= F.lit(thr))
     lam_c = F.lit(float(lam))
     oml_c = F.lit(1.0 - float(lam))
@@ -925,9 +928,25 @@ def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
         cents.setdefault(r["l"], {})[r["pos"]] = r["c"]
     labels = sorted(cents)
     if len(labels) < 2:
-        return df.sparkSession.createDataFrame(
-            [], f"id long, label int, nearest_label int, "
-                f"own_d2 double, other_d2 double, margin double")
+        # empty-result schema must match the populated path, which
+        # inherits id/label dtypes from the input (the semantic_dedup
+        # invariant): derive them from df.schema, don't hardcode
+        from pyspark.sql import types as T
+        lt = df.schema[label_col].dataType
+        it = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("id", it), T.StructField("label", lt),
+            T.StructField("nearest_label", lt),
+            T.StructField("own_d2", T.DoubleType()),
+            T.StructField("other_d2", T.DoubleType()),
+            T.StructField("margin", T.DoubleType())]))
+
+    def lbl_lit(lbl) -> str:
+        # SQL literal for a label value — quote strings (the populated
+        # path must work for string label columns, not only ints)
+        if isinstance(lbl, str):
+            return "'" + lbl.replace("'", "''") + "'"
+        return repr(lbl)
 
     def d2_expr(lbl) -> str:
         dims = cents[lbl]
@@ -937,8 +956,11 @@ def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
                 f"{arr}, (x, y) -> (x - y) * (x - y)), 0D, "
                 f"(a, t) -> a + t)")
 
+    lts = df.schema[label_col].dataType.simpleString()
     dists = "array(" + ",".join(
-        f"named_struct('d2', {d2_expr(l)}, 'l', {l})" for l in labels) + ")"
+        f"named_struct('d2', {d2_expr(l)}, "
+        f"'l', cast({lbl_lit(l)} as {lts}))"
+        for l in labels) + ")"
     own = f"element_at(filter(__dists__, s -> s.l = `{label_col}`), 1).d2"
     other = f"array_min(filter(__dists__, s -> s.l != `{label_col}`))"
     out = (spread(df)

@@ -697,3 +697,72 @@ def test_k_anonymity_report_flags_small_groups(spark):
         k_anonymity_report(df, [], k=5)
     with pytest.raises(ValueError):
         k_anonymity_report(df, ["age"], k=1)
+
+
+def test_mmr_prune_safe_for_negative_cosines(spark):
+    """ADVICE r4 (medium): the prune offset must be 2(1-lam)/lam, not
+    (1-lam)/lam — maxsim ranges over [-1, 1], so a candidate whose
+    similarity to every selected vector is NEGATIVE gains up to
+    (1-lam)·|cos| and can beat the lam·rel_k − (1−lam) winner bound.
+    Full-circle 2-d corpus (pairwise cosines down to −1) vs a pure-
+    Python unpruned greedy MMR: ids and scores must match exactly."""
+    import math
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+    q = [1.0, 0.0]
+    # 24 unit vectors over the full circle, slightly uneven spacing so
+    # no exact score ties; includes strongly anti-correlated pairs
+    rows = [(i, [math.cos(0.26 * i + 0.01 * i * i),
+                 math.sin(0.26 * i + 0.01 * i * i)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    lam, k = 0.7, 5
+    out = sorted(mmr_topk(df, "emb", "id", q, k=k, lam=lam).collect(),
+                 key=lambda r: r["rank"])
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    vecs = dict(rows)
+    rel = {i: cos(v, q) for i, v in vecs.items()}
+    picked, expect = [], []
+    for r in range(k):
+        best = None
+        for i in sorted(vecs):
+            if i in picked:
+                continue
+            maxsim = max((cos(vecs[i], vecs[j]) for j in picked),
+                         default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * maxsim
+            if best is None or score > best[1] + 1e-12:
+                best = (i, score)
+        picked.append(best[0])
+        expect.append(best)
+    assert [r["id"] for r in out] == [i for i, _ in expect]
+    for row, (_, score) in zip(out, expect):
+        assert row["mmr_score"] == pytest.approx(score, abs=1e-9)
+    # the corpus genuinely exercises the negative range
+    assert min(cos(vecs[a], vecs[b]) for a in vecs for b in vecs) < -0.9
+
+
+def test_label_noise_schema_stable_for_string_labels(spark):
+    """ADVICE r4 (low): the single-label early return must inherit the
+    label column's actual dtype (string here), matching the populated
+    path's schema — and the populated path must handle string labels
+    (quoted SQL literals)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        label_noise_audit,
+    )
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0], "pos"), (2, [0.9, 0.1], "pos"),
+         (3, [0.0, 1.0], "neg"), (4, [0.8, 0.2], "neg")],
+        "id long, emb array<double>, label string")
+    full = label_noise_audit(two, "emb", "id", "label")
+    one = label_noise_audit(two.where(F.col("label") == "pos"),
+                            "emb", "id", "label")
+    assert one.schema == full.schema
+    assert one.count() == 0
+    flagged = {r["id"]: r["nearest_label"] for r in full.collect()}
+    assert flagged == {4: "pos"}   # [0.8,0.2] sits in the pos cluster

@@ -318,7 +318,7 @@ def test_group_split_keeps_cluster_members_together(spark):
     # 60 docs in 20 clusters of 3 (ids i, i+100, i+200 share cluster i)
     rows = [(i + off, i) for i in range(20) for off in (0, 100, 200)]
     df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
-    out = group_split(df, "doc_id", F.col("cluster_id"),
+    out = group_split(df, F.col("cluster_id"),
                       {"train": 0.6, "val": 0.2, "test": 0.2})
     per = (out.groupBy("group_key")
            .agg(F.countDistinct("split").alias("ns")).collect())
@@ -338,9 +338,9 @@ def test_group_split_is_deterministic_and_map_only(spark):
     )
     df = spark.range(500).select(F.col("id").alias("doc_id"),
                                  (F.col("id") % 50).alias("cluster_id"))
-    a = group_split(df, "doc_id", F.col("cluster_id"),
+    a = group_split(df, F.col("cluster_id"),
                     {"train": 0.8, "val": 0.1, "test": 0.1})
-    b = group_split(df.repartition(7), "doc_id", F.col("cluster_id"),
+    b = group_split(df.repartition(7), F.col("cluster_id"),
                     {"train": 0.8, "val": 0.1, "test": 0.1})
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan = a._jdf.queryExecution().executedPlan().toString()
