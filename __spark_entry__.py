@@ -1829,6 +1829,203 @@ def q_idle_customer_balance(spark, sf_dir):
             .orderBy("nation"))
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the would-be revenue increase from dropping discounts
+    — one filter-aggregate, no join.  Predicates (ship-year, discount
+    band, quantity cap) all push into the parquet scan; the product
+    ``dec(extendedprice)·dec(discount)`` is exact decimal so the one
+    output double is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(_dec2(F.col("l_extendedprice"))
+                       * _dec2(F.col("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q_priority_late_census(spark, sf_dir):
+    """TPC-H Q4 shape (no l_commitdate in this schema — "late" = a
+    line shipped more than 60 days after the order date): per order
+    priority, how many 1996-H1 orders have at least one late line.
+    EXISTS → LEFT SEMI join with an equi key plus a theta residual;
+    the order-date range prunes the probe side before the exchange."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_cheapest_type_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp/ps_supplycost in this schema — the
+    supplier's account balance plays the cost role): for every part
+    type, the minimum-balance supplier that actually shipped a part of
+    that type.  The correlated-min subquery becomes one rank window
+    over the distinct (type, supplier) pairs; both dims broadcast onto
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = (li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+             .join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+             .distinct())
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("p_type", F.col("s_suppkey").cast("long")
+                    .alias("s_suppkey"), "s_name", "s_acctbal")
+            .orderBy("p_type"))
+
+
+def q_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp — shipped revenue per part plays
+    the stock-value role): parts whose revenue exceeds 1/1800 of the
+    global total (≈ the above-average tail — the fraction is tuned so
+    the HAVING actually discriminates on this data).  The HAVING-vs-scalar-subquery comparison runs in
+    EXACT decimals, algebraically rewritten ``value·10000 > total`` —
+    zero FP-boundary risk (the Q22 doctrine); the global total is a
+    broadcast one-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _revenue_dec()
+    per_part = (li.groupBy(F.col("l_partkey").cast("long").alias("partkey"))
+                .agg(F.sum(rev).alias("__val__")))
+    total = li.agg(F.sum(rev).alias("__tot__"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("__val__") * F.lit(1800) > F.col("__tot__"))
+            .select("partkey",
+                    F.col("__val__").cast("double").alias("value"))
+            .orderBy(F.desc("value"), "partkey"))
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of orders-per-customer — LEFT OUTER
+    join so zero-order customers land in the c_count=0 bucket (the
+    priority filter plays the comment-pattern role), then a second
+    aggregation over the first.  Two shuffles, both key-bounded."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (cust.join(orders,
+                          F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers shipped each
+    (brand, type, size) combination, excluding one brand, the PROMO
+    type, a size set, and (NOT IN) suppliers in deficit.  The NOT IN
+    becomes a broadcast anti-join; the distinct-count pays its exact
+    expansion over the already-filtered join."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (kept.groupBy("p_brand", "p_type",
+                         F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.countDistinct("l_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))
+
+
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp availqty — the nested half-sum
+    becomes a share-of-part threshold): suppliers who shipped more
+    than 30% of some part's total 1996 quantity, with how many parts
+    they dominate.  Two aggregations reuse the SAME partkey shuffle
+    (per-(part,supplier) then per-part), the share test is exact
+    decimal (``qty_ps·10 > qty_p·3``), and the supplier dim
+    broadcasts onto the result."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    qty_ps = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(_dec2(F.col("l_quantity"))).alias("__qps__")))
+    qty_p = (qty_ps.groupBy("l_partkey")
+             .agg(F.sum("__qps__").alias("__qp__")))
+    dom = (qty_ps.join(qty_p, "l_partkey")
+           .filter(F.col("__qps__") * F.lit(10)
+                   > F.col("__qp__") * F.lit(3)))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (dom.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dominant"))
+            .join(F.broadcast(sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                    "s_name", "n_dominant")
+            .orderBy(F.desc("n_dominant"), "s_suppkey"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL dedup after canonicalization (operators.web.
+    canonicalize_url + url_dedup — the cheapest crawl-dedup stage).
+    The testdata has no URL column, so the entry derives one per doc
+    with doc_id%4 messiness variants (uppercase host / default port +
+    fragment / tracking-params-only / mixed query) — three of the four
+    variants collapse to the same canonical URL, the fourth keeps its
+    real param.  The whole regex chain is RE2-portable and replayed
+    verbatim by the oracle."""
+    from etl_excel_to_hyper_tableau_spark.operators.web import url_dedup
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("www.site"), (base % 50).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/page/"), base.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("HTTPS://"), F.upper(host), path))
+           .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443"),
+                                  path, F.lit("#section-2")))
+           .when(v == 2, F.concat(F.lit("https://"), host, path,
+                                  F.lit("?utm_source=feed&utm_medium=rss")))
+           .otherwise(F.concat(F.lit("https://"), host, path,
+                               F.lit("?a=1&utm_campaign=x"))))
+    return (url_dedup(docs.withColumn("url", url), "url", "doc_id")
+            .orderBy("canonical_url"))
+
+
+def q_pca_variance(spark, sf_dir):
+    """Eigen-spectrum of the embedding covariance (operators.
+    similarity.pca_variance): the anisotropy report that motivates
+    whitening.  Same deterministic exact-decimal covariance input as
+    embedding_whiten, driver-side eigvalsh on the metadata-sized d×d;
+    the oracle replays the identical eigendecomposition at build time
+    (_pca_sql) — both sides round at 6."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        pca_variance,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return (pca_variance(emb, "embedding")
+            .select("component", F.round("eigenvalue", 6).alias("eigenvalue"),
+                    F.round("explained", 6).alias("explained"),
+                    F.round("cum_explained", 6).alias("cum_explained"))
+            .orderBy("component"))
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic global training-order shuffle (operators.packing.
     training_order): md5-permutation rank via the distributed two-phase
@@ -2059,17 +2256,13 @@ def q_group_split(spark, sf_dir):
             .orderBy("split", "clustered"))
 
 
-def q_json_field_profile(spark, sf_dir):
-    """Schema-on-read JSON discovery (operators.quality.
-    json_field_profile): per-key presence / numeric-parse / distinct
-    counts.  The testdata's ``props`` is a uniform one-key object, so
-    the entry derives a richer JSON value per event — ints and strings
-    only, built character-identically in the oracle (no float
-    formatting crosses engines) — with a conditionally-present key to
-    make the presence counts discriminating."""
-    from etl_excel_to_hyper_tableau_spark.operators.quality import (
-        json_field_profile,
-    )
+def _json_profile_input(spark, sf_dir):
+    """Shared input for the two json_field_profile entries: a richer
+    JSON value per event — ints and strings only, built
+    character-identically in the oracle (no float formatting crosses
+    engines) — with a conditionally-present key to make the presence
+    counts discriminating (the testdata's ``props`` is a uniform
+    one-key object)."""
     ev = _t(spark, sf_dir, "events")
     j = F.concat(
         F.lit('{"k": '), F.get_json_object("props", "$.k"),
@@ -2079,7 +2272,36 @@ def q_json_field_profile(spark, sf_dir):
         F.when(F.col("event_id") % 7 == 0,
                F.lit(', "rare": "x"')).otherwise(F.lit("")),
         F.lit("}"))
-    return (json_field_profile(ev.select(j.alias("j")), "j")
+    return ev.select(j.alias("j"))
+
+
+def q_json_field_profile(spark, sf_dir):
+    """Schema-on-read JSON discovery (operators.quality.
+    json_field_profile): per-key presence / numeric-parse / distinct
+    counts.  HEADLINE path runs ``approx_ndv=True`` — the portable
+    grouped-HLL estimate (sketches.grouped_hll_ndv): the exchange
+    stays ≤ |keys|·2^p rows per partition instead of paying the exact
+    distinct expansion on a corpus-sized value column — the 100 TB
+    configuration.  The md5-register estimate is bit-reproducible, so
+    the oracle (same registers, exact integer register sums, same
+    arithmetic order) matches value-exactly; the exact-NDV path stays
+    verified as json_field_profile_exact."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    return (json_field_profile(_json_profile_input(spark, sf_dir), "j",
+                               approx_ndv=True)
+            .orderBy("key"))
+
+
+def q_json_field_profile_exact(spark, sf_dir):
+    """The exact-distinct configuration of json_field_profile (small /
+    moderate-cardinality inputs where exact NDV is worth the distinct
+    expansion) — same input derivation as the headline entry."""
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    return (json_field_profile(_json_profile_input(spark, sf_dir), "j")
             .orderBy("key"))
 
 
@@ -2124,8 +2346,10 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 def q_doc_compression(spark, sf_dir):
-    """zlib compressibility quality signal (Arrow-batched pandas UDF —
-    SQL has no zlib, so this entry is rows-only: no value oracle)."""
+    """zlib compressibility quality signal (Arrow-batched pandas UDF).
+    SQL has no zlib, so the oracle pins independently-computed
+    Python-zlib sizes as a literal VALUES table (_doc_compression_sql)
+    and replays the ratio division in the engine's op order."""
     docs = _t(spark, sf_dir, "documents")
     return tx.compression_ratio(docs, "text", "doc_id").orderBy("id")
 
@@ -2568,39 +2792,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records the
-    # FIRST 50 entries in declaration order (CORRECTNESS_r01-r03 key
+    # FIRST 50 entries in declaration order (CORRECTNESS_r01-r04 key
     # sets are exactly positions 1-50 of each round's registry).
     # Entries without an archived driver-green row come first so every
     # operator accumulates a driver-recorded oracle diff across rounds.
-    # Round 4: the only entries never driver-green are the three whose
-    # array-typed output crashed the r03 canonicalizer (now serialized
-    # to scalars at the entry boundary) plus ann_recall (sat at
-    # position 51 in r03 — the one r03 ordering-invariant violation).
-    # They occupy positions 1-4; new round-4 entries follow: the nine
-    # session-3 additions (boilerplate_lines, the four TPC-H shapes,
-    # embedding_whiten, the two media dedups, stream_media_dedup) at
-    # positions 5-13, then the 37 earlier round-4 entries — positions
-    # 1-50 exactly, so every entry without an archived driver-green
-    # row is inside the window.  r01-r03-green entries sit below 50.
+    # Round 5 window: (1) embedding_whiten + doc_compression — their
+    # oracles are NEW this round (r01-r04 recorded them as no_oracle);
+    # (2) the ten brand-new round-5 entries (seven TPC-H shapes,
+    # url_dedup, pca_variance, json_field_profile_exact); (3) entries
+    # whose engine code changed this round (mmr prune bound,
+    # label_noise literals, hash63_pairs cache boundary, domain_cap
+    # prefilter join, group_split signature, json_field_profile approx
+    # headline, pq_topk valve); (4) r04-green fill for
+    # re-verification.  Everything below 50 has archived green rows.
     return {
-        # -- no driver-green row in any round (r03 canonicalizer err /
-        #    outside every window) — positions 1-4 ------------------
+        # -- (1) first-ever oracle rows ------------------------------
+        "embedding_whiten": q_embedding_whiten,
+        "doc_compression": q_doc_compression,
+        # -- (2) new in round 5 --------------------------------------
+        "forecast_revenue": q_forecast_revenue,
+        "priority_late_census": q_priority_late_census,
+        "cheapest_type_supplier": q_cheapest_type_supplier,
+        "important_part_value": q_important_part_value,
+        "customer_order_distribution": q_customer_order_distribution,
+        "supplier_variety": q_supplier_variety,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
+        "url_dedup": q_url_dedup,
+        "pca_variance": q_pca_variance,
+        "json_field_profile_exact": q_json_field_profile_exact,
+        # -- (3) engine code changed in round 5 ----------------------
+        "json_field_profile": q_json_field_profile,
+        "mmr_select": q_mmr_select,
+        "label_noise": q_label_noise,
+        "image_phash_dedup": q_image_phash_dedup,
+        "audio_fp_dedup": q_audio_fp_dedup,
+        "stream_media_dedup": q_stream_media_dedup,
+        "domain_cap": q_domain_cap,
+        "group_split": q_group_split,
+        "pq_topk": q_pq_topk,
+        # -- (4) r04-green fill (window re-verification) -------------
         "sketch_profile": q_sketch_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_quantize": q_embedding_quantize,
         "ann_recall": q_ann_recall,
-        # -- new in round 4 (inside the 50-row window) ---------------
         "boilerplate_lines": q_boilerplate_lines,
         "product_type_profit": q_product_type_profit,
         "promo_revenue": q_promo_revenue,
         "line_priority_census": q_line_priority_census,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
-        "embedding_whiten": q_embedding_whiten,
-        "image_phash_dedup": q_image_phash_dedup,
-        "audio_fp_dedup": q_audio_fp_dedup,
-        "stream_media_dedup": q_stream_media_dedup,
         "balanced_shards": q_balanced_shards,
-        "mmr_select": q_mmr_select,
         "embedding_covariance": q_embedding_covariance,
         "text_normalize": q_text_normalize,
         "cluster_representatives": q_cluster_representatives,
@@ -2609,7 +2849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "stream_budget_gate": q_stream_budget_gate,
         "epoch_upsample": q_epoch_upsample,
-        "domain_cap": q_domain_cap,
         "dsir_weights": q_dsir_weights,
         "soft_dedup": q_soft_dedup,
         "vocab_drift": q_vocab_drift,
@@ -2622,27 +2861,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "exact_quantiles": q_exact_quantiles,
         "priority_sample": q_priority_sample,
+        # -- below the 50-row window: archived driver evidence -------
         "corpus_diff": q_corpus_diff,
         "robust_anomalies": q_robust_anomalies,
         "dup_graph_stats": q_dup_graph_stats,
         "k_anonymity": q_k_anonymity,
         "stream_price_quantiles": q_stream_price_quantiles,
         "simhash_quality": q_simhash_quality,
-        "group_split": q_group_split,
-        "json_field_profile": q_json_field_profile,
-        "label_noise": q_label_noise,
         "lang_length_quantiles": q_lang_length_quantiles,
         "top_revenue_supplier": q_top_revenue_supplier,
         "big_quantity_orders": q_big_quantity_orders,
         "late_blame_supplier": q_late_blame_supplier,
         "idle_customer_balance": q_idle_customer_balance,
-        # -- r03-green fill (window re-verification) -----------------
         "price_histogram": q_price_histogram,
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
         "event_rate_anomalies": q_event_rate_anomalies,
         "label_centroids": q_label_centroids,
         "key_skew": q_key_skew,
-        "pq_topk": q_pq_topk,
         "pagerank": q_pagerank,
         "count_min": q_count_min,
         "bloom_join": q_bloom_join,
@@ -2684,7 +2919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "window_doc_map": q_window_doc_map,
         # -- below the 50-row window: archived driver evidence -------
-        "doc_compression": q_doc_compression,
         "pii_redaction": q_pii_redaction,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
@@ -2887,6 +3121,263 @@ def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
     return (f"WITH {', '.join(ctes)} "
             f"SELECT cast(rank as bigint) AS rank, id, rel AS relevance, "
             f"mmr_score FROM ({union}) ORDER BY rank")
+
+
+_JSON_PROFILE_KV = """
+src AS (
+  SELECT '{"k": ' || json_extract_string(props, '$.k')
+      || ', "cents": ' || cast(cast(floor(value * 100) as bigint) as varchar)
+      || ', "tag": "' || event_type || '"'
+      || CASE WHEN event_id % 7 = 0 THEN ', "rare": "x"' ELSE '' END
+      || '}' AS j
+  FROM events),
+kv AS (
+  SELECT key, json_extract_string(j, '$.' || key) AS value
+  FROM (SELECT j, unnest(json_keys(j)) AS key FROM src))"""
+
+
+def _json_profile_sql(approx: bool, p: int = 8) -> str:
+    """json_field_profile oracle: shared src/kv derivation + either the
+    exact distinct count or the grouped portable-HLL estimate — the
+    latter replays operators.sketches.grouped_hll_ndv bit-for-bit
+    (same md5 registers, exact integer register sums, same float op
+    order, round-4 boundary — the _hll_sql doctrine, per key)."""
+    if not approx:
+        return f"""
+WITH {_JSON_PROFILE_KV}
+SELECT key, cast(count(*) as bigint) AS n_present,
+  cast(count(try_cast(value as double)) as bigint) AS n_numeric,
+  cast(count(DISTINCT value) as bigint) AS n_distinct
+FROM kv GROUP BY key ORDER BY key
+"""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        _hll_alpha,
+    )
+    m = 1 << p
+    nbits = 60 - p
+    two_nbits = 1 << nbits
+    alpha = _hll_alpha(m)
+    h = _MD5I.format(x="cast(value as varchar)")
+    er = (f"cast({alpha!r} as double) * cast({float(m)!r} as double) "
+          f"* cast({float(m)!r} as double) "
+          f"* cast({float(two_nbits)!r} as double) / cast(s as double)")
+    return f"""
+WITH {_JSON_PROFILE_KV},
+counts AS (
+  SELECT key, cast(count(*) as bigint) AS n_present,
+    cast(count(try_cast(value as double)) as bigint) AS n_numeric
+  FROM kv GROUP BY key),
+regs AS (
+  SELECT key, register, max(rank) AS max_rank FROM (
+    SELECT key, h % {m} AS register,
+      CASE WHEN (h // {m}) > 0 THEN {nbits + 1} - length(bin(h // {m}))
+           ELSE {nbits + 1} END AS rank
+    FROM (SELECT key, {h} AS h FROM kv WHERE value IS NOT NULL))
+  GROUP BY key, register),
+agg AS (
+  SELECT key, count(*) AS n_hit,
+    coalesce(sum(cast(power(2.0, {nbits} - max_rank) as bigint)), 0) AS s_hit
+  FROM regs GROUP BY key),
+est AS (
+  SELECT key, {m} - n_hit AS v_zero,
+    cast(s_hit + ({m} - n_hit) * {two_nbits} as bigint) AS s
+  FROM agg)
+SELECT c.key, c.n_present, c.n_numeric,
+  round(CASE WHEN ({er}) <= {2.5 * m!r} AND v_zero > 0
+        THEN {float(m)!r} * ln({float(m)!r} / cast(v_zero as double))
+        ELSE ({er}) END, 4) AS n_distinct
+FROM counts c JOIN est USING (key)
+ORDER BY key
+"""
+
+
+_DOCZ_SQL_CACHE: dict[str, str] = {}
+
+
+def _doc_compression_sql() -> str:
+    """Pinned-expected-values oracle for ``doc_compression`` (VERDICT
+    r4 #7): SQL has no zlib, but the corpus is seeded and stable
+    (TESTDATA.md), so the per-doc compressed sizes are computed ONCE
+    here with Python's zlib — the same zlib build the executors'
+    pandas UDF calls — and emitted as a literal VALUES table; the SQL
+    replays the ratio division in the engine's exact op order
+    (``cast(z as double) / greatest(n, 1)``).  An independent
+    replication, not an echo: the oracle path never touches Spark."""
+    import os
+    import zlib
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if sf in _DOCZ_SQL_CACHE:
+        return _DOCZ_SQL_CACHE[sf]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    con.close()
+    vals = []
+    for did, t in rows:
+        if t is None:
+            vals.append(f"({did}, NULL, NULL)")
+        else:
+            b = t.encode("utf-8")
+            vals.append(f"({did}, {len(b)}, {len(zlib.compress(b, 6))})")
+    sql = f"""
+WITH z(id, n_bytes, z_bytes) AS (VALUES {', '.join(vals)})
+SELECT cast(id as bigint) AS id, cast(n_bytes as bigint) AS n_bytes,
+  cast(z_bytes as bigint) AS z_bytes,
+  cast(z_bytes as double) / greatest(n_bytes, 1) AS ratio
+FROM z ORDER BY id
+"""
+    _DOCZ_SQL_CACHE[sf] = sql
+    return sql
+
+
+_WHITEN_SQL_CACHE: dict[str, str] = {}
+
+
+def _whiten_sql(eps: float = 1e-8) -> str:
+    """Value-exact oracle for ``embedding_whiten`` — the one genuinely
+    non-SQL step (the d×d eigendecomposition) is replayed at ORACLE
+    BUILD time and its result W is emitted into the SQL as literals:
+
+    1. cov + mu are recomputed here through DuckDB with the exact
+       arithmetic of ``operators.similarity.embedding_covariance`` —
+       decimal(28,12) sums (order-independent, so Spark's distributed
+       sums equal DuckDB's), double divides in the same op order,
+       round-9 boundary.  Equality of this path is already
+       driver-proven by the green ``embedding_covariance`` row.
+    2. ``numpy.linalg.eigh`` on those round-9 values — identical input
+       bits to what the engine's driver-side eigh sees, same numpy in
+       the same container ⇒ identical W = U·diag(1/√(max(λ,0)+eps)).
+    3. The SQL then applies the projection with the engine's exact
+       fold: centered[i] = x[i] − mu[i], v[k] = Σ_i centered[i]·W[i,k]
+       as a fixed-order left fold of doubles (list_reduce ≡ Spark's
+       ``aggregate`` with 0.0 seed — 0.0 + t == t for IEEE doubles),
+       rounded to 6 on both sides.
+
+    The literals are built for the sf the DRIVER registers its views
+    on (sf0.01); ``$SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local
+    parity sweeps at other scales (tools/parity.py, verify_drive.py
+    set it).
+    """
+    import os
+
+    import duckdb
+    import numpy as np
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if sf in _WHITEN_SQL_CACHE:
+        return _WHITEN_SQL_CACHE[sf]
+    cov, mu, d = _duck_cov_mu(sf)
+    lam, u = np.linalg.eigh(cov)
+    w = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))
+    mu_lit = "[" + ", ".join(repr(float(x)) for x in mu) + "]"
+    # wm[k][i] = W[i-1, k-1] — same [column-of-W per output dim] layout
+    # as the engine's wcols literal
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(w[i, kk])) for i in range(d)) + "]"
+        for kk in range(d)) + "]"
+    sql = f"""
+WITH wm AS (SELECT {w_lit} AS w, {mu_lit} AS mu),
+ks AS (SELECT unnest(range(1, {d + 1})) AS k)
+SELECT e.vec_id AS id, cast(ks.k - 1 as bigint) AS pos,
+  round(list_reduce(list_apply(range(1, {d + 1}),
+      i -> (cast(e.embedding[i] as double) - wm.mu[i]) * wm.w[ks.k][i]),
+    (a, b) -> a + b), 6) AS v
+FROM embeddings e CROSS JOIN wm CROSS JOIN ks
+ORDER BY id, pos
+"""
+    _WHITEN_SQL_CACHE[sf] = sql
+    return sql
+
+
+def _duck_cov_mu(sf: str):
+    """DuckDB replay of operators.similarity.embedding_covariance's
+    exact arithmetic (decimal(28,12) sums → double divides in the same
+    op order → round-9) over ``{sf}/embeddings.parquet`` — the shared
+    eigendecomposition input for the whiten/PCA oracles.  Equality of
+    this path with the Spark pass is driver-proven by the green
+    ``embedding_covariance`` row."""
+    import duckdb
+    import numpy as np
+
+    pq = f"{sf}/embeddings.parquet"
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT max(len(embedding)) FROM '{pq}'").fetchone()[0]
+    cov_rows = con.execute(f"""
+WITH dims AS (SELECT unnest(range(1, {d + 1})) AS i),
+px AS (SELECT d1.i AS i, d2.i AS j,
+         cast(cast(e.embedding[d1.i] as double)
+              * cast(e.embedding[d2.i] as double) as decimal(28,12)) AS p
+       FROM '{pq}' e, dims d1, dims d2 WHERE d1.i <= d2.i),
+sij AS (SELECT i - 1 AS i, j - 1 AS j, sum(p) AS sxy, count(*) AS n
+        FROM px GROUP BY 1, 2),
+m AS (SELECT i - 1 AS i,
+             sum(cast(cast(embedding[i] as double) as decimal(28,12))) AS s
+      FROM '{pq}', dims GROUP BY 1)
+SELECT s.i, s.j,
+  round(cast(sxy as double) / n
+        - (cast(mi.s as double) / n) * (cast(mj.s as double) / n), 9) AS cov
+FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+""").fetchall()
+    mu_rows = con.execute(f"""
+WITH dims AS (SELECT unnest(range(1, {d + 1})) AS i)
+SELECT i - 1 AS i,
+  round(cast(sum(cast(cast(embedding[i] as double) as decimal(28,12)))
+        as double) / count(*), 9) AS mval
+FROM '{pq}', dims GROUP BY 1
+""").fetchall()
+    con.close()
+    cov = np.zeros((d, d))
+    for i, j, c in cov_rows:
+        cov[i, j] = c
+        cov[j, i] = c
+    mu = np.zeros(d)
+    for i, mval in mu_rows:
+        mu[i] = mval
+    return cov, mu, d
+
+
+_PCA_SQL_CACHE: dict[str, str] = {}
+
+
+def _pca_sql() -> str:
+    """Oracle for ``pca_variance``: same deterministic cov input
+    (_duck_cov_mu), same numpy ``eigvalsh``, spectrum emitted as a
+    literal VALUES table with the cum-sum accumulated in the same
+    Python fold order the engine uses; both sides round at 6."""
+    import os
+
+    import numpy as np
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if sf in _PCA_SQL_CACHE:
+        return _PCA_SQL_CACHE[sf]
+    cov, _, _ = _duck_cov_mu(sf)
+    lam = np.linalg.eigvalsh(cov)[::-1]
+    tot = float(lam.sum())
+    vals, cum = [], 0.0
+    for i, lv in enumerate(lam):
+        frac = float(lv) / tot
+        cum += frac
+        vals.append(f"({i}, {float(lv)!r}, {frac!r}, {cum!r})")
+    sql = f"""
+WITH s(component, eigenvalue, explained, cum_explained)
+  AS (VALUES {', '.join(vals)})
+SELECT cast(component as bigint) AS component,
+  round(cast(eigenvalue as double), 6) AS eigenvalue,
+  round(cast(explained as double), 6) AS explained,
+  round(cast(cum_explained as double), 6) AS cum_explained
+FROM s ORDER BY component
+"""
+    _PCA_SQL_CACHE[sf] = sql
+    return sql
 
 
 def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
@@ -5268,22 +5759,134 @@ FROM pg GROUP BY source ORDER BY source
         "hll_distinct": _hll_sql(),
         # --- round 4: fully-portable sketch data card -----------------------
         "sketch_profile": _sketch_profile_sql(),
-        # --- round 4: schema-on-read JSON field profile ---------------------
-        "json_field_profile": """
-WITH src AS (
-  SELECT '{"k": ' || json_extract_string(props, '$.k')
-      || ', "cents": ' || cast(cast(floor(value * 100) as bigint) as varchar)
-      || ', "tag": "' || event_type || '"'
-      || CASE WHEN event_id % 7 = 0 THEN ', "rare": "x"' ELSE '' END
-      || '}' AS j
-  FROM events),
-kv AS (
-  SELECT key, json_extract_string(j, '$.' || key) AS value
-  FROM (SELECT j, unnest(json_keys(j)) AS key FROM src))
-SELECT key, cast(count(*) as bigint) AS n_present,
-  cast(count(try_cast(value as double)) as bigint) AS n_numeric,
-  cast(count(DISTINCT value) as bigint) AS n_distinct
-FROM kv GROUP BY key ORDER BY key
+        # --- round 4/5: schema-on-read JSON field profile -------------------
+        # headline = grouped portable-HLL NDV (the scale path);
+        # _exact = the exact-distinct configuration
+        "json_field_profile": _json_profile_sql(approx=True),
+        "json_field_profile_exact": _json_profile_sql(approx=False),
+        # --- round 5: PCA-whitening (driver-replayed eigh, literal W) -------
+        "embedding_whiten": _whiten_sql(),
+        # --- round 5: zlib signal (pinned independent-replication values) ---
+        "doc_compression": _doc_compression_sql(),
+        # --- round 5: covariance eigen-spectrum (replayed eigvalsh) ---------
+        "pca_variance": _pca_sql(),
+        # --- round 5: TPC-H Q6 ----------------------------------------------
+        "forecast_revenue": """
+SELECT cast(sum(cast(l_extendedprice as decimal(12,2))
+              * cast(l_discount as decimal(12,2))) as double) AS revenue,
+  cast(count(*) as bigint) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN cast(0.05 as double) AND cast(0.07 as double)
+  AND l_quantity < 24
+""",
+        # --- round 5: TPC-H Q4 shape (EXISTS on a late-ship theta) ----------
+        "priority_late_census": """
+SELECT o_orderpriority, cast(count(*) as bigint) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        # --- round 5: TPC-H Q2 shape (correlated min → rank window) ---------
+        "cheapest_type_supplier": """
+WITH pairs AS (
+  SELECT DISTINCT p_type, s_suppkey, s_name, s_acctbal
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_type
+        ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn FROM pairs)
+SELECT p_type, cast(s_suppkey as bigint) AS s_suppkey, s_name, s_acctbal
+FROM r WHERE rn = 1 ORDER BY p_type
+""",
+        # --- round 5: TPC-H Q11 shape (exact-decimal HAVING threshold) ------
+        "important_part_value": """
+WITH pv AS (
+  SELECT cast(l_partkey as bigint) AS partkey,
+    sum(cast(l_extendedprice as decimal(12,2))
+        * (1 - cast(l_discount as decimal(12,2)))) AS val
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(cast(l_extendedprice as decimal(12,2))
+        * (1 - cast(l_discount as decimal(12,2)))) AS tot FROM lineitem)
+SELECT partkey, cast(val as double) AS value
+FROM pv, t WHERE val * 1800 > tot
+ORDER BY value DESC, partkey
+""",
+        # --- round 5: TPC-H Q13 ---------------------------------------------
+        "customer_order_distribution": """
+WITH pc AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT cast(c_count as bigint) AS c_count,
+  cast(count(*) as bigint) AS custdist
+FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""",
+        # --- round 5: TPC-H Q16 shape (NOT IN + grouped count distinct) -----
+        "supplier_variety": """
+SELECT p_brand, p_type, cast(p_size as bigint) AS p_size,
+  cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        # --- round 5: TPC-H Q20 shape (nested share-of-part threshold) ------
+        "dominant_part_suppliers": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    sum(cast(l_quantity as decimal(12,2))) AS qps
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY 1, 2),
+p AS (SELECT l_partkey, sum(qps) AS qp FROM ps GROUP BY 1),
+dom AS (SELECT ps.l_suppkey FROM ps JOIN p USING (l_partkey)
+        WHERE ps.qps * 10 > p.qp * 3)
+SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name,
+  cast(count(*) as bigint) AS n_dominant
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2 ORDER BY n_dominant DESC, s_suppkey
+""",
+        # --- round 5: URL canonicalization dedup (RE2-portable chain) -------
+        "url_dedup": """
+WITH u0 AS (
+  SELECT doc_id,
+    'www.site' || cast((doc_id // 4) % 50 as varchar)
+      || '.example.com' AS host,
+    '/page/' || cast(doc_id // 4 as varchar) AS path,
+    doc_id % 4 AS v
+  FROM documents),
+urls AS (
+  SELECT doc_id,
+    CASE v WHEN 0 THEN 'HTTPS://' || upper(host) || path
+           WHEN 1 THEN 'https://' || host || ':443' || path || '#section-2'
+           WHEN 2 THEN 'https://' || host || path
+                       || '?utm_source=feed&utm_medium=rss'
+           ELSE 'https://' || host || path || '?a=1&utm_campaign=x'
+    END AS url
+  FROM u0),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+s2 AS (SELECT doc_id,
+         lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1))
+           || regexp_replace(u, '^[^/?#]*://[^/?#]*', '') AS u FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(u,
+         '^(https?://[^/:?#]+):(?:80|443)([/?#].*)?$', '\\1\\2') AS u
+       FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(u,
+         '[?&](?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*',
+         '', 'g') AS u FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\\1?') AS u FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(u, '^(https?://[^/?#]+)/$', '\\1') AS u
+       FROM s6)
+SELECT u AS canonical_url, min(doc_id) AS keep_id,
+  cast(count(*) as bigint) AS n_variants
+FROM s7 GROUP BY u ORDER BY canonical_url
 """,
         # --- round 4: centroid-margin label-noise screen --------------------
         "label_noise": """

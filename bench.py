@@ -118,6 +118,17 @@ HEADLINE = [
     "product_type_profit",
     "promo_revenue",
     "line_priority_census",
+    # round 5 additions
+    "forecast_revenue",
+    "priority_late_census",
+    "cheapest_type_supplier",
+    "important_part_value",
+    "customer_order_distribution",
+    "supplier_variety",
+    "dominant_part_suppliers",
+    "url_dedup",
+    "pca_variance",
+    "embedding_whiten",
 ]
 
 

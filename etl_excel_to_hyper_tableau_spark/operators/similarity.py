@@ -583,7 +583,8 @@ def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
 def pq_topk(corpus: DataFrame, queries: DataFrame,
             vec_col: str, id_col: str,
             query_vec_col: str, query_id_col: str,
-            k: int = 5, m: int = 4, n_codes: int = 8) -> DataFrame:
+            k: int = 5, m: int = 4, n_codes: int = 8,
+            max_queries: int = 1024) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
     an m×n_codes lookup table of squared distances to every centroid
     (driver-computed — queries are small by the same contract as
@@ -596,6 +597,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     → per-query top-k via the rank window over (queries × corpus)
     lookup sums.  The corpus never shuffles.  Output: ``query_id, id,
     adc_dist, rank`` (rank ≤ k; ties → id asc).
+
+    ``max_queries`` guards the LUT build: it driver-collects the query
+    frame and unrolls m·n_codes literals per query, so a query frame
+    above the bound raises ``ValueError`` instead of attempting an
+    unbounded driver materialization (the ``max_exact`` doctrine —
+    batch an oversized query set, or use :func:`ann_topk_lsh`).
     """
     codebooks = train_pq_codebooks(corpus, vec_col, id_col, m=m, k=n_codes)
     # a corpus smaller than n_codes yields shorter codebooks; the LUT
@@ -607,7 +614,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     qrows = (queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(query_vec_col).cast("array<double>")
                              .alias("qvec"))
-             .orderBy("query_id").collect())
+             .orderBy("query_id").limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query side to build per-query ADC "
+            f"LUTs; got > max_queries={max_queries} queries — batch "
+            f"the query set or raise max_queries explicitly")
     dsub = len(codebooks[0][0])
     lut_rows = []
     for r in qrows:
@@ -844,8 +856,13 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
     eigendecomposition runs driver-side on numpy; the projection ``W =
     U·diag(1/√(λ+eps))`` is broadcast back as a literal matrix and the
     apply is a MAP-ONLY ``transform``/fold per row — the corpus never
-    shuffles.  No SQL oracle (eigendecomposition); the contract —
-    whitened covariance ≈ I — is pinned by tests.
+    shuffles.  The whitened-covariance≈I contract is pinned by tests;
+    the driver oracle replicates the whole pipeline value-exactly: the
+    cov/mean inputs are exact-decimal sums rounded to 9 (so DuckDB
+    reproduces the eigendecomposition INPUT bit-for-bit, and the same
+    numpy ``eigh`` then yields the same ``W``), and the per-row
+    projection is a fixed-order double fold both engines replay
+    identically — see ``_whiten_sql`` in ``__spark_entry__.py``.
 
     Output: ``id, vec (array<double>, whitened)``.
     """
@@ -857,10 +874,17 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
     for r in stats:
         cov[r["i"], r["j"]] = r["cov"]
         cov[r["j"], r["i"]] = r["cov"]
+    # exact-decimal means, rounded to 9 like the covariance entries:
+    # order-independent under any partitioning, so the driver-side
+    # eigendecomposition input (cov + mu) is reproducible bit-for-bit
+    # by an external oracle running the same decimal arithmetic
     mean_rows = (spread(df)
                  .select(F.posexplode(F.col(vec_col).cast("array<double>"))
                           .alias("i", "x"))
-                 .groupBy("i").agg(F.avg("x").alias("m"))
+                 .groupBy("i")
+                 .agg(F.round(F.sum(F.col("x").cast("decimal(28,12)"))
+                              .cast("double") / F.count(F.lit(1)), 9)
+                      .alias("m"))
                  .collect())
     mu = np.zeros(d)
     for r in mean_rows:
@@ -887,6 +911,45 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
                        lambda c, ww: c * ww),
             F.lit(0.0), lambda acc, t: acc + t))
     return spread(df).select(F.col(id_col).alias("id"), vec.alias("vec"))
+
+
+def pca_variance(df: DataFrame, vec_col: str) -> DataFrame:
+    """Eigen-spectrum of the embedding covariance — the intrinsic-
+    dimensionality / anisotropy report that decides whether whitening
+    (:func:`embedding_whiten`) or dimension truncation is worth it
+    before ANN indexing (Su et al. 2021 motivate whitening exactly by
+    this spectrum's skew).
+
+    Scale shape: identical to whitening — ONE distributed exact-
+    decimal covariance pass (d²-bounded exchange), then the
+    eigenvalues come from the metadata-sized d×d matrix driver-side;
+    the result is d rows, created directly (no corpus job).  The
+    deterministic cov input (decimal sums, round-9) makes the spectrum
+    reproducible bit-for-bit by an oracle replaying the same
+    eigendecomposition.
+
+    Output: ``component (0-based, by descending eigenvalue),
+    eigenvalue, explained, cum_explained`` (raw doubles — round at the
+    comparison boundary).
+    """
+    import numpy as np
+
+    stats = embedding_covariance(df, vec_col).collect()  # d²/2 — metadata
+    d = max(int(r["j"]) for r in stats) + 1
+    cov = np.zeros((d, d))
+    for r in stats:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    lam = np.linalg.eigvalsh(cov)[::-1]  # descending
+    tot = float(lam.sum())
+    rows, cum = [], 0.0
+    for i, lv in enumerate(lam):
+        frac = float(lv) / tot
+        cum += frac
+        rows.append((i, float(lv), frac, cum))
+    return df.sparkSession.createDataFrame(
+        rows, "component long, eigenvalue double, explained double, "
+              "cum_explained double")
 
 
 def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,

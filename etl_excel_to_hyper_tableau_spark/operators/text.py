@@ -608,7 +608,8 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (vectorized column transfer, never row-at-a-time Python).  zlib
     level 6 output is deterministic for a given zlib build, and the
     *ratio* is stable enough across builds for gating; the driver
-    oracle is rows-only by design.  Map-only plan: projection + UDF,
+    oracle pins per-doc sizes computed independently with Python's
+    zlib as a literal VALUES table.  Map-only plan: projection + UDF,
     no shuffle beyond the spread() guard.
 
     Output: ``id, n_bytes, z_bytes, ratio`` (ratio = z/max(n,1)).

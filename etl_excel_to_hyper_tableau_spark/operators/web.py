@@ -101,19 +101,92 @@ def domain_cap(df: DataFrame, domain_col: str, id_col: str, cap: int,
     bucket = hash_bucket(F.col(id_col), salt)
     out = df
     if approx_prefilter:
-        counts = (df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n__"))
-                  .where(F.col("__n__") > cap))
-        # metadata-sized: one row per over-cap domain
-        thresh = {r[domain_col]: min(BUCKETS,
-                                     int(1.25 * cap / r["__n__"] * BUCKETS) + 1)
-                  for r in counts.collect()}
-        t = None
-        for dom, th in thresh.items():
-            cond = F.col(domain_col) == dom
-            t = (F.when(cond, th) if t is None else t.when(cond, th))
-        if t is not None:
-            out = out.filter(bucket < t.otherwise(F.lit(BUCKETS)))
+        # per-domain keep threshold as a DATAFRAME broadcast-joined to
+        # the corpus — NOT a collect()-folded literal when-chain: a web
+        # corpus has 10⁴–10⁶ over-cap domains, and one chained branch
+        # per domain blows up the expression tree/codegen long before
+        # the collect itself hurts (VERDICT r4).  The join side is one
+        # row per over-cap domain (metadata-sized → BroadcastHashJoin;
+        # AQE demotes to shuffle if a pathological corpus ever makes it
+        # big, which is exactly the right fallback).
+        thresholds = (
+            df.groupBy(F.col(domain_col).alias("__dom__"))
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") > cap)
+            .select(
+                "__dom__",
+                # same double-op order as the former driver-side
+                # formula: int(((1.25·cap)/n)·BUCKETS) + 1, capped
+                F.least(
+                    F.lit(BUCKETS),
+                    (F.lit(1.25 * cap) / F.col("__n__")
+                     * F.lit(float(BUCKETS))).cast("int") + 1)
+                .alias("__th__")))
+        out = (out.join(F.broadcast(thresholds),
+                        out[domain_col] == F.col("__dom__"), "left")
+               .filter(bucket < F.coalesce(F.col("__th__"),
+                                           F.lit(BUCKETS)))
+               .drop("__dom__", "__th__"))
     w = (Window.partitionBy(domain_col)
          .orderBy(bucket.asc(), F.col(id_col).asc()))
     return (out.withColumn("domain_rank", F.row_number().over(w))
             .where(F.col("domain_rank") <= cap))
+
+
+# canonicalization regexes — RE2-portable (no lookaround: DuckDB's
+# regexp engine is RE2), shared verbatim with the oracle SQL
+_TRACKING_PARAM_RE = (
+    r"[?&](?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*")
+_SCHEME_HOST_RE = r"^[^/?#]*://[^/?#]*"
+_DEFAULT_PORT_RE = r"^(https?://[^/:?#]+):(?:80|443)([/?#].*)?$"
+
+
+def canonicalize_url(url_col: Column) -> Column:
+    """Canonical form of a URL for dedup/caps — the normalization pass
+    a crawl pipeline runs before ANY url-keyed operator (RFC 3986 §6
+    normalizations plus the tracking-param strip every dedup pipeline
+    applies):
+
+    1. strip the fragment (``#…`` never reaches the server);
+    2. lowercase scheme and host (authority is case-insensitive;
+       path/query are NOT touched — they are case-sensitive);
+    3. drop default ports (``:80`` http, ``:443`` https);
+    4. remove tracking query params (``utm_*``/gclid/fbclid/…) and the
+       resulting dangling ``?``/``&`` separators;
+    5. drop a bare trailing ``/`` on an empty path.
+
+    Pure regexp chain — map-only, engine-portable, composes with
+    pushdown.  Build from :func:`extract_domain`'s conventions.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")              # 1
+    # 2: lowercase the scheme://host[:port] prefix only
+    u = F.concat(
+        F.lower(F.regexp_extract(u, "^(" + _SCHEME_HOST_RE[1:] + ")", 1)),
+        F.regexp_replace(u, _SCHEME_HOST_RE, ""))
+    u = F.regexp_replace(u, _DEFAULT_PORT_RE, r"$1$2")       # 3
+    # 4: each tracking param is stripped WITH its leading separator;
+    #    if the first surviving param lost its '?', restore it, then
+    #    drop a dangling trailing separator
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")  # 5
+    return u
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Exact URL-level dedup after canonicalization — the cheapest and
+    highest-yield dedup stage of a crawl pipeline (the same page is
+    fetched under fragment/tracking-param/case variants constantly).
+    Keeps the smallest id per canonical URL (deterministic, engine-
+    portable).  One partial-agg groupBy on the canonical string —
+    map-side combine collapses per-partition duplicates, so the
+    exchange carries one row per distinct canonical URL per partition.
+    Output: ``canonical_url, keep_id, n_variants``.
+    """
+    return (df.select(canonicalize_url(F.col(url_col))
+                      .alias("canonical_url"),
+                      F.col(id_col).alias("__id__"))
+            .groupBy("canonical_url")
+            .agg(F.min("__id__").alias("keep_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_variants")))

@@ -49,6 +49,37 @@ def _to_schema(cols: list[str], rows: list[list]) -> T.StructType:
     return T.StructType(fields)
 
 
+def merge_excel_schemas(schemas) -> T.StructType:
+    """Reconcile per-file inferred schemas into one declared scan
+    schema (SURVEY §7.4 risk 4: per-file inference across thousands of
+    workbooks WILL disagree, and reconciliation must happen once,
+    driver-side, before the distributed scan — not lazily per task).
+
+    Rules: union of columns in first-seen order; same-name dtype
+    conflicts widen numerically where lossless (long + double →
+    double, bool folds into nothing else) and otherwise fall back to
+    STRING — the only type every cell renders into, matching the
+    reference's effective pandas ``object`` behavior on mixed columns.
+    """
+    order: list[str] = []
+    types: dict[str, T.DataType] = {}
+    for sch in schemas:
+        for f in sch.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.dataType
+                continue
+            a, b = types[f.name], f.dataType
+            if a == b:
+                continue
+            numeric = (T.LongType(), T.DoubleType())
+            if a in numeric and b in numeric:
+                types[f.name] = T.DoubleType()
+            else:
+                types[f.name] = T.StringType()
+    return T.StructType([T.StructField(c, types[c], True) for c in order])
+
+
 def _coerce(rows: list[list], schema: T.StructType) -> list[tuple]:
     out = []
     for r in rows:
@@ -108,6 +139,18 @@ def read_excel_dir_distributed(spark: SparkSession, path_glob: str,
                     if c not in data.columns:
                         data[c] = None
                 data = data[col_names]
+                # coerce cells to the declared (merged) dtype — a file
+                # whose local inference disagreed with the reconciled
+                # schema (ints under a string-fallback column, ints
+                # under a widened double column) must still render,
+                # not crash the Arrow conversion
+                for f in schema.fields:
+                    if isinstance(f.dataType, T.StringType):
+                        data[f.name] = data[f.name].map(
+                            lambda v: None if v is None else str(v))
+                    elif isinstance(f.dataType, T.DoubleType):
+                        data[f.name] = data[f.name].map(
+                            lambda v: None if v is None else float(v))
                 if add_source_file:
                     data.insert(0, "source_file", row["path"])
                 yield data

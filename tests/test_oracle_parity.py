@@ -54,17 +54,12 @@ def test_inventory_complete():
     # every oracle key corresponds to a real query
     assert set(osql) <= set(qs)
     # every query is oracle-checked (streaming entries included — their
-    # bounded-source results equal batch SQL, which IS the oracle),
-    # except the documented rows-only set: operators whose values SQL
-    # cannot reproduce (zlib) — their value contracts are pinned by
-    # dedicated pytest error bounds.  sketch_profile left this set in
-    # round 4: it now runs on the portable md5-HLL + histogram-sketch
-    # family, whose estimates the DuckDB oracle reproduces bit-for-bit
-    # embedding_whiten joined in round 4: eigendecomposition is not
-    # SQL-expressible; its whitened-covariance ≈ I contract is pinned
-    # in tests/test_round4_ops.py
-    rows_only = {"doc_compression", "embedding_whiten"}
-    assert set(qs) - set(osql) == rows_only
+    # bounded-source results equal batch SQL, which IS the oracle).
+    # The rows-only set emptied in round 5: embedding_whiten's eigh is
+    # replayed at oracle-build time and its W matrix emitted as SQL
+    # literals (_whiten_sql); doc_compression's zlib sizes are pinned
+    # as an independent Python-zlib VALUES table (_doc_compression_sql)
+    assert set(qs) - set(osql) == set()
 
 
 def test_entry_smoke(spark):

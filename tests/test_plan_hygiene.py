@@ -52,7 +52,10 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "group_split",
                   # boilerplate_lines thresholds its census against the
                   # broadcast ONE-ROW corpus count (ceil(frac·n_docs))
-                  "boilerplate_lines"}
+                  "boilerplate_lines",
+                  # Q11 shape: scalar-subquery global total = ONE-ROW
+                  # broadcast cross join against the per-part aggregate
+                  "important_part_value"}
 
 
 def _plan(df) -> str:

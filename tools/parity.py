@@ -8,6 +8,7 @@ Usage: python tools/parity.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -30,6 +31,9 @@ def value_hash(df: pd.DataFrame) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # literal-bearing oracles (embedding_whiten) build their literals
+    # for the sf the oracle will RUN on
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in entry.TABLES:

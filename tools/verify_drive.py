@@ -27,6 +27,9 @@ from etl_excel_to_hyper_tableau_spark.sources import xlsx_io  # noqa: E402
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # literal-bearing oracles (embedding_whiten) build their literals
+    # for the sf the oracle will RUN on
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
     spark = get_spark(master="local[8]")
 
     # 1. library E2E: workbook in → engine → workbook out
