@@ -2781,6 +2781,89 @@ def q_disjunctive_part_revenue(spark, sf_dir):
                  F.count(F.lit(1)).cast("long").alias("n_lines")))
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring dedup at arbitrary offsets (operators.dedup.
+    dup_span_removal — the sliding-window ExactSubstr pass of Lee et
+    al. 2022): every 10-token window seen elsewhere in the corpus is
+    excised from all but its corpus-wide first occurrence and the
+    documents re-assembled.  The oracle replays the window explode /
+    first-occurrence election / position anti-join verbatim in SQL."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        dup_span_removal,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (dup_span_removal(docs, "text", "doc_id", span_tokens=10)
+            .orderBy("doc_id"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (operators.classify — the
+    fastText/GPT-3-style learned filter): multinomial Naive Bayes fit
+    in ONE groupBy(token) aggregate with src0/src1 as the curated-
+    positive class (the WebText-vs-CommonCrawl framing), scored as a
+    bigint micro-nat log-odds sum — order-independent, so the oracle
+    replays training AND scoring bit-for-bit."""
+    from etl_excel_to_hyper_tableau_spark.operators.classify import (
+        nb_quality_score,
+    )
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("label",
+                        F.col("source").isin("src0", "src1").cast("int")))
+    return (nb_quality_score(docs, "text", "doc_id", "label")
+            .orderBy("doc_id"))
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means corpus cartography (operators.clustering):
+    8 clusters, 3 Lloyd's iterations, smallest-vec_id seeds.  Vectors
+    are quantized once to integer micro-units, centroid state is exact
+    bigint sums, and distances are index-ordered double folds — so the
+    oracle replays the whole iteration bit-for-bit in chained CTEs and
+    the corpus never shuffles (assignment is a literal-centroid map;
+    the update groupBy has k·d keys)."""
+    from etl_excel_to_hyper_tableau_spark.operators.clustering import (
+        kmeans_clusters,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return (kmeans_clusters(emb, "embedding", "vec_id", k=8, iters=3)
+            .orderBy("cluster_id"))
+
+
+def q_video_frame_dedup(spark, sf_dir):
+    """Cross-video frame-level near-dup detection over REAL MJPEG AVI
+    bytes (operators.multimodal.video_dup_pairs): class-seeded videos
+    synthesized distributively from doc_id (make_class_avi_media —
+    same class ⇒ byte-identical AVI), demuxed through the stdlib RIFF
+    walker, every 2nd frame DCT-pHashed in Arrow batches (map-only),
+    frame pairs from the shared pigeonhole band join, rolled up per
+    video pair.  Construction oracle (the image_phash_dedup
+    precedent): same-class pairs share exactly the 6 sampled frames at
+    Hamming 0; cross-class frame hashes sit a measured wide margin
+    apart (tests/test_round5_ops.py::test_class_avi_margin)."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_class_avi_media, video_dup_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = make_class_avi_media(docs, "doc_id", n_classes=40)
+    return (video_dup_pairs(media, every_n=2, max_hamming=6)
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_dedup(spark, sf_dir):
+    """LINEAR-output video dedup (operators.multimodal.video_dedup —
+    the 100 TB path: per-frame-hash min-owner election, NO pairwise
+    join, corpus-linear output; video_frame_dedup's pair enumeration
+    is quadratic in duplicate-group size by definition).  Same
+    class-seeded AVI construction; the oracle is the per-class
+    min-id election."""
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        make_class_avi_media, video_dedup,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = make_class_avi_media(docs, "doc_id", n_classes=40)
+    return video_dedup(media, every_n=2).orderBy("media_id")
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2820,6 +2903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pca_variance": q_pca_variance,
         "json_field_profile_exact": q_json_field_profile_exact,
+        "dup_span_removal": q_dup_span_removal,
+        "quality_classifier": q_quality_classifier,
+        "kmeans_clusters": q_kmeans_clusters,
+        "video_frame_dedup": q_video_frame_dedup,
+        "video_dedup": q_video_dedup,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -3378,6 +3466,47 @@ FROM s ORDER BY component
 """
     _PCA_SQL_CACHE[sf] = sql
     return sql
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Oracle for ``kmeans_clusters``: the full Lloyd's loop replayed
+    as chained CTEs.  Bit-equality holds because both sides (a)
+    quantize vectors once to integer micro-units, (b) keep centroid
+    state as exact bigint sums with a single correctly-rounded division
+    per mean, and (c) evaluate squared distances as index-ordered left
+    folds (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) — see
+    operators/clustering.py's float-determinism note."""
+    dist = ("list_reduce([ (v.xd[i] - c.mu[i]) * (v.xd[i] - c.mu[i]) "
+            f"for i in range(1, {dim + 1}) ], (x, y) -> x + y)")
+    ctes = [f"""v0 AS (
+  SELECT vec_id,
+    [cast(round(cast(x as double) * 1000000.0) as bigint) for x in embedding]
+      AS xq
+  FROM embeddings),
+v AS (SELECT vec_id, xq, [cast(q as double) for q in xq] AS xd FROM v0),
+c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
+              [cast(q as double) for q in xq] AS mu
+       FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(iters + 1):
+        ctes.append(f"""d{t} AS (
+  SELECT v.vec_id, v.xq, c.cid, {dist} AS dist FROM v CROSS JOIN c{t} c),
+a{t} AS (SELECT vec_id, xq, cid, dist FROM (
+  SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM d{t}) WHERE rk = 1)""")
+        if t < iters:
+            ctes.append(f"""x{t} AS (
+  SELECT cid, unnest(xq) AS x, unnest(range(1, len(xq) + 1)) AS pos
+  FROM a{t}),
+s{t} AS (SELECT cid, pos, sum(x) AS s, count(*) AS n
+         FROM x{t} GROUP BY cid, pos),
+n{t} AS (SELECT cid, list(cast(s as double) / n ORDER BY pos) AS mu
+         FROM s{t} GROUP BY cid),
+c{t + 1} AS (SELECT p.cid, coalesce(nw.mu, p.mu) AS mu
+             FROM c{t} p LEFT JOIN n{t} nw USING (cid))""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT cid AS cluster_id, cast(count(*) AS bigint) AS n_members,\n"
+            f"       cast(sum(cast(floor(dist) AS bigint)) AS bigint) AS inertia\n"
+            f"FROM a{iters} GROUP BY cid ORDER BY cid")
 
 
 def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
@@ -5887,6 +6016,84 @@ s7 AS (SELECT doc_id, regexp_replace(u, '^(https?://[^/?#]+)/$', '\\1') AS u
 SELECT u AS canonical_url, min(doc_id) AS keep_id,
   cast(count(*) as bigint) AS n_variants
 FROM s7 GROUP BY u ORDER BY canonical_url
+""",
+        # --- round 5b: sliding-window exact-substring dedup ------------------
+        "dup_span_removal": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+occ AS (
+  SELECT doc_id, st, array_to_string(toks[st + 1 : st + 10], ' ') AS wtext
+  FROM (SELECT doc_id, toks, unnest(range(0, n - 9)) AS st
+        FROM s WHERE n >= 10)),
+r AS (SELECT doc_id, st,
+             rank() OVER (PARTITION BY wtext ORDER BY doc_id, st) AS rk
+      FROM occ),
+rem AS (SELECT DISTINCT doc_id, pos FROM
+        (SELECT doc_id, unnest(range(st, st + 10)) AS pos
+         FROM r WHERE rk > 1)),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(0, len(toks))) AS pos
+        FROM s),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         FROM tok LEFT JOIN rem
+           ON tok.doc_id = rem.doc_id AND tok.pos = rem.pos
+         WHERE rem.doc_id IS NULL),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id, cast(n AS bigint) AS n_tokens,
+       cast(n - coalesce(n_kept, 0) AS bigint) AS n_removed,
+       coalesce(cleaned, '') AS cleaned_text
+FROM s LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+""",
+        # --- round 5b: Naive-Bayes quality classifier ------------------------
+        "quality_classifier": f"""
+WITH d AS (SELECT doc_id, text,
+                  CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END
+                    AS label
+           FROM documents),
+occ AS (SELECT doc_id, label AS y, unnest({toks}) AS token FROM d),
+counts AS (SELECT token, sum(y) AS c1, sum(1 - y) AS c0
+           FROM occ GROUP BY token),
+tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM counts),
+w AS (SELECT token,
+             cast(round((ln((c1 + 1) / cast(t1 + v AS double))
+                         - ln((c0 + 1) / cast(t0 + v AS double)))
+                        * 1000000.0) AS bigint) AS w
+      FROM counts, tot),
+prior AS (SELECT cast(round((ln(sum(label)) - ln(sum(1 - label)))
+                            * 1000000.0) AS bigint) AS p
+          FROM d),
+ds AS (SELECT o.doc_id, sum(w.w) AS wsum, count(*) AS n_tokens
+       FROM occ o JOIN w USING (token) GROUP BY o.doc_id)
+SELECT d.doc_id, d.label,
+       cast(coalesce(ds.n_tokens, 0) AS bigint) AS n_tokens,
+       cast(prior.p + coalesce(ds.wsum, 0) AS bigint) AS score,
+       cast(CASE WHEN prior.p + coalesce(ds.wsum, 0) > 0
+                 THEN 1 ELSE 0 END AS int) AS pred
+FROM d CROSS JOIN prior LEFT JOIN ds ON d.doc_id = ds.doc_id
+ORDER BY d.doc_id
+""",
+        # --- round 5b: distributed k-means (bit-replayable Lloyd's) ----------
+        "kmeans_clusters": _kmeans_sql(k=8, iters=3, dim=64),
+        # --- round 5b: cross-video frame dedup (construction oracle) ---------
+        "video_frame_dedup": """
+WITH v AS (SELECT doc_id, doc_id % 40 AS k FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(6 AS bigint) AS n_shared_frames,
+       cast(0 AS bigint) AS min_hamming
+FROM v a JOIN v b ON a.k = b.k AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+        # --- round 5b: linear-output video dedup (construction oracle) -------
+        "video_dedup": """
+WITH v AS (SELECT doc_id, doc_id % 40 AS k FROM documents),
+m AS (SELECT k, min(doc_id) AS mn FROM v GROUP BY k)
+SELECT v.doc_id AS media_id, cast(6 AS bigint) AS n_sampled,
+       cast(CASE WHEN v.doc_id = m.mn THEN 0 ELSE 6 END AS bigint)
+         AS n_dup_frames,
+       CASE WHEN v.doc_id = m.mn THEN NULL ELSE m.mn END AS dup_of
+FROM v JOIN m USING (k) ORDER BY media_id
 """,
         # --- round 4: centroid-margin label-noise screen --------------------
         "label_noise": """

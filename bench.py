@@ -129,6 +129,12 @@ HEADLINE = [
     "url_dedup",
     "pca_variance",
     "embedding_whiten",
+    # round 5b additions (video_frame_dedup stays out with the other
+    # media dedups: a construction-oracle demo whose PAIR output is
+    # quadratic in duplicate-class size — not a corpus throughput gauge)
+    "dup_span_removal",
+    "quality_classifier",
+    "kmeans_clusters",
 ]
 
 

@@ -1042,3 +1042,100 @@ def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str,
         "doc_id", "cluster_id", "cluster_size", "weight", "n_tokens",
         F.round(F.col("n_tokens") * F.col("weight"), 9)
          .alias("effective_tokens"))
+
+
+def dup_span_removal(df: DataFrame, text_col: str, id_col: str,
+                     span_tokens: int = 10) -> DataFrame:
+    """Exact-substring deduplication at arbitrary offsets — the sliding-
+    window form of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ExactSubstr): any ``span_tokens``-token
+    window whose text occurs elsewhere in the corpus is excised from
+    every occurrence EXCEPT the corpus-wide first one (smallest
+    ``(doc_id, start)``), and each document is re-assembled from its
+    surviving tokens.  Unlike :func:`segment_dedup` (fixed non-
+    overlapping chunks — a duplicate shifted by one token escapes), the
+    windows here slide one token at a time, so a repeated passage is
+    caught at ANY alignment, which is what makes this the reference
+    pass for stripping licence blocks / templated boilerplate that
+    starts mid-sentence.
+
+    Scale shape (100 TB):
+
+    * Window explode is map-only and corpus-linear (n − L + 1 rows per
+      n-token document; each row carries one L-token string, so the
+      exploded payload is ≈ L× the corpus — the same constant the
+      suffix-array pipeline pays in its sorted index).
+    * First-occurrence election is ``groupBy(digest).agg(min(struct))``
+      — partial aggregation, so a boilerplate span duplicated a million
+      times ships one row per input partition.
+    * Loser detection joins occurrences to winners on the digest — a
+      co-partitioned sort-merge join whose build side is one row per
+      key; a ``rank() OVER (PARTITION BY digest)`` formulation would
+      sort every occurrence of a hot span on one reducer instead.
+    * Removed-position explode happens ONLY for loser windows; the
+      `(doc_id, pos)` distinct and the token anti-join shuffle on
+      high-entropy composite keys — no skew.
+
+    Output: ``doc_id, n_tokens, n_removed, cleaned_text`` — one row per
+    input document (documents shorter than ``span_tokens`` pass through
+    untouched; fully-duplicated documents come back empty).
+    """
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    base = (spread(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .withColumn("n", F.size("toks")))
+
+    # Sliding windows: start positions 0..n-L (0-based), join of the
+    # lambda-bound token array — slice() on the materialized variable is
+    # O(L) per window (slicing the raw expression would re-tokenize).
+    L = int(span_tokens)
+    win = F.element_at(
+        F.transform(
+            F.array(F.col("toks")),
+            lambda ts: F.transform(
+                F.sequence(F.lit(0), F.size(ts) - F.lit(L)),
+                lambda s: F.concat_ws(" ", F.slice(ts, s + 1, F.lit(L))))),
+        1)
+    occ = (base.where(F.col("n") >= L)
+           .select("doc_id", F.posexplode(win).alias("st", "wtext"))
+           .withColumn("__dig__", F.md5(F.col("wtext")))
+           .drop("wtext"))
+
+    winners = (occ.groupBy("__dig__")
+               .agg(F.min(F.struct(F.col("doc_id").alias("w_doc"),
+                                   F.col("st").alias("w_st"))).alias("w")))
+    losers = (occ.join(winners, "__dig__")
+              .where((F.col("doc_id") != F.col("w.w_doc"))
+                     | (F.col("st") != F.col("w.w_st")))
+              .select("doc_id", "st"))
+
+    # no .distinct(): left_anti semantics ignore build-side duplicates,
+    # so deduplicating the overlap-covered positions would only add an
+    # exchange + aggregate for nothing
+    removed = losers.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.col("st"), F.col("st") + F.lit(L - 1))).alias("pos"))
+
+    tok_rows = base.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos", "tok"))
+    kept = tok_rows.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s["tok"])).alias("cleaned_text")))
+
+    return (base.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce(F.col("cleaned_text"), F.lit(""))
+                    .alias("cleaned_text")))

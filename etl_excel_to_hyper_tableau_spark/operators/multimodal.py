@@ -805,3 +805,157 @@ def make_class_wav_media(df: DataFrame, id_col: str,
             })
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video frame-level near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def make_class_avi_media(df: DataFrame, id_col: str,
+                         n_classes: int = 40, width: int = 32,
+                         height: int = 24, n_frames: int = 12,
+                         quality: int = 90) -> DataFrame:
+    """Distributed REAL-AVI synthesis from an id column: row ``i`` gets
+    an MJPEG video determined ONLY by ``i % n_classes``; frame ``f`` of
+    class ``k`` is an independent class+frame-seeded uniform-random
+    pixel field (the :func:`make_class_png_media` construction, one
+    seed per frame), muxed through the stdlib MJPEG/AVI codec inside
+    ``mapInPandas``.  Same class ⇒ byte-identical video (every frame
+    pHash Hamming 0 against its counterpart); different seeds ⇒
+    independent random spectra whose frame pHashes sit a wide margin
+    apart (the uniform-bits argument of the PNG factory; the margin
+    over this seed family is asserted by
+    ``tests/test_round5_ops.py::test_class_avi_margin``)."""
+    from ..functions.avi import encode_avi_mjpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = []
+            for i in ids:
+                k = int(i) % n_classes
+                if k not in cache:
+                    frames = np.stack([
+                        np.random.default_rng(9000 + k * 1024 + f).integers(
+                            0, 256, size=(height, width), dtype=np.uint8)
+                        for f in range(n_frames)])
+                    cache[k] = encode_avi_mjpeg(frames, quality=quality)
+                contents.append(cache[k])
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": "video",
+                "content": contents,
+                "meta": [{"format": "avi", "width": width, "height": height,
+                          "sample_rate": None, "n_frames": n_frames}]
+                * len(ids),
+            })
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def video_frame_phash(df: DataFrame, every_n: int = 2,
+                      hash_size: int = 8, img_size: int = 32) -> DataFrame:
+    """Frame-sampled perceptual hashes of REAL MJPEG AVI bytes: demux
+    (stdlib RIFF walker), keep every ``every_n``-th frame, DCT-pHash
+    each kept frame — one Arrow-batched ``mapInPandas`` pass, map-only
+    (video bytes never shuffle; the output is three longs per sampled
+    frame).  Undecodable rows are dropped (quarantine-and-continue).
+    Output: ``media_id, frame_idx, phash`` with ``frame_idx`` the
+    ORIGINAL frame position.
+    """
+    from ..functions.avi import decode_avi_mjpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, hs = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                try:
+                    frames, _fps = decode_avi_mjpeg(bytes(c))
+                except (ValueError, struct.error):
+                    continue
+                for f in range(0, len(frames), every_n):
+                    mids.append(int(mid))
+                    idxs.append(f)
+                    hs.append(phash63(frames[f], hash_size, img_size))
+            yield pd.DataFrame({"media_id": pd.array(mids, dtype="int64"),
+                                "frame_idx": pd.array(idxs, dtype="int64"),
+                                "phash": pd.array(hs, dtype="Int64")})
+
+    return (repartition_by_bytes(df)
+            .mapInPandas(run, schema=out_schema))
+
+
+_FRAME_KEY_BITS = 20  # composite key: media_id << 20 | frame_idx
+
+
+def video_dup_pairs(df: DataFrame, every_n: int = 2,
+                    max_hamming: int = 6) -> DataFrame:
+    """Cross-video near-duplicate detection at the FRAME level — the
+    multimodal pass that catches re-uploads / re-encodes sharing
+    footage: sampled frames are pHashed (:func:`video_frame_phash`),
+    frame pairs within ``max_hamming`` come from the shared
+    distinct-signature-collapse band join (:func:`hash63_pairs`, over a
+    ``media_id·2²⁰ + frame_idx`` composite key — frame counts are
+    bounded by the demuxer far below 2²⁰), and matches roll up to one
+    row per video pair.  Output: ``id_a, id_b, n_shared_frames,
+    min_hamming`` (``id_a < id_b``, intra-video matches excluded).
+    """
+    sig = video_frame_phash(df, every_n)
+    comp = sig.select(
+        (F.col("media_id") * F.lit(1 << _FRAME_KEY_BITS)
+         + F.col("frame_idx")).alias("fid"),
+        "phash")
+    pairs = hash63_pairs(comp, "fid", "phash", max_hamming)
+    va = F.shiftright(F.col("id_a"), _FRAME_KEY_BITS)
+    vb = F.shiftright(F.col("id_b"), _FRAME_KEY_BITS)
+    return (pairs
+            .select(F.least(va, vb).alias("vid_a"),
+                    F.greatest(va, vb).alias("vid_b"), "hamming")
+            .filter(F.col("vid_a") != F.col("vid_b"))
+            .groupBy(F.col("vid_a").alias("id_a"),
+                     F.col("vid_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"),
+                 F.min("hamming").cast("long").alias("min_hamming")))
+
+
+def video_dedup(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """LINEAR-output video dedup — the 100 TB companion to
+    :func:`video_dup_pairs`, whose pair enumeration is inherently
+    quadratic in duplicate-group size (a class of m re-uploads emits
+    m²/2 rows; measured 411 s at sf1 vs this form's corpus-linear
+    plan).  The same doctrine as ``minhash_dedup``'s threshold=None
+    bucket-min path: no pairwise join anywhere.
+
+    Per distinct frame pHash the smallest ``media_id`` owning it is
+    elected (groupBy min — map-side combine, ONE row per hash per
+    input partition no matter how many re-uploads share the frame);
+    each video then counts how many of its sampled frames are owned by
+    a smaller video.  A video whose EVERY sampled frame is owned
+    elsewhere is a full duplicate and reports the smallest such owner.
+
+    Output: ``media_id, n_sampled, n_dup_frames, dup_of`` (``dup_of``
+    NULL unless the video is a full duplicate).  Exact-hash (Hamming
+    0) matches only — re-encode-level near-dups are the pairs form's
+    job on a bounded corpus slice.
+    """
+    sig = video_frame_phash(df, every_n)
+    owner = sig.groupBy("phash").agg(F.min("media_id").alias("owner"))
+    j = sig.join(owner, "phash")
+    dup = F.col("owner") < F.col("media_id")
+    per = (j.groupBy("media_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"),
+                F.sum(dup.cast("long")).cast("long").alias("n_dup_frames"),
+                F.min(F.when(dup, F.col("owner"))).alias("__min_owner__")))
+    return per.select(
+        "media_id", "n_sampled", "n_dup_frames",
+        F.when(F.col("n_dup_frames") == F.col("n_sampled"),
+               F.col("__min_owner__")).alias("dup_of"))

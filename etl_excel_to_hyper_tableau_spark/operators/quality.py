@@ -175,18 +175,61 @@ def json_field_profile(df: DataFrame, json_col: str,
     engine-portable); with ``approx_ndv=True`` the last column is the
     HLL double ``n_distinct`` estimate instead (rounded to 4).
     """
-    kv = df.select(F.explode(F.from_json(F.col(json_col),
-                                         "map<string,string>"))
-                   .alias("key", "value"))
+    from .parallelism import spread
+
+    # spread BEFORE the parse: a single-file local corpus is one input
+    # split, and from_json is the dominant cost — shuffling the raw
+    # strings once buys 32× parse parallelism (no-op when the scan
+    # already has ≥ default-parallelism splits, i.e. any real corpus)
+    kv = spread(df).select(F.explode(F.from_json(F.col(json_col),
+                                                 "map<string,string>"))
+                           .alias("key", "value"))
     if approx_ndv:
-        from .sketches import grouped_hll_ndv
-        counts = (kv.groupBy("key")
-                  .agg(F.count(F.lit(1)).cast("long").alias("n_present"),
-                       F.count(F.expr("try_cast(value AS double)"))
-                       .cast("long").alias("n_numeric")))
-        ndv = grouped_hll_ndv(kv, "key", "value", p=p) \
-            .withColumnRenamed("ndv_estimate", "n_distinct")
-        return counts.join(ndv, "key")
+        # ONE pass: a two-branch formulation (count agg ⋈ grouped_hll_ndv)
+        # runs the from_json parse twice — measured no faster than the
+        # exact path at sf0.1 because the parse dominates.  Aggregating
+        # counts at (key, register) granularity first keeps one scan and
+        # the same ≤ |keys|·(2^p+1) exchange bound; the estimate
+        # arithmetic below is term-for-term grouped_hll_ndv's, so the
+        # portable-HLL oracle is unchanged.
+        from ..functions.hashing import md5_int64
+        from .sketches import _hll_alpha
+        m = 1 << p
+        nbits = 60 - p
+        alpha = _hll_alpha(m)
+        h = md5_int64(F.col("value").cast("string"))
+        w = F.floor(h / m)
+        rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
+            .otherwise(F.lit(nbits + 1))
+        has_v = F.col("value").isNotNull()
+        g1 = (kv.select(
+                  "key",
+                  F.when(has_v, h % m).otherwise(F.lit(-1)).alias("register"),
+                  F.when(has_v, rank).cast("int").alias("rank"),
+                  F.expr("try_cast(value AS double)").alias("num"))
+              .groupBy("key", "register")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.count("num").alias("n_num"),
+                   F.max("rank").alias("max_rank")))
+        hit = F.col("register") >= 0
+        agg = g1.groupBy("key").agg(
+            F.sum("cnt").cast("long").alias("n_present"),
+            F.sum("n_num").cast("long").alias("n_numeric"),
+            F.count(F.when(hit, F.lit(1))).cast("long").alias("n_hit"),
+            F.coalesce(F.sum(F.when(hit, F.pow(
+                F.lit(2.0), F.lit(nbits) - F.col("max_rank"))
+                .cast("long"))), F.lit(0))
+             .cast("long").alias("s_hit"))
+        v_zero = F.lit(m) - F.col("n_hit")
+        s = (F.col("s_hit") + v_zero * F.lit(1 << nbits)).cast("double")
+        e_raw = (F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+                 * F.lit(float(1 << nbits)) / s)
+        e = F.when((e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+                   F.lit(float(m)) * F.log(F.lit(float(m))
+                                           / v_zero.cast("double"))) \
+            .otherwise(e_raw)
+        return agg.select("key", "n_present", "n_numeric",
+                          F.round(e, 4).alias("n_distinct"))
     return (kv.groupBy("key")
             .agg(F.count(F.lit(1)).cast("long").alias("n_present"),
                  F.count(F.expr("try_cast(value AS double)"))

@@ -52,6 +52,14 @@ def get_spark(app_name: str = "etl_excel_to_hyper_tableau_spark",
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = builder.master(master)
+    if master.startswith("local"):
+        # In local mode every executor thread shares the driver JVM, whose
+        # default 1g heap starves 32 threads (~30 MB each) long before the
+        # box does — sf1 shuffles OOM at the default.  Size the heap to the
+        # machine (cluster deployments get memory from spark-submit instead).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if shuffle_partitions is None:
         cpus_str = master[master.find("[") + 1:master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if cpus_str == "*" else int(cpus_str or 32)

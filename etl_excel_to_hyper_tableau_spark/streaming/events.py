@@ -12,6 +12,7 @@ compare to the batch answer).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -33,7 +34,7 @@ def windowed_counts_stream(spark: SparkSession, events_dir: str,
     # the file source streams a *directory*; accept a single-file path by
     # splitting it into (parent, glob)
     reader = spark.readStream.schema(schema)
-    if events_dir.endswith(".parquet"):
+    if events_dir.endswith(".parquet") and not os.path.isdir(events_dir):
         parent, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = parent
@@ -75,7 +76,7 @@ def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
-    if events_dir.endswith(".parquet"):
+    if events_dir.endswith(".parquet") and not os.path.isdir(events_dir):
         parent, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = parent

@@ -379,7 +379,7 @@ def budget_gate_stream(spark: SparkSession, input_dir: str,
     # the file source streams a *directory*; accept a single-file path
     # by splitting it into (parent, glob) — same contract as the event
     # streams
-    if input_dir.endswith(".parquet"):
+    if input_dir.endswith(".parquet") and not os.path.isdir(input_dir):
         parent, _, fname = input_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         input_dir = parent
@@ -472,7 +472,7 @@ def hll_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
               .option("maxFilesPerTrigger", max_files_per_trigger))
     # file source streams a *directory*; accept a single-file path by
     # splitting into (parent, glob) — the budget_gate_stream contract
-    if input_dir.endswith(".parquet"):
+    if input_dir.endswith(".parquet") and not os.path.isdir(input_dir):
         parent, _, fname = input_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         input_dir = parent
@@ -562,7 +562,7 @@ def histogram_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_hist_")
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger))
-    if input_dir.endswith(".parquet"):
+    if input_dir.endswith(".parquet") and not os.path.isdir(input_dir):
         parent, _, fname = input_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         input_dir = parent

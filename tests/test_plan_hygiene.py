@@ -55,7 +55,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "boilerplate_lines",
                   # Q11 shape: scalar-subquery global total = ONE-ROW
                   # broadcast cross join against the per-part aggregate
-                  "important_part_value"}
+                  "important_part_value",
+                  # NB classifier: vocabulary rows cross-join the
+                  # broadcast ONE-ROW (T1,T0,V) totals; doc scores
+                  # cross-join the broadcast ONE-ROW prior
+                  "quality_classifier"}
 
 
 def _plan(df) -> str:

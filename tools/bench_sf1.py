@@ -48,7 +48,11 @@ def build() -> None:
     old_dst, old_sql = scale_check.DST, scale_check.SCALED_SQL
     scale_check.DST, scale_check.SCALED_SQL = DST, scaled
     try:
-        scale_check.build_scaled()
+        # ~16 MB files → the 113 MB lineitem becomes ~7 input splits
+        # instead of ONE (the single-file corpus serialized every
+        # scan-bound query onto one task — measured 20-126× at 10×
+        # data; multi-file is also the only honest 100 TB layout)
+        scale_check.build_scaled(file_size_bytes=16 << 20)
     finally:
         scale_check.DST, scale_check.SCALED_SQL = old_dst, old_sql
 

@@ -118,13 +118,20 @@ SCALED_SQL = {
 }
 
 
-def build_scaled() -> None:
+def build_scaled(file_size_bytes: int | None = None) -> None:
+    """``file_size_bytes`` splits each scaled table into a DIRECTORY of
+    parquet files of roughly that size — the honest big-corpus layout
+    (a single 100+ MB file is one input split at the session's 128 MB
+    ``maxPartitionBytes``, serializing every scan onto one task; real
+    corpora arrive as many files)."""
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    opts = ("FORMAT PARQUET" if file_size_bytes is None
+            else f"FORMAT PARQUET, FILE_SIZE_BYTES {int(file_size_bytes)}")
     for t, sql in SCALED_SQL.items():
         out = f"{DST}/{t}.parquet"
         if not os.path.exists(out):
-            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+            con.execute(f"COPY ({sql}) TO '{out}' ({opts})")
     for t in entry.TABLES:
         out = f"{DST}/{t}.parquet"
         if not os.path.exists(out):
