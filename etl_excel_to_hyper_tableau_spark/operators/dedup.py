@@ -1072,9 +1072,13 @@ def dup_span_removal(df: DataFrame, text_col: str, id_col: str,
       co-partitioned sort-merge join whose build side is one row per
       key; a ``rank() OVER (PARTITION BY digest)`` formulation would
       sort every occurrence of a hot span on one reducer instead.
-    * Removed-position explode happens ONLY for loser windows; the
-      `(doc_id, pos)` distinct and the token anti-join shuffle on
-      high-entropy composite keys — no skew.
+    * Removed-position explode happens ONLY for loser windows, and the
+      token/removal reconciliation is ONE union + groupBy(doc, pos)
+      (map-side combinable, high-entropy key — no skew): an anti-join
+      formulation shuffles both sides separately AND needs a second
+      corpus scan for the per-document totals; the union carries both
+      facts through a single exchange (measured 1.75 s → ~1.2 s at
+      sf0.1).
 
     Output: ``doc_id, n_tokens, n_removed, cleaned_text`` — one row per
     input document (documents shorter than ``span_tokens`` pass through
@@ -1111,31 +1115,41 @@ def dup_span_removal(df: DataFrame, text_col: str, id_col: str,
                      | (F.col("st") != F.col("w.w_st")))
               .select("doc_id", "st"))
 
-    # no .distinct(): left_anti semantics ignore build-side duplicates,
-    # so deduplicating the overlap-covered positions would only add an
-    # exchange + aggregate for nothing
+    # tokens carry (tok, rem=0); covered positions carry (null, rem=1);
+    # one union reconciles them: groupBy(doc, pos) keeps the token and
+    # whether ANY loser window covered it (no dedup of the overlap-
+    # covered positions needed — max() absorbs duplicates), then
+    # groupBy(doc) rebuilds the text AND the totals in the same pass
     removed = losers.select(
         "doc_id",
         F.explode(F.sequence(
-            F.col("st"), F.col("st") + F.lit(L - 1))).alias("pos"))
-
+            F.col("st"), F.col("st") + F.lit(L - 1))).alias("pos"),
+        F.lit(None).cast("string").alias("tok"),
+        F.lit(1).alias("rem"))
     tok_rows = base.select(
-        "doc_id", F.posexplode(F.col("toks")).alias("pos", "tok"))
-    kept = tok_rows.join(removed, ["doc_id", "pos"], "left_anti")
-    rebuilt = (kept.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_kept"),
+        "doc_id", F.posexplode(F.col("toks")).alias("pos", "tok"),
+        F.lit(0).alias("rem"))
+    marks = (tok_rows.unionByName(removed)
+             .groupBy("doc_id", "pos")
+             .agg(F.max("tok").alias("tok"), F.max("rem").alias("rem")))
+    keep = F.col("rem") == 0
+    per_doc = (marks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum(F.col("rem")).cast("long").alias("n_removed"),
                     F.concat_ws(
                         " ",
                         F.transform(
                             F.array_sort(F.collect_list(
-                                F.struct("pos", "tok"))),
+                                F.when(keep, F.struct("pos", "tok")))),
                             lambda s: s["tok"])).alias("cleaned_text")))
 
-    return (base.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
-            .join(rebuilt, "doc_id", "left")
-            .select("doc_id", "n_tokens",
-                    (F.col("n_tokens")
-                     - F.coalesce(F.col("n_kept"), F.lit(0)))
-                    .cast("long").alias("n_removed"),
+    # left join from the input resurrects zero-token documents
+    return (base.select("doc_id", F.col("n").cast("long").alias("n"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0))
+                    .alias("n_tokens"),
+                    F.coalesce(F.col("n_removed"), F.lit(0))
+                    .alias("n_removed"),
                     F.coalesce(F.col("cleaned_text"), F.lit(""))
                     .alias("cleaned_text")))
