@@ -2864,6 +2864,53 @@ def q_video_dedup(spark, sf_dir):
     return video_dedup(media, every_n=2).orderBy("media_id")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML boilerplate extraction (operators.html): each document is
+    wrapped in a REAL full page — head noise (<style>, <script>),
+    <nav> with entity-bearing links, an <h1> containing a character
+    entity, the body escaped and chunked into 80-char <p> paragraphs,
+    metadata <li> rows, a <footer> — entirely by JVM-side concat/
+    regexp expressions (wrap_html), then parsed back with the stdlib
+    html.parser extractor (html_extract): skip-subtree drop of
+    script/style/nav/footer, entity decoding, one row per kept content
+    block.  Construction oracle: the synthesis is deterministic, so
+    SQL reconstructs every kept block (title, h1, the substring(text)
+    chunks, the two li rows) and the boilerplate blocks must NOT
+    appear.  Map-only both halves — page bytes never shuffle."""
+    from etl_excel_to_hyper_tableau_spark.operators.html import (
+        html_extract, wrap_html,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = wrap_html(docs)
+    return (html_extract(pages)
+            .orderBy("doc_id", "block_idx"))
+
+
+def q_unigram_tokens(spark, sf_dir):
+    """Unigram-LM tokenizer (operators.text.unigram_train/apply —
+    Kudo ACL'18, hard-EM/Viterbi): trained on the documents corpus
+    (vocab 200, pieces ≤ 4 chars, 2 EM rounds over the distinct-word
+    table only), then applied map-only to every document.  Per doc:
+    word count, subword-token count, and the md5 of the space-joined
+    token sequence — pinning the ENTIRE segmentation, not just its
+    length.  Pinned-replication oracle (the doc_compression
+    precedent): training is bit-reproducible (every float is
+    ln(int/int) computed driver-side from exact integer aggregates),
+    so an independent Python replication reproduces the vocab and
+    every segmentation and emits them as a literal VALUES table — the
+    oracle path never touches Spark."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        unigram_apply, unigram_train,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, "text", vocab_size=200,
+                          max_piece_len=4, iters=2)
+    out = unigram_apply(docs, "text", "doc_id", vocab)
+    return (out.select(F.col("id").alias("doc_id"), "n_words", "n_tokens",
+                       F.md5(F.concat_ws(" ", "tokens")).alias("token_sig"))
+            .orderBy("doc_id"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2908,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "video_frame_dedup": q_video_frame_dedup,
         "video_dedup": q_video_dedup,
+        "html_extract": q_html_extract,
+        "unigram_tokens": q_unigram_tokens,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -3320,6 +3369,115 @@ SELECT cast(id as bigint) AS id, cast(n_bytes as bigint) AS n_bytes,
 FROM z ORDER BY id
 """
     _DOCZ_SQL_CACHE[sf] = sql
+    return sql
+
+
+_UNIGRAM_SQL_CACHE: dict[str, str] = {}
+
+
+def _unigram_sql() -> str:
+    """Pinned-replication oracle for ``unigram_tokens``: a standalone
+    Python re-derivation of the unigram-LM train+apply pipeline —
+    plain dicts and loops over the parquet read through DuckDB, no
+    Spark, no engine imports — emitting per-doc (n_words, n_tokens,
+    md5-of-segmentation) as a literal VALUES table.  Reproducibility
+    rests on the engine's training contract: all piece counts are
+    exact integer aggregates and every probability is ``ln(int/int)``
+    computed from them, so two faithful implementations produce
+    bit-identical scores and therefore identical Viterbi paths (ties
+    broken toward the longer final piece in both)."""
+    import hashlib
+    import math
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if sf in _UNIGRAM_SQL_CACHE:
+        return _UNIGRAM_SQL_CACHE[sf]
+    vocab_size, max_len, iters = 200, 4, 2
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    con.close()
+
+    # distinct-word counts
+    wc: dict[str, int] = {}
+    for _, t in docs:
+        for w in (t or "").split():
+            wc[w] = wc.get(w, 0) + 1
+
+    # seed: substring counts (≤ max_len), weighted by word count
+    seed: dict[str, int] = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_len, len(w)) + 1):
+                p = w[i:j]
+                seed[p] = seed.get(p, 0) + c
+    top = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    cnt = dict(top)
+    for p, c in seed.items():
+        if len(p) == 1:
+            cnt.setdefault(p, c)
+    single = [p for p in cnt if len(p) == 1]
+
+    def probs(c: dict) -> dict:
+        tot = sum(c.values())
+        return {p: math.log(v / tot) for p, v in c.items()}
+
+    def viterbi(word: str, lp: dict, unk: float) -> list:
+        n = len(word)
+        cells: list = [(0.0, 0)] + [None] * n
+        for j in range(1, n + 1):
+            for i in range(max(0, j - max_len), j):
+                if cells[i] is None:
+                    continue
+                s = lp.get(word[i:j])
+                if s is None:
+                    if j - i != 1:
+                        continue
+                    s = unk
+                cand = cells[i][0] + s
+                if cells[j] is None or cand > cells[j][0]:
+                    cells[j] = (cand, i)
+        out, j = [], n
+        while j > 0:
+            i = cells[j][1]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    lp = probs(cnt)
+    for _ in range(iters):
+        unk = (min(lp.values()) if lp else 0.0) - 10.0
+        used: dict[str, int] = {}
+        for w, c in wc.items():
+            for p in viterbi(w, lp, unk):
+                used[p] = used.get(p, 0) + c
+        nxt = {p: v for p, v in used.items() if v > 0}
+        for ch in single:
+            nxt[ch] = max(nxt.get(ch, 0), 1)
+        lp = probs(nxt)
+
+    unk = (min(lp.values()) if lp else 0.0) - 10.0
+    vals = []
+    for did, t in docs:
+        ws = (t or "").split()
+        toks: list = []
+        for w in ws:
+            toks.extend(viterbi(w, lp, unk))
+        sig = hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+        vals.append(f"({did}, {len(ws)}, {len(toks)}, '{sig}')")
+    sql = f"""
+WITH u(id, n_words, n_tokens, sig) AS (VALUES {', '.join(vals)})
+SELECT cast(id as bigint) AS doc_id, cast(n_words as bigint) AS n_words,
+  cast(n_tokens as bigint) AS n_tokens, sig AS token_sig
+FROM u ORDER BY doc_id
+"""
+    _UNIGRAM_SQL_CACHE[sf] = sql
     return sql
 
 
@@ -5897,6 +6055,7 @@ FROM pg GROUP BY source ORDER BY source
         "embedding_whiten": _whiten_sql(),
         # --- round 5: zlib signal (pinned independent-replication values) ---
         "doc_compression": _doc_compression_sql(),
+        "unigram_tokens": _unigram_sql(),
         # --- round 5: covariance eigen-spectrum (replayed eigvalsh) ---------
         "pca_variance": _pca_sql(),
         # --- round 5: TPC-H Q6 ----------------------------------------------
@@ -6094,6 +6253,43 @@ SELECT v.doc_id AS media_id, cast(6 AS bigint) AS n_sampled,
          AS n_dup_frames,
        CASE WHEN v.doc_id = m.mn THEN NULL ELSE m.mn END AS dup_of
 FROM v JOIN m USING (k) ORDER BY media_id
+""",
+        # --- round 5b: HTML boilerplate extraction ---------------------------
+        # construction oracle: wrap_html's page layout is deterministic,
+        # so SQL enumerates exactly the blocks the parser must keep —
+        # title, entity-decoded h1, the 80-char body chunks (substring
+        # over the RAW text: the corpus contains no &/</> so the
+        # escape+decode round trip is the identity on it), and the two
+        # metadata li rows — and none of the nav/script/style/footer
+        # boilerplate.  generate_series(0, -1) is empty, so a
+        # zero-length text contributes no p blocks, matching the
+        # (.{1,80}) synthesis.
+        "html_extract": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t, lang, source
+           FROM documents),
+p AS (
+  SELECT doc_id, CAST(g AS BIGINT) AS i,
+         substring(t, CAST(g * 80 + 1 AS INT), 80) AS chunk
+  FROM (SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(length(t) / 80.0) AS BIGINT)))
+                 AS g
+        FROM d)),
+m AS (SELECT doc_id, count(*) AS np FROM p GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS block_idx, 'title' AS tag,
+         'Doc ' || doc_id AS block_text FROM d
+  UNION ALL
+  SELECT doc_id, 1, 'h1', 'Docs & Data ' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 2 + i, 'p', chunk FROM p
+  UNION ALL
+  SELECT d.doc_id, 2 + coalesce(m.np, 0), 'li', 'lang: ' || d.lang
+  FROM d LEFT JOIN m USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, 3 + coalesce(m.np, 0), 'li', 'source: ' || d.source
+  FROM d LEFT JOIN m USING (doc_id))
+SELECT doc_id, block_idx, tag, block_text
+FROM blocks ORDER BY doc_id, block_idx
 """,
         # --- round 4: centroid-margin label-noise screen --------------------
         "label_noise": """

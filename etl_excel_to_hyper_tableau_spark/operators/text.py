@@ -994,6 +994,191 @@ def bpe_apply(df: DataFrame, text_col: str, id_col: str,
                     "tokens"))
 
 
+def _unigram_viterbi(word: str, logp: dict, max_piece_len: int,
+                     unk_logp: float) -> list:
+    """Max-probability segmentation of one word under a unigram piece
+    LM (Kudo, ACL'18 §3 — the inference half of SentencePiece's
+    unigram model): DP over end positions, candidates scanned from the
+    LONGEST in-window piece down (``i`` ascending), strict ``>``
+    comparison — so ties deterministically prefer the longer final
+    piece, the rule the oracle replication and the trainer both pin.
+    Out-of-vocabulary single characters score ``unk_logp`` (coverage:
+    any string segments)."""
+    n = len(word)
+    best: list = [0.0] + [None] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        bs, bi = None, 0
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i] is None:
+                continue
+            s = logp.get(word[i:j])
+            if s is None:
+                if j - i != 1:
+                    continue
+                s = unk_logp
+            cand = best[i] + s
+            if bs is None or cand > bs:
+                bs, bi = cand, i
+        best[j], back[j] = bs, bi
+    pieces: list = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces
+
+
+_UNK_OFFSET = 10.0  # unk single-char penalty below the rarest piece
+
+
+def _unk_logp(logp: dict) -> float:
+    return (min(logp.values()) if logp else 0.0) - _UNK_OFFSET
+
+
+def unigram_train(df: DataFrame, text_col: str, vocab_size: int = 200,
+                  max_piece_len: int = 4, iters: int = 2,
+                  ) -> list[tuple[str, float]]:
+    """Unigram-LM tokenizer training (Kudo, ACL'18), hard-EM/Viterbi
+    variant — the OTHER major subword family next to :func:`bpe_train`
+    (SentencePiece ships both).  Returns ``[(piece, logp), ...]``
+    sorted by piece — the artifact a unigram tokenizer ships.
+
+    Spark-first iterative shape (the :func:`bpe_train` discipline):
+    the corpus is touched ONCE (word-count groupBy, partial agg — at
+    100 TB the distinct-word vocabulary is ~10⁷ rows, metadata next to
+    the corpus); seeding explodes each distinct word's ≤``L``-char
+    substrings weighted by word count (vocabulary-bounded, exact
+    integer sums — no float order-dependence crosses an exchange),
+    takes the top ``vocab_size`` by (count desc, piece asc) plus ALL
+    single characters (coverage guarantee); each hard-EM round then
+    re-segments only the distinct words under the broadcast piece
+    table (Arrow-batched ``mapInPandas``), re-counts piece uses
+    (integer groupBy), and re-estimates ``logp = ln(cnt/total)``
+    driver-side on the vocab-sized count table.  Pieces that win no
+    uses are pruned; single characters persist with count ≥ 1 so
+    coverage never regresses.  Every float is computed driver-side
+    from exact integers — bit-reproducible, which is what lets the
+    oracle replication pin segmentations value-exactly.
+    """
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    import math
+
+    words = (spread(df)
+             .select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+             .persist())
+    try:
+        sub = words.select("wc", F.explode(F.expr(
+            "flatten(transform(sequence(1, length(w)), i -> "
+            f"transform(sequence(i, least(i + {max_piece_len - 1}, "
+            "length(w))), j -> substring(w, i, j - i + 1))))"))
+            .alias("piece"))
+        counts = sub.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+        top = (counts.orderBy(F.col("cnt").desc(), "piece")
+               .limit(vocab_size).collect())
+        chars = counts.where(F.length("piece") == 1).collect()
+        cnt = {r["piece"]: int(r["cnt"]) for r in top}
+        for r in chars:
+            cnt.setdefault(r["piece"], int(r["cnt"]))
+        single = [p for p in cnt if len(p) == 1]
+
+        def probs(c: dict) -> dict:
+            tot = sum(c.values())
+            return {p: math.log(v / tot) for p, v in c.items()}
+
+        lp = probs(cnt)
+        for _ in range(max(iters, 0)):
+            seg = _segment_words(words, lp, max_piece_len)
+            used = {r["piece"]: int(r["cnt"]) for r in
+                    seg.groupBy("piece").agg(
+                        F.sum("cnt").alias("cnt")).collect()}
+            nxt = {p: v for p, v in used.items() if v > 0}
+            for ch in single:
+                nxt[ch] = max(nxt.get(ch, 0), 1)
+            lp = probs(nxt)
+        return sorted(lp.items())
+    finally:
+        words.unpersist()
+
+
+def _segment_words(words: DataFrame, logp: dict,
+                   max_piece_len: int) -> DataFrame:
+    """Viterbi-segment each distinct word; one output row per (word,
+    piece) use, pre-weighted by the word's corpus count.  Arrow-batched
+    map-only pass — the piece table rides as a task closure
+    (vocab-sized, ~KBs)."""
+    from pyspark.sql import types as T
+
+    unk = _unk_logp(logp)
+    out_schema = T.StructType([
+        T.StructField("piece", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ps, cs = [], []
+            for w, wc in zip(pdf["w"], pdf["wc"]):
+                for p in _unigram_viterbi(str(w), logp, max_piece_len, unk):
+                    ps.append(p)
+                    cs.append(int(wc))
+            yield pd.DataFrame({"piece": pd.array(ps, dtype="string"),
+                                "cnt": pd.array(cs, dtype="int64")})
+
+    return words.mapInPandas(run, schema=out_schema)
+
+
+def unigram_apply(df: DataFrame, text_col: str, id_col: str,
+                  vocab: list[tuple[str, float]]) -> DataFrame:
+    """Distributed unigram tokenizer INFERENCE: Viterbi-segment every
+    whitespace word of every document under a trained piece table
+    (:func:`unigram_train` or any shipped unigram vocab).  Map-only:
+    the vocab rides as a task closure (vocab-sized), the corpus never
+    shuffles.  Out-of-vocabulary single characters segment at the unk
+    floor, so any input tokenizes (the coverage contract).  Output:
+    ``id, n_words, n_tokens, tokens`` (``array<string>`` of subword
+    units in document order) — the :func:`bpe_apply` shape, so the two
+    tokenizer families are drop-in comparable.
+    """
+    from pyspark.sql import types as T
+
+    logp = dict(vocab)
+    max_piece_len = max((len(p) for p in logp), default=1)
+    unk = _unk_logp(logp)
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_words", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType(), False), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, nw, nt, tk = [], [], [], []
+            for did, text in zip(pdf["id"], pdf["t"]):
+                ws = str(text).split() if text is not None else []
+                toks: list = []
+                for w in ws:
+                    toks.extend(
+                        _unigram_viterbi(w, logp, max_piece_len, unk))
+                ids.append(int(did))
+                nw.append(len(ws))
+                nt.append(len(toks))
+                tk.append(toks)
+            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                                "n_words": pd.array(nw, dtype="int64"),
+                                "n_tokens": pd.array(nt, dtype="int64"),
+                                "tokens": pd.Series(tk, dtype="object")})
+
+    return (spread(df)
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .mapInPandas(run, schema=out_schema))
+
+
 def normalize_text(df: DataFrame, text_col: str, id_col: str,
                    strip_urls: bool = True,
                    strip_emails: bool = True) -> DataFrame:
