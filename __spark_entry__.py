@@ -3541,41 +3541,47 @@ ORDER BY id, pos
     return sql
 
 
+_COV_Q = "cast(floor(cast({x} as double) * 68719476736.0 + 0.5) as hugeint)"
+_COV_P36_LIT = "68719476736.0"                    # 2^36
+_COV_P72_LIT = "4722366482869645213696.0"         # 2^72
+
+
 def _duck_cov_mu(sf: str):
     """DuckDB replay of operators.similarity.embedding_covariance's
-    exact arithmetic (decimal(28,12) sums → double divides in the same
-    op order → round-9) over ``{sf}/embeddings.parquet`` — the shared
-    eigendecomposition input for the whiten/PCA oracles.  Equality of
-    this path with the Spark pass is driver-proven by the green
-    ``embedding_covariance`` row."""
+    exact arithmetic (fixed-point hugeint sums at 2^-36 — every
+    quantization step exact and engine-portable — then double divides
+    in the pinned op order, round-9) over ``{sf}/embeddings.parquet``
+    — the shared eigendecomposition input for the whiten/PCA oracles.
+    Equality of this path with the Spark pass is driver-proven by the
+    green ``embedding_covariance`` row."""
     import duckdb
     import numpy as np
 
     pq = f"{sf}/embeddings.parquet"
+    qi = _COV_Q.format(x="e.embedding[d1.i]")
+    qj = _COV_Q.format(x="e.embedding[d2.i]")
+    qm = _COV_Q.format(x="embedding[i]")
     con = duckdb.connect()
     d = con.execute(
         f"SELECT max(len(embedding)) FROM '{pq}'").fetchone()[0]
     cov_rows = con.execute(f"""
 WITH dims AS (SELECT unnest(range(1, {d + 1})) AS i),
-px AS (SELECT d1.i AS i, d2.i AS j,
-         cast(cast(e.embedding[d1.i] as double)
-              * cast(e.embedding[d2.i] as double) as decimal(28,12)) AS p
+px AS (SELECT d1.i AS i, d2.i AS j, {qi} * {qj} AS p
        FROM '{pq}' e, dims d1, dims d2 WHERE d1.i <= d2.i),
 sij AS (SELECT i - 1 AS i, j - 1 AS j, sum(p) AS sxy, count(*) AS n
         FROM px GROUP BY 1, 2),
-m AS (SELECT i - 1 AS i,
-             sum(cast(cast(embedding[i] as double) as decimal(28,12))) AS s
+m AS (SELECT i - 1 AS i, sum({qm}) AS s
       FROM '{pq}', dims GROUP BY 1)
 SELECT s.i, s.j,
-  round(cast(sxy as double) / n
-        - (cast(mi.s as double) / n) * (cast(mj.s as double) / n), 9) AS cov
+  round(cast(sxy as double) / {_COV_P72_LIT} / n
+        - (cast(mi.s as double) / {_COV_P36_LIT} / n)
+        * (cast(mj.s as double) / {_COV_P36_LIT} / n), 9) AS cov
 FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 """).fetchall()
     mu_rows = con.execute(f"""
 WITH dims AS (SELECT unnest(range(1, {d + 1})) AS i)
 SELECT i - 1 AS i,
-  round(cast(sum(cast(cast(embedding[i] as double) as decimal(28,12)))
-        as double) / count(*), 9) AS mval
+  round(cast(sum({qm}) as double) / {_COV_P36_LIT} / count(*), 9) AS mval
 FROM '{pq}', dims GROUP BY 1
 """).fetchall()
     con.close()
@@ -5448,20 +5454,27 @@ FROM r ORDER BY id
         # --- round 4: MMR diversified top-5 (greedy recursion replay) ------
         "mmr_select": _mmr_sql(k=5, lam=0.7),
         # --- round 4: upper-triangle embedding covariance ------------------
+        # fixed-point hugeint replication of the split-GEMM kernel:
+        # quantization floor(x·2^36 + 0.5) is exact and identical in
+        # both engines; the integer sums are order-independent
         "embedding_covariance": """
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
 px AS (SELECT d1.i AS i, d2.i AS j,
-         cast(cast(e.embedding[d1.i] as double)
-              * cast(e.embedding[d2.i] as double) as decimal(28,12)) AS p
+         cast(floor(cast(e.embedding[d1.i] as double)
+                    * 68719476736.0 + 0.5) as hugeint)
+         * cast(floor(cast(e.embedding[d2.i] as double)
+                      * 68719476736.0 + 0.5) as hugeint) AS p
        FROM embeddings e, dims d1, dims d2 WHERE d1.i <= d2.i),
 sij AS (SELECT i - 1 AS i, j - 1 AS j, sum(p) AS sxy, count(*) AS n
         FROM px GROUP BY 1, 2),
 m AS (SELECT i - 1 AS i,
-             sum(cast(cast(embedding[i] as double) as decimal(28,12))) AS s
+             sum(cast(floor(cast(embedding[i] as double)
+                            * 68719476736.0 + 0.5) as hugeint)) AS s
       FROM embeddings, dims GROUP BY 1)
 SELECT cast(s.i as bigint) AS i, cast(s.j as bigint) AS j,
-  round(cast(sxy as double) / n
-        - (cast(mi.s as double) / n) * (cast(mj.s as double) / n), 9) AS cov,
+  round(cast(sxy as double) / 4722366482869645213696.0 / n
+        - (cast(mi.s as double) / 68719476736.0 / n)
+        * (cast(mj.s as double) / 68719476736.0 / n), 9) AS cov,
   cast(n as bigint) AS n
 FROM sij s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
 ORDER BY i, j

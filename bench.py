@@ -135,6 +135,10 @@ HEADLINE = [
     "dup_span_removal",
     "quality_classifier",
     "kmeans_clusters",
+    # unigram_tokens stays out with bpe_pairs: tokenizer TRAINING is an
+    # iterative artifact build (its oracle is a pinned replication, a
+    # floor-time VALUES scan in DuckDB), not a corpus throughput gauge
+    "html_extract",
 ]
 
 

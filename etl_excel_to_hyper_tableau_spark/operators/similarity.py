@@ -784,61 +784,136 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
         picked, "rank long, id long, relevance double, mmr_score double")
 
 
+_COV_BITS = 36                       # fixed-point quantization: 2^-36
+_COV_SCALE = float(1 << _COV_BITS)   # exact power-of-two double
+_COV_P72 = float(1 << (2 * _COV_BITS))
+_COV_LO = 1 << 19                    # hi/lo split for the exact GEMM
+
+
+def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One corpus pass → exact fixed-point second-moment partials, the
+    shared input of :func:`embedding_covariance` and
+    :func:`embedding_whiten` (which needs the means too — same pass).
+
+    Each value is quantized to integers at 2^-36
+    (``floor(x·2^36 + 0.5)`` — every step exact in float64 for
+    |x| < 2^16, and bit-replicable in any engine: the scale is a power
+    of two, so the multiply is exact, and floor is IEEE), then the
+    upper-triangle product sums Σ qxᵢ·qxⱼ and the per-dimension sums
+    Σ qxᵢ are INTEGER totals — associative, hence order-independent
+    under any partitioning, which is what lets the DuckDB oracle
+    replay them value-exactly with native hugeint arithmetic.
+
+    The per-batch kernel is BLAS, not a 66 M-row explode (the previous
+    form's cost): q splits as q = 2^19·hi + lo, three float64 GEMMs per
+    ≤4096-row chunk (every partial sum provably < 2^53 → float64 is
+    exact integer arithmetic), chunk results accumulated as Python
+    ints.  Output rows per Arrow batch: d(d+1)/2 product sums
+    (``i ≤ j``), d mean sums (``j = -1``), each carrying the batch row
+    count — ~d² rows per batch regardless of corpus size (the
+    count-min communication pattern).
+    """
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("j", T.LongType(), False),
+        T.StructField("s", T.DecimalType(38, 0), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["__v__"]])
+            d = x.shape[1]
+            q = np.floor(x * _COV_SCALE + 0.5)
+            qmax = float(np.max(np.abs(q))) if q.size else 0.0
+            if qmax >= float(1 << 52):
+                raise ValueError(
+                    "embedding magnitude too large for fixed-point "
+                    f"covariance (|x| must be < 2^{52 - _COV_BITS})")
+            hi = np.floor(q / _COV_LO)
+            lo = q - hi * _COV_LO            # in [0, 2^19)
+            himax = max(1.0, float(np.max(np.abs(hi))))
+            # chunk so every GEMM partial sum stays < 2^53 (exact in
+            # float64): terms ≤ himax² per row for hi·hi, ≤ himax·2^19
+            # for hi·lo, ≤ 2^38 for lo·lo — himax² dominates
+            chunk = int(max(1, min(4096, float(1 << 52) / (himax * himax))))
+            z = np.zeros((d, d), dtype=object)
+            acc_hh, acc_hl, acc_ll = z.copy(), z.copy(), z.copy()
+            acc_m = np.zeros(d, dtype=object)
+            for a in range(0, n, chunk):
+                H, L = hi[a:a + chunk], lo[a:a + chunk]
+                acc_hh += (H.T @ H).astype(np.int64).astype(object)
+                acc_hl += (H.T @ L).astype(np.int64).astype(object)
+                acc_ll += (L.T @ L).astype(np.int64).astype(object)
+                acc_m += (q[a:a + chunk].sum(axis=0)
+                          .astype(np.int64).astype(object))
+            s2 = (acc_hh * (_COV_LO * _COV_LO)
+                  + (acc_hl + acc_hl.T) * _COV_LO + acc_ll)
+            ii, jj, ss = [], [], []
+            for i in range(d):
+                for j in range(i, d):
+                    ii.append(i)
+                    jj.append(j)
+                    ss.append(decimal.Decimal(int(s2[i, j])))
+                ii.append(i)
+                jj.append(-1)
+                ss.append(decimal.Decimal(int(acc_m[i])))
+            yield pd.DataFrame({"i": pd.array(ii, dtype="int64"),
+                                "j": pd.array(jj, dtype="int64"),
+                                "s": ss,
+                                "n": pd.array([n] * len(ii),
+                                              dtype="int64")})
+
+    return (spread(df)
+            .select(F.col(vec_col).cast("array<double>").alias("__v__"))
+            .mapInPandas(run, schema=out_schema)
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
+
+
 def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
     """Upper-triangle covariance matrix of an embedding column — the
     input to whitening/PCA and the standard drift monitor for an
     embedding pipeline (covariance shift = upstream model change).
 
-    Scale shape: map-side only the d(d+1)/2 upper-triangle pair
-    products are formed per row (suffix-slice ``flatten(transform)`` —
-    JVM lambdas, no Python) and partial-aggregated, so the exchange
-    carries **d(d+1)/2 rows per input partition** regardless of corpus
-    size (the count-min communication pattern); per-dimension means
-    reuse the same pass.  Sums accumulate
-    in ``decimal(28,12)`` — order-independent under any partitioning —
-    and the final covariance is rounded to 9 decimals at the boundary
-    (same doctrine as the label-centroid operator: DuckDB's
-    decimal→double cast is 1-2 ulp off correctly-rounded).
+    Scale shape: one Arrow-batched pass forming exact fixed-point
+    integer sums with a split-GEMM kernel (:func:`_cov_partials` —
+    order-independent, so the oracle replays them bit-for-bit with
+    hugeint arithmetic); the exchange carries ~d² rows per batch
+    regardless of corpus size.  The final covariance divides the
+    integer sums back in a pinned op order and rounds to 9 decimals at
+    the boundary (the label-centroid doctrine: engine-to-engine
+    int→double casts agree to ≪ the round-9 half-step).
 
     Output: ``i, j (0-based, i <= j), cov, n`` — d·(d+1)/2 rows.
     """
-    v = F.col(vec_col).cast("array<double>")
-    d = F.size(v)
-    # generate ONLY the upper triangle map-side — d(d+1)/2 structs per
-    # row instead of d² products filtered afterwards (same wall locally
-    # — struct build ≈ the saved products — but half the explode output
-    # feeding the partial agg, which is what matters at scale):
-    # for each i, pair v[i] with the suffix slice v[i..d-1]
-    tri = F.flatten(F.transform(
-        F.sequence(F.lit(0), d - 1),
-        lambda i: F.transform(
-            F.slice(v, i + 1, d - i),
-            lambda xj, joff: F.struct(
-                i.alias("i"), (i + joff).alias("j"),
-                (F.element_at(v, i + 1) * xj).alias("p")))))
-    exploded = (spread(df)
-                .select(F.explode(tri).alias("t"))
-                .select(F.col("t.i").cast("long").alias("i"),
-                        F.col("t.j").cast("long").alias("j"),
-                        F.col("t.p").alias("p")))
-    dec = "decimal(28,12)"
-    sums_ij = (exploded
-               .select("i", "j", F.col("p").cast(dec).alias("p"))
-               .groupBy("i", "j")
-               .agg(F.sum("p").alias("sxy"), F.count("*").alias("n")))
-    means = (spread(df)
-             .select(F.posexplode(v).alias("i", "x"))
-             .groupBy("i")
-             .agg(F.sum(F.col("x").cast(dec)).alias("s")))
-    mi = means.select(F.col("i").cast("long").alias("i"),
-                      F.col("s").alias("si"))
-    mj = means.select(F.col("i").cast("long").alias("j"),
-                      F.col("s").alias("sj"))
+    # materialize the aggregated partials ONCE (metadata-sized, ~d²/2
+    # rows): the two broadcast builds below would otherwise each re-run
+    # the whole corpus pass (measured 2× the entry wall at sf0.1)
+    parts = _cov_partials(df, vec_col).localCheckpoint(eager=True)
+    sums_ij = parts.filter(F.col("j") >= 0)
+    means = parts.filter(F.col("j") == -1).select(
+        F.col("i").alias("mi"), F.col("s").alias("sm"))
     n = F.col("n").cast("double")
-    cov = (F.col("sxy").cast("double") / n
-           - (F.col("si").cast("double") / n)
-           * (F.col("sj").cast("double") / n))
-    return (sums_ij.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+    mean_i = F.col("si").cast("double") / F.lit(_COV_SCALE) / n
+    mean_j = F.col("sj").cast("double") / F.lit(_COV_SCALE) / n
+    cov = (F.col("s").cast("double") / F.lit(_COV_P72) / n
+           - mean_i * mean_j)
+    return (sums_ij
+            .join(F.broadcast(means.select(F.col("mi").alias("i"),
+                                           F.col("sm").alias("si"))), "i")
+            .join(F.broadcast(means.select(F.col("mi").alias("j"),
+                                           F.col("sm").alias("sj"))), "j")
             .select("i", "j", F.round(cov, 9).alias("cov"),
                     F.col("n").cast("long").alias("n"))
             .orderBy("i", "j"))
@@ -868,49 +943,73 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
     """
     import numpy as np
 
-    stats = embedding_covariance(df, vec_col).collect()  # d²/2 rows — metadata
-    d = max(int(r["j"]) for r in stats) + 1
+    # ONE corpus pass: the fixed-point partials carry both the
+    # second-moment sums and the mean sums (VERDICT-era form ran a
+    # covariance pass plus a separate mean pass); cov and mu are then
+    # derived driver-side on the ~d² collected rows with the exact op
+    # order the oracle replays (int→double cast, /2^72 or /2^36, /n,
+    # round-9) — order-independent integer sums make the
+    # eigendecomposition input reproducible bit-for-bit
+    parts = _cov_partials(df, vec_col).collect()  # ~d²/2 rows — metadata
+    d = max(int(r["j"]) for r in parts) + 1
     cov = np.zeros((d, d))
-    for r in stats:
-        cov[r["i"], r["j"]] = r["cov"]
-        cov[r["j"], r["i"]] = r["cov"]
-    # exact-decimal means, rounded to 9 like the covariance entries:
-    # order-independent under any partitioning, so the driver-side
-    # eigendecomposition input (cov + mu) is reproducible bit-for-bit
-    # by an external oracle running the same decimal arithmetic
-    mean_rows = (spread(df)
-                 .select(F.posexplode(F.col(vec_col).cast("array<double>"))
-                          .alias("i", "x"))
-                 .groupBy("i")
-                 .agg(F.round(F.sum(F.col("x").cast("decimal(28,12)"))
-                              .cast("double") / F.count(F.lit(1)), 9)
-                      .alias("m"))
-                 .collect())
     mu = np.zeros(d)
-    for r in mean_rows:
-        mu[r["i"]] = r["m"]
+    msum = {int(r["i"]): (int(r["s"]), int(r["n"]))
+            for r in parts if r["j"] == -1}
+    for i, (s, n) in msum.items():
+        mu[i] = round(float(s) / _COV_SCALE / n, 9)
+    for r in parts:
+        i, j = int(r["i"]), int(r["j"])
+        if j < 0:
+            continue
+        n = int(r["n"])
+        c = round(float(int(r["s"])) / _COV_P72 / n
+                  - (float(msum[i][0]) / _COV_SCALE / n)
+                  * (float(msum[j][0]) / _COV_SCALE / n), 9)
+        cov[i, j] = c
+        cov[j, i] = c
     lam, u = np.linalg.eigh(cov)
     w = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))  # d×d
-    # literal projection: whitened_k = Σ_i (x_i - mu_i) · W[i, k].
-    # LAMBDA-BOUND array ops, not d per-column fold chains: at d=64 the
-    # unrolled chains are ~16k expression nodes and the planner/codegen
-    # OOMs a default driver heap (measured) — the same hazard the
-    # quantile_buckets binary search exists to avoid.  The W columns and
-    # mu are literal arrays (d²+d doubles, ~35 KB at d=64 — metadata);
-    # per row the apply is d zip_with·aggregate folds, map-only.
-    v = F.col(vec_col).cast("array<double>")
-    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
-    wcols = F.array(*[  # wcols[k][i] = W[i, k]
-        F.array(*[F.lit(float(w[i, kk])) for i in range(d)])
-        for kk in range(d)])
-    centered = F.zip_with(v, mu_arr, lambda x, mm: x - mm)
-    vec = F.transform(
-        F.sequence(F.lit(1), F.lit(d)),
-        lambda k: F.aggregate(
-            F.zip_with(centered, F.element_at(wcols, k),
-                       lambda c, ww: c * ww),
-            F.lit(0.0), lambda acc, t: acc + t))
-    return spread(df).select(F.col(id_col).alias("id"), vec.alias("vec"))
+    # projection: whitened_k = Σ_i (x_i - mu_i) · W[i, k], as ONE
+    # Arrow-batched vectorized pass (map-only — the corpus never
+    # shuffles; W + mu ride as a ~35 KB task closure).  The sum is
+    # np.cumsum over the term axis, NOT a GEMM: cumsum adds strictly
+    # left-to-right, which is bit-identical to the seedless sequential
+    # fold the oracle replays (DuckDB list_reduce) — a dot/matmul's
+    # pairwise/SIMD accumulation order would drift in the last ulp and
+    # could land on the far side of the round-6 boundary.  (An earlier
+    # form built the fold as lambda-bound Catalyst array expressions;
+    # those are interpreted per element — d² interpreted ops per row
+    # dominated the entry's wall clock at sf0.1.)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    wT = w.astype(np.float64)          # W[i, k]
+    mu64 = mu.astype(np.float64)
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType, True),
+        T.StructField("vec", T.ArrayType(T.DoubleType(), True), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = np.empty((n, d), dtype=np.float64)
+            if n:
+                x = np.asarray([np.asarray(v, dtype=np.float64)
+                                for v in pdf["__v__"]])
+                step = max(1, (1 << 22) // (d * d))  # ≤ ~32 MB of terms
+                for lo in range(0, n, step):
+                    c = x[lo:lo + step] - mu64          # m×d
+                    terms = c[:, :, None] * wT[None, :, :]  # m×d×d
+                    out[lo:lo + step] = np.cumsum(terms, axis=1)[:, -1, :]
+            yield pd.DataFrame({"id": pdf["__id__"],
+                                "vec": [row.tolist() for row in out]})
+
+    return (spread(df)
+            .select(F.col(id_col).alias("__id__"),
+                    F.col(vec_col).cast("array<double>").alias("__v__"))
+            .mapInPandas(run, schema=out_schema))
 
 
 def pca_variance(df: DataFrame, vec_col: str) -> DataFrame:
