@@ -2911,6 +2911,25 @@ def q_unigram_tokens(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_jaccard_join(spark, sf_dir):
+    """EXACT set-similarity self-join with prefix + length filtering
+    (operators.dedup.jaccard_join — AllPairs/PPJoin family): all
+    document pairs whose word-token sets have Jaccard ≥ 0.95, zero
+    false negatives.  Candidates come only from each document's
+    rarest-first prefix tokens (|s| − ⌈t·|s|⌉ + 1 of them) under one
+    global (df, token) order — the exact companion to minhash's
+    banded recall trade.  The oracle is an INDEPENDENT method: brute
+    all-pairs via the full shared-token inverted join (no prefix, no
+    length filter), so a recall bug in the filters cannot hide."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        jaccard_join,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (jaccard_join(docs, "text", "doc_id", threshold=0.95)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2957,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dedup": q_video_dedup,
         "html_extract": q_html_extract,
         "unigram_tokens": q_unigram_tokens,
+        "jaccard_join": q_jaccard_join,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -6266,6 +6286,28 @@ SELECT v.doc_id AS media_id, cast(6 AS bigint) AS n_sampled,
          AS n_dup_frames,
        CASE WHEN v.doc_id = m.mn THEN NULL ELSE m.mn END AS dup_of
 FROM v JOIN m USING (k) ORDER BY media_id
+""",
+        # --- round 5c: exact Jaccard set-similarity join ---------------------
+        # independent-method oracle: brute all-pairs over the FULL
+        # shared-token inverted join — no prefix filter, no length
+        # filter — so an engine recall bug cannot be mirrored here
+        "jaccard_join": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           AS g
+  FROM documents),
+tk AS (SELECT doc_id, g FROM tok WHERE g <> ''),
+sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b,
+       round(cast(c as double) / (sa.n + sb.n - c), 6) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.95
+ORDER BY id_a, id_b
 """,
         # --- round 5b: HTML boilerplate extraction ---------------------------
         # construction oracle: wrap_html's page layout is deterministic,

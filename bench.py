@@ -139,6 +139,7 @@ HEADLINE = [
     # iterative artifact build (its oracle is a pinned replication, a
     # floor-time VALUES scan in DuckDB), not a corpus throughput gauge
     "html_extract",
+    "jaccard_join",
 ]
 
 

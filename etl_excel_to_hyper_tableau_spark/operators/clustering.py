@@ -52,12 +52,34 @@ def quantize_micro(vec: Column) -> Column:
 
 def _dist_expr(xd: Column, mu: list[float]) -> Column:
     """Index-ordered left-fold squared distance to a literal centroid
-    (micro-unit doubles) — bit-reproducible, see module docstring."""
+    (micro-unit doubles) — bit-reproducible, see module docstring.
+    (Reference form of the contract; the hot path below replays it
+    vectorized with ``np.cumsum``, whose strictly left-to-right adds
+    produce the identical doubles — squared terms are never −0.0, so
+    the seeded/seedless fold distinction cannot surface.)"""
     lits = F.array(*[F.lit(float(m)) for m in mu])
     return F.aggregate(
         F.zip_with(xd, lits, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v)
+
+
+def _assign_distances(x: "object", mus: list[list[float]]):
+    """Vectorized bit-exact replay of :func:`_dist_expr` for every
+    centroid: terms (x−μ)² per index, summed by ``np.cumsum`` (strict
+    left-to-right IEEE adds — identical to the fold).  Returns
+    (cid, d) arrays; argmin ties break to the smaller cluster id
+    (np.argmin first-occurrence ≡ the array_min struct order)."""
+    import numpy as np
+
+    n = x.shape[0]
+    dmat = np.empty((n, len(mus)), dtype=np.float64)
+    for c, mu in enumerate(mus):
+        t = x - np.asarray(mu, dtype=np.float64)
+        np.multiply(t, t, out=t)
+        dmat[:, c] = np.cumsum(t, axis=1)[:, -1]
+    cid = np.argmin(dmat, axis=1)
+    return cid, dmat[np.arange(n), cid]
 
 
 def kmeans_clusters(df: DataFrame, vec_col: str, id_col: str,
@@ -68,11 +90,13 @@ def kmeans_clusters(df: DataFrame, vec_col: str, id_col: str,
     ``cluster_id, n_members, inertia`` (inertia in integer micro²
     units).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     q = (spread(df)
          .select(F.col(id_col).alias("vid"),
-                 quantize_micro(F.col(vec_col)).alias("xq"))
-         .withColumn("xd", F.transform("xq",
-                                       lambda v: v.cast("double"))))
+                 quantize_micro(F.col(vec_col)).alias("xq")))
     q = q.persist()
     try:
         seeds = (q.select("vid", "xq").orderBy("vid").limit(k).collect())
@@ -80,20 +104,75 @@ def kmeans_clusters(df: DataFrame, vec_col: str, id_col: str,
         cents = {i: ([int(x) for x in r["xq"]], 1)
                  for i, r in enumerate(seeds)}
 
-        def assign(frame: DataFrame) -> DataFrame:
-            pairs = [F.struct(
-                _dist_expr(F.col("xd"), [s / n for s in ssum]).alias("d"),
-                F.lit(cid).alias("cid"))
-                for cid, (ssum, n) in sorted(cents.items())]
-            best = F.array_min(F.array(*pairs))
-            return frame.withColumn("d", best["d"]) \
-                        .withColumn("cid", best["cid"])
+        # Arrow-batched assignment (an earlier form built k literal
+        # fold chains as Catalyst array lambdas — interpreted per
+        # element, k·d interpreted evals per row dominated the wall
+        # clock; the kernel replays the same doubles, see
+        # _assign_distances).  Each batch emits BOUNDED rows: k·d
+        # partial coordinate sums (exact int64 within a batch — micro
+        # coords ≤ ~2^20, batch ≤ 2^13 rows) in "sums" mode, or k
+        # (members, inertia) partials in "final" mode — the corpus
+        # never shuffles in either.
+
+        def _mus():
+            return [[s / n for s in ssum]
+                    for _, (ssum, n) in sorted(cents.items())]
+
+        sums_schema = T.StructType([
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ])
+        final_schema = T.StructType([
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("n_members", T.LongType(), False),
+            T.StructField("inertia", T.LongType(), False),
+        ])
+
+        def make_run(mus, final: bool):
+            def run(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    xq = np.asarray([np.asarray(v, dtype=np.int64)
+                                     for v in pdf["xq"]])
+                    cid, dist = _assign_distances(
+                        xq.astype(np.float64), mus)
+                    if final:
+                        cs, ns, iner = [], [], []
+                        for c in np.unique(cid):
+                            m = cid == c
+                            cs.append(int(c))
+                            ns.append(int(m.sum()))
+                            iner.append(int(np.floor(dist[m]).sum()))
+                        yield pd.DataFrame({
+                            "cid": pd.array(cs, dtype="int32"),
+                            "n_members": pd.array(ns, dtype="int64"),
+                            "inertia": pd.array(iner, dtype="int64")})
+                    else:
+                        cs, ps, ss, ns = [], [], [], []
+                        for c in np.unique(cid):
+                            m = cid == c
+                            colsum = xq[m].sum(axis=0)
+                            nm = int(m.sum())
+                            for p, s in enumerate(colsum):
+                                cs.append(int(c))
+                                ps.append(p)
+                                ss.append(int(s))
+                                ns.append(nm)
+                        yield pd.DataFrame({
+                            "cid": pd.array(cs, dtype="int32"),
+                            "pos": pd.array(ps, dtype="int32"),
+                            "s": pd.array(ss, dtype="int64"),
+                            "n": pd.array(ns, dtype="int64")})
+            return run
 
         for _ in range(int(iters)):
-            sums = (assign(q)
-                    .select("cid", F.posexplode("xq").alias("pos", "x"))
+            sums = (q.mapInPandas(make_run(_mus(), final=False),
+                                  schema=sums_schema)
                     .groupBy("cid", "pos")
-                    .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                    .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                     .collect())
             by_cid: dict[int, tuple[list[int], int]] = {}
             for r in sums:
@@ -105,10 +184,11 @@ def kmeans_clusters(df: DataFrame, vec_col: str, id_col: str,
             cents = {cid: by_cid.get(cid, prev)
                      for cid, prev in cents.items()}
 
-        rows = (assign(q)
+        rows = (q.mapInPandas(make_run(_mus(), final=True),
+                              schema=final_schema)
                 .groupBy(F.col("cid").alias("cluster_id"))
-                .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
-                     F.sum(F.floor("d")).cast("long").alias("inertia"))
+                .agg(F.sum("n_members").cast("long").alias("n_members"),
+                     F.sum("inertia").cast("long").alias("inertia"))
                 .orderBy("cluster_id")
                 .collect())  # ≤ k rows — bounded driver state
         return df.sparkSession.createDataFrame(

@@ -122,6 +122,90 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b", "jaccard"))
 
 
+def jaccard_join(df: DataFrame, text_col: str, id_col: str,
+                 threshold: float = 0.9) -> DataFrame:
+    """EXACT set-similarity self-join with prefix + length filtering
+    (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): all pairs whose word-token sets have Jaccard ≥
+    ``threshold``, with zero false negatives — the exact companion to
+    the MinHash path (:func:`minhash_candidates` trades recall for a
+    bounded candidate set; this trades a verify join for exactness).
+
+    The candidate generator is the prefix-filter theorem: under ONE
+    global token order, if ``|x∩y| ≥ α`` then the first
+    ``|x|−α+1`` tokens of x and of y intersect — so with tokens
+    ordered rarest-first (df asc, token asc) each document emits only
+    its ``|s| − ⌈t·|s|⌉ + 1`` RAREST tokens into the self-join.  At
+    100 TB this is the standard exact-join scale story: hot tokens
+    (the quadratic buckets) sit at the ORDER'S TAIL and never generate
+    candidates unless a document consists almost entirely of them,
+    and the length filter ``t·|a| ≤ |b| ≤ |a|/t`` prunes
+    cross-size candidates before the verify shuffle.  Compare
+    :func:`ngram_jaccard_pairs`, whose ``max_df`` guard buys the same
+    bound by DROPPING hot shingles (changing the measure); the prefix
+    filter keeps the measure exact.
+
+    Plan: distinct tokens per doc → token df groupBy (partial agg) →
+    rarest-first per-doc sort (doc-bounded collect_list) → prefix
+    explode self-join (candidates) → verify join computing exact
+    Jaccard from ``array_intersect`` on the full sorted sets.
+    Output: ``id_a, id_b, jaccard`` (``id_a < id_b``).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .text import tokens as _tokens
+
+    toks = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(
+                        _tokens(F.col(text_col)))).alias("g")))
+    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df__"))
+    ordered = (toks.join(dfreq, "g")
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("__df__").alias("c"),
+                            F.col("g").alias("g")))).alias("o"))
+               .select("id",
+                       F.col("o.g").alias("set"),
+                       F.size("o").cast("long").alias("sz")))
+    # metadata-sized per doc; three consumers (prefix + both verify
+    # sides) — persist, then eager-checkpoint the result and release
+    # (the hash63_pairs boundary doctrine)
+    sets = ordered.persist()
+    # 1e-9 guard: binary-float t·sz can land a hair ABOVE the exact
+    # product (e.g. 0.95·20), and ceil would then shorten the prefix by
+    # one — a recall bug.  The guard only ever LENGTHENS the prefix.
+    p = F.greatest(
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9)) + 1,
+        F.lit(1))
+    prefix = sets.select("id", "sz",
+                         F.explode(F.slice("set", 1, p)).alias("g"))
+    a = prefix.select(F.col("id").alias("id_a"),
+                      F.col("sz").alias("pa"), "g")
+    b = prefix.select(F.col("id").alias("id_b"),
+                      F.col("sz").alias("pb"), "g")
+    t = F.lit(float(threshold))
+    cand = (a.join(b, "g")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("pb") >= t * F.col("pa") - F.lit(1e-9))
+                    & (F.col("pa") >= t * F.col("pb") - F.lit(1e-9)))
+            .select("id_a", "id_b").distinct())
+    sa = sets.select(F.col("id").alias("id_a"),
+                     F.col("set").alias("ta"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"),
+                     F.col("set").alias("tb"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    out = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= t)
+           .select("id_a", "id_b", "jaccard")
+           .localCheckpoint(eager=True))
+    sets.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
