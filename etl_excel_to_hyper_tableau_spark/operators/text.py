@@ -365,29 +365,35 @@ def keyword_topk(df: DataFrame, text_col: str, id_col: str, k: int = 3,
     monotone in df and can be applied downstream without changing
     membership for fixed tf).
 
-    Plan: normalize → explode → (doc, token) counts → token DF via a
-    second groupBy (map-side combinable) → optional df-prune at
-    ``max_df_frac`` of the corpus → ``row_number`` window per doc.
-    Shuffles: two hash aggregates keyed on high-entropy (id, token) /
-    token, one window on id — all corpus-linear; no collect, no
-    quadratic term.  Output: ``id, token, tf, df, rank``.
+    Plan: normalize → explode → (doc, token) counts → token DF as a
+    ``count(*) over (partition by token)`` window ON the tf aggregate
+    (NOT a groupBy + self-join back: Catalyst does not CSE across
+    DataFrame references, so the join form recomputes the whole
+    explode+aggregate subtree — two corpus scans instead of one) →
+    optional df-prune at ``max_df_frac`` of the corpus →
+    ``row_number`` window per doc.  Shuffles: one hash aggregate on
+    high-entropy (id, token), one window exchange on token, one on
+    id — all corpus-linear; no collect, no quadratic term.
+    Output: ``id, token, tf, df, rank``.
     """
+    from pyspark.sql import Window
+
     norm = F.filter(
         F.transform(tokens(F.col(text_col)),
                     lambda t: F.regexp_replace(F.lower(t), r"[^a-z0-9]", "")),
         lambda t: F.length(t) >= min_len)
     tf = (spread(df).select(F.col(id_col).alias("id"), F.explode(norm).alias("token"))
           .groupBy("id", "token").agg(F.count("*").alias("tf")))
-    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        .cast("long"))
     if max_df_frac < 1.0:
         # corpus size is one driver-side count job — only pay it when a
         # df-prune is actually requested
         n_docs = df.select(F.col(id_col)).distinct().count()
-        dfq = dfq.filter(F.col("df") <= int(max_df_frac * n_docs))
-    from pyspark.sql import Window
+        tf = tf.filter(F.col("df") <= int(max_df_frac * n_docs))
     w = Window.partitionBy("id").orderBy(F.desc("tf"), F.asc("token"))
-    return (tf.join(dfq, "token")
-            .withColumn("rank", F.row_number().over(w))
+    return (tf.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("id", "token", "tf", "df", "rank"))
 
