@@ -39,6 +39,23 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # -1. crawl-entry extraction: a real pipeline starts from raw HTML
+    # pages, not clean text — synthesize full pages (JVM expressions)
+    # and strip boilerplate with the stdlib-parser walk, re-joining the
+    # kept <p> blocks per document.  Map-only both halves; on this
+    # corpus the round trip reconstructs the text exactly, which is the
+    # stage's contract check.
+    from etl_excel_to_hyper_tableau_spark.operators.html import (
+        html_extract, wrap_html,
+    )
+    blocks = html_extract(wrap_html(docs))
+    extracted = (blocks.filter(F.col("tag") == "p")
+                 .groupBy("doc_id")
+                 .agg(F.concat_ws("", F.array_sort(F.collect_list(
+                     F.struct("block_idx", "block_text"))
+                 ).getField("block_text")).alias("text")))
+    docs = docs.drop("text").join(extracted, "doc_id")
+
     # 0. canonical normalization FIRST — dedup keys, tokenizers and
     # contamination shingles all assume it (NFC composition, lowercase,
     # URL/email strip, whitespace collapse)
@@ -128,6 +145,15 @@ def main() -> None:
     pairs = sp.negative_pairs(mixed, "doc_id", k=2)
     n5 = pairs.count()
 
+    # 6a. tokenizer: train a unigram-LM piece vocab on the train slice
+    # (hard-EM over the distinct-word table only) and tokenize it —
+    # the token counts every later stage (packing, shard balancing,
+    # budgeting) would use in a real run
+    vocab = tx.unigram_train(mixed, "text", vocab_size=200,
+                             max_piece_len=4, iters=1)
+    tokenized = tx.unigram_apply(mixed, "text", "doc_id", vocab)
+    n_subword = tokenized.agg(F.sum("n_tokens")).first()[0]
+
     # 6b. context-window packing of the mixed train slice (the batch
     # layout a training job reads; distributed prefix sum, no global
     # ordered window)
@@ -170,7 +196,9 @@ def main() -> None:
         f"{r['stratum']}: {r['share']:.2f}→{r['weight']:.2f}"
         for r in sorted(weights, key=lambda r: r["stratum"])[:4])
     print(f"corpus {n0} → cleaned {n1} → deduped {n2} "
-          f"→ decontaminated {n3} → mixed-train {n4} (+{n5} negative pairs, "
+          f"→ decontaminated {n3} → mixed-train {n4} "
+          f"({n_subword} subword tokens under the trained unigram vocab) "
+          f"(+{n5} negative pairs, "
           f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "
           f"staged at {out_dir} "
           f"({stats['files_in']}→{stats['files_out']} files compacted); "
