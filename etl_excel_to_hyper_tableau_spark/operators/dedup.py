@@ -123,7 +123,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def jaccard_join(df: DataFrame, text_col: str, id_col: str,
-                 threshold: float = 0.9) -> DataFrame:
+                 threshold: float = 0.9,
+                 ngrams: int | None = None) -> DataFrame:
     """EXACT set-similarity self-join with prefix + length filtering
     (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     WWW'08): all pairs whose word-token sets have Jaccard ≥
@@ -150,15 +151,23 @@ def jaccard_join(df: DataFrame, text_col: str, id_col: str,
     explode self-join (candidates) → verify join computing exact
     Jaccard from ``array_intersect`` on the full sorted sets.
     Output: ``id_a, id_b, jaccard`` (``id_a < id_b``).
+
+    ``ngrams``: set-unit switch — ``None`` = whitespace word tokens;
+    an int = character n-gram shingles, the
+    :func:`ngram_jaccard_pairs` measure.  The two implementations are
+    INDEPENDENT (prefix-filtered vs inverted-index) and must agree
+    exactly on shared inputs — pinned by
+    tests/test_jaccard_join.py::test_agrees_with_ngram_jaccard_pairs.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from .text import tokens as _tokens
 
+    units = (_tokens(F.col(text_col)) if ngrams is None
+             else char_ngrams(F.col(text_col), ngrams))
     toks = (spread(df)
             .select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(
-                        _tokens(F.col(text_col)))).alias("g")))
+                    F.explode(F.array_distinct(units)).alias("g")))
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df__"))
     ordered = (toks.join(dfreq, "g")
                .groupBy("id")

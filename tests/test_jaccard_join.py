@@ -76,6 +76,23 @@ def test_exactness_on_corpus_sample(spark, sf_dir):
     assert want  # the corpus plants near-dups: the test must see some
 
 
+def test_agrees_with_ngram_jaccard_pairs(spark, sf_dir):
+    # two INDEPENDENT exact implementations of the same measure —
+    # prefix-filtered candidate join vs full inverted-index join —
+    # must produce identical pair sets and values on shared input
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    a = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+         jaccard_join(docs, "text", "doc_id", 0.5, ngrams=3).collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+         ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                             threshold=0.5).collect()}
+    assert a == b
+    assert a  # the corpus plants near-dups: agreement on ∅ proves little
+
+
 def test_threshold_validation(spark):
     with pytest.raises(ValueError):
         jaccard_join(_docs(spark, ["a"]), "text", "doc_id", 0.0)
