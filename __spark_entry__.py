@@ -2930,6 +2930,35 @@ def q_jaccard_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC crawl-archive round trip (sources.warc + functions.warc —
+    ISO 28500, the CommonCrawl container): each document's synthesized
+    HTML page is wrapped into a REAL one-record WARC archive
+    (response record, HTTP/1.1 payload, per-record gzip member with
+    pinned mtime — byte-deterministic), then parsed back through the
+    stdlib reader: gzip member decode → record split by
+    Content-Length → HTTP status/header/body split.  Output pins the
+    WHOLE round trip: url, status, content type, body byte length and
+    body md5.  Construction oracle: the synthesis is deterministic
+    string building, so SQL reconstructs the exact page text
+    (concat + the same (.{1,80}) chunk wrap) and hashes it — a parse
+    bug anywhere in the chain breaks the md5.  Map-only: archive
+    bytes never shuffle."""
+    from etl_excel_to_hyper_tableau_spark.operators.html import wrap_html
+    from etl_excel_to_hyper_tableau_spark.sources.warc import (
+        make_warc_media, parse_warc_column,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    archives = make_warc_media(wrap_html(docs), "doc_id", "html")
+    recs = parse_warc_column(archives, "content", "id")
+    return (recs.select(
+                F.col("id").alias("doc_id"), "url", "status",
+                "content_type",
+                F.length("body").cast("long").alias("body_len"),
+                F.md5("body").alias("body_md5"))
+            .orderBy("doc_id"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -2977,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "unigram_tokens": q_unigram_tokens,
         "jaccard_join": q_jaccard_join,
+        "warc_extract": q_warc_extract,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -6308,6 +6338,33 @@ SELECT ia AS id_a, ib AS id_b,
 FROM pairs JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.95
 ORDER BY id_a, id_b
+""",
+        # --- round 5c: WARC crawl-archive round trip --------------------------
+        # construction oracle: make_warc_media's synthesis is
+        # deterministic, so SQL rebuilds the exact page text the parsed
+        # body must equal (same concat, same (.{1,80}) chunk wrap — the
+        # corpus has no &/</> so the escape step is the identity) and
+        # pins it by md5 + byte length; url/status/content-type are
+        # literals of the construction
+        "warc_extract": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t, lang, source
+           FROM documents),
+page AS (SELECT doc_id,
+  '<html><head><title>Doc ' || doc_id ||
+  '</title><style>p{color:#222}</style>' ||
+  '<script>var x = 1 && 2;</script></head>' ||
+  '<body><nav><a href="/">Home</a> | ' ||
+  '<a href="/about">About &amp; Help</a></nav>' ||
+  '<h1 class="hd">Docs &amp; Data ' || doc_id || '</h1>' ||
+  regexp_replace(t, '(.{1,80})', '<p data-i="x">\\1</p>', 'g') ||
+  '<ul><li>lang: ' || lang || '</li><li>source: ' || source ||
+  '</li></ul><footer>&copy; example</footer></body></html>' AS p
+  FROM d)
+SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
+       CAST(200 AS INT) AS status, 'text/html' AS content_type,
+       CAST(octet_length(encode(p)) AS BIGINT) AS body_len,
+       md5(p) AS body_md5
+FROM page ORDER BY doc_id
 """,
         # --- round 5b: HTML boilerplate extraction ---------------------------
         # construction oracle: wrap_html's page layout is deterministic,

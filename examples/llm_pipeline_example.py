@@ -185,6 +185,17 @@ def main() -> None:
     ordered = training_order(mixed, "doc_id", n_shards=8)
     first_ids = [r["id"] for r in ordered.orderBy("rank").limit(3).collect()]
 
+    # 6e. training-ready delivery: the mixed train slice leaves the
+    # engine as WebDataset tar shards (what a streaming data loader
+    # consumes) — hash-routed, in-shard key sort, byte-deterministic
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        write_webdataset,
+    )
+    wds_shards = write_webdataset(
+        mixed.withColumn("meta", F.to_json(F.struct("lang", "source"))),
+        out_dir + "_wds", "doc_id", {"txt": "text", "json": "meta"},
+        n_shards=4)
+
     # 7. stage to parquet partitioned by split (the training-ready
     # layout), then compact — incremental ingests accrete small files
     split.write.mode("overwrite").partitionBy("split").parquet(out_dir)
@@ -201,7 +212,8 @@ def main() -> None:
           f"(+{n5} negative pairs, "
           f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "
           f"staged at {out_dir} "
-          f"({stats['files_in']}→{stats['files_out']} files compacted); "
+          f"({stats['files_in']}→{stats['files_out']} files compacted; "
+          f"{len(wds_shards)} WebDataset shards); "
           f"8 shards balanced to {tmin}-{tmax} tokens; "
           f"epoch-repeated to {n_rep} rows; "
           f"training order opens with docs {first_ids}")
