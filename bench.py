@@ -140,6 +140,7 @@ HEADLINE = [
     # floor-time VALUES scan in DuckDB), not a corpus throughput gauge
     "html_extract",
     "jaccard_join",
+    "warc_extract",
 ]
 
 

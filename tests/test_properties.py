@@ -483,3 +483,65 @@ def test_training_order_matches_python_model(spark, ids, n_shards):
     want = sorted((i, r + 1, r % n_shards, r // n_shards)
                   for r, i in enumerate(order))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: unigram losslessness, exact-Jaccard vs brute force,
+# WARC codec round-trip — over hypothesis-random inputs
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdxyz", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+def test_unigram_segmentation_lossless(spark, texts):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        unigram_apply, unigram_train,
+    )
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    vocab = unigram_train(df, "text", vocab_size=16, max_piece_len=3,
+                          iters=1)
+    for r in unigram_apply(df, "text", "doc_id", vocab).collect():
+        assert "".join(r["tokens"]) == "".join(texts[r["id"]].split())
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc, min_size=2, max_size=8),
+       t=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+def test_jaccard_join_equals_brute(spark, texts, t):
+    import itertools
+
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        jaccard_join,
+    )
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in jaccard_join(df, "text", "doc_id", t).collect()}
+    sets = [set(x.split()) for x in texts]
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        inter = len(sets[a] & sets[b])
+        jac = inter / len(sets[a] | sets[b])
+        if jac >= t:
+            want[(a, b)] = round(jac, 9)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(bodies=st.lists(st.binary(max_size=64), min_size=1, max_size=5),
+       gz=st.booleans())
+def test_warc_codec_roundtrip(bodies, gz):
+    from etl_excel_to_hyper_tableau_spark.functions import warc as w
+    recs = [("response", {"WARC-Target-URI": f"http://x/{i}"},
+             w.build_http_response(b)) for i, b in enumerate(bodies)]
+    out = w.parse_warc(w.build_warc(recs, per_record_gzip=gz))
+    assert len(out) == len(bodies)
+    for (hdr, payload), body in zip(out, bodies):
+        st_, _, got = w.parse_http_response(payload)
+        assert st_ == 200 and got == body
