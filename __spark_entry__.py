@@ -2930,6 +2930,43 @@ def q_jaccard_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_kmv_set_ops(spark, sf_dir):
+    """Cross-table distinct-set estimates from bottom-k (KMV/theta)
+    sketches (operators.sketches.kmv_set_ops): NDV per side, union
+    NDV, Jaccard and intersection NDV for orders.o_custkey vs
+    customer.c_custkey — answered on ≤ 2k rows of sketch metadata,
+    never a cross-table shuffle — with the exact answers alongside
+    (the hll_distinct gauge pattern).  Every sketch hash is a
+    deterministic md5 order statistic and every estimate a pinned
+    two-step double op, so the DuckDB oracle reproduces sketches AND
+    estimates bit-for-bit."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    est = kmv_set_ops(orders, "o_custkey", cust, "c_custkey", k=256)
+    oa = orders.select(F.col("o_custkey").alias("key")).distinct()
+    ob = cust.select(F.col("c_custkey").alias("key")).distinct()
+    exact = (oa.unionByName(ob).distinct()
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+             .crossJoin(oa.agg(F.count(F.lit(1)).cast("long")
+                               .alias("exact_a")))
+             .crossJoin(ob.agg(F.count(F.lit(1)).cast("long")
+                               .alias("exact_b")))
+             .crossJoin(oa.join(ob, "key", "semi")
+                        .agg(F.count(F.lit(1)).cast("long")
+                             .alias("exact_inter"))))
+    return (est.crossJoin(exact)
+            .withColumn("rel_err_inter",
+                        F.round(F.abs(F.col("inter_est")
+                                      - F.col("exact_inter"))
+                                / F.col("exact_inter"), 6))
+            .select("ndv_a", "ndv_b", "union_est", "jaccard_est",
+                    "inter_est", "exact_a", "exact_b", "exact_union",
+                    "exact_inter", "rel_err_inter"))
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC crawl-archive round trip (sources.warc + functions.warc —
     ISO 28500, the CommonCrawl container): each document's synthesized
@@ -3007,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokens": q_unigram_tokens,
         "jaccard_join": q_jaccard_join,
         "warc_extract": q_warc_extract,
+        "kmv_set_ops": q_kmv_set_ops,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -6338,6 +6376,59 @@ SELECT ia AS id_a, ib AS id_b,
 FROM pairs JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.95
 ORDER BY id_a, id_b
+""",
+        # --- round 5c: KMV bottom-k sketch set operations ---------------------
+        # bit-exact replay: sketches are md5 order statistics (ORDER BY
+        # LIMIT k over distinct hashes), estimates the same pinned
+        # two-step double arithmetic
+        "kmv_set_ops": """
+WITH sa AS (SELECT DISTINCT
+              cast(('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15))
+                   as bigint) AS h
+            FROM orders WHERE o_custkey IS NOT NULL ORDER BY h LIMIT 256),
+sb AS (SELECT DISTINCT
+         cast(('0x' || substr(md5(cast(c_custkey as varchar)), 1, 15))
+              as bigint) AS h
+       FROM customer WHERE c_custkey IS NOT NULL ORDER BY h LIMIT 256),
+mg AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       ORDER BY h LIMIT 256),
+est_a AS (SELECT CASE WHEN count(*) < 256 THEN cast(count(*) as double)
+                      ELSE 255.0 / (cast(max(h) as double)
+                                    / 1152921504606846976.0) END AS e
+          FROM sa),
+est_b AS (SELECT CASE WHEN count(*) < 256 THEN cast(count(*) as double)
+                      ELSE 255.0 / (cast(max(h) as double)
+                                    / 1152921504606846976.0) END AS e
+          FROM sb),
+est_u AS (SELECT count(*) AS mk,
+                 CASE WHEN count(*) < 256 THEN cast(count(*) as double)
+                      ELSE 255.0 / (cast(max(h) as double)
+                                    / 1152921504606846976.0) END AS e
+          FROM mg),
+mt AS (SELECT count(*) AS matches FROM mg
+       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+ex_a AS (SELECT count(DISTINCT o_custkey) AS v FROM orders),
+ex_b AS (SELECT count(DISTINCT c_custkey) AS v FROM customer),
+ex_u AS (SELECT count(*) AS v FROM
+         (SELECT DISTINCT o_custkey AS k FROM orders
+          UNION SELECT DISTINCT c_custkey FROM customer)),
+ex_i AS (SELECT count(*) AS v FROM
+         (SELECT DISTINCT o_custkey AS k FROM orders)
+         WHERE k IN (SELECT c_custkey FROM customer))
+SELECT round(est_a.e, 4) AS ndv_a, round(est_b.e, 4) AS ndv_b,
+  round(est_u.e, 4) AS union_est,
+  round(cast(mt.matches as double) / cast(est_u.mk as double), 6)
+    AS jaccard_est,
+  round(round(cast(mt.matches as double) / cast(est_u.mk as double), 6)
+        * round(est_u.e, 4), 4) AS inter_est,
+  cast(ex_a.v as bigint) AS exact_a, cast(ex_b.v as bigint) AS exact_b,
+  cast(ex_u.v as bigint) AS exact_union,
+  cast(ex_i.v as bigint) AS exact_inter,
+  round(abs(round(round(cast(mt.matches as double)
+                        / cast(est_u.mk as double), 6)
+                  * round(est_u.e, 4), 4) - ex_i.v) / ex_i.v, 6)
+    AS rel_err_inter
+FROM est_a, est_b, est_u, mt, ex_a, ex_b, ex_u, ex_i
 """,
         # --- round 5c: WARC crawl-archive round trip --------------------------
         # construction oracle: make_warc_media's synthesis is

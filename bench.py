@@ -141,6 +141,9 @@ HEADLINE = [
     "html_extract",
     "jaccard_join",
     "warc_extract",
+    # kmv_set_ops stays out with unigram_tokens: a ≤2k-row sketch gauge
+    # (two TakeOrdered builds + exact-count cross-checks), not a corpus
+    # throughput pattern the set doesn't already exercise
 ]
 
 

@@ -486,3 +486,86 @@ def grouped_hll_ndv(df: DataFrame, key_col: str, val_col: str,
         .otherwise(e_raw)
     return agg.select(F.col("__k__").alias(key_col),
                       F.round(e, 4).alias("ndv_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketches + set operations
+# ---------------------------------------------------------------------------
+
+_KMV_SCALE = float(1 << 60)  # md5_int64 is uniform on [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k distinct-value sketch (Bar-Yossef et al. 2002 / the
+    theta-sketch family): the ``k`` SMALLEST md5 hashes of the
+    column's distinct values.  Unlike HLL registers a KMV sketch
+    supports SET OPERATIONS (union = bottom-k of merged sketches;
+    intersection via the Jaccard of survivors), which is what
+    cross-table NDV questions need.
+
+    Every hash is a deterministic md5 order statistic — the sketch is
+    value-reproducible by any engine (no RNG, no engine-private
+    state).  Plan: map (hash) → distinct with map-side partial agg →
+    ``TakeOrderedAndProject`` (per-partition bottom-k, driver merge of
+    k·partitions rows — never a global sort).  Output: ``h``
+    ascending, ≤ k rows.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = md5_int64(F.col(key_col).cast("string"))
+    return (df.select(h.alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h").limit(k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """NDV estimate from a :func:`kmv_sketch`: exact count when the
+    sketch is unsaturated (< k rows ⇒ it holds EVERY distinct hash),
+    else the order-statistic estimator ``(k−1) / (h_k / 2^60)``.  All
+    arithmetic is a pinned two-step double op over exact integers —
+    bit-replayable (round-4 only to absorb the engines' decimal
+    formatting of doubles, not arithmetic freedom).  Output one row:
+    ``k_used, kth_hash, ndv_est``."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double")
+                               / F.lit(_KMV_SCALE)))
+    return agg.select(F.col("n").cast("long").alias("k_used"),
+                      F.col("hk").alias("kth_hash"),
+                      F.round(est, 4).alias("ndv_est"))
+
+
+def kmv_set_ops(df_a: DataFrame, col_a: str,
+                df_b: DataFrame, col_b: str, k: int = 256) -> DataFrame:
+    """Cross-table distinct-set estimates from two KMV sketches — the
+    question profile/join planners ask at 100 TB ("how many customer
+    keys appear in both tables?") answered without ever shuffling
+    either corpus: per-side NDV, union NDV (bottom-k of the merged
+    sketches — itself a valid sketch), Jaccard (fraction of the merged
+    bottom-k present in BOTH sides — the theta-sketch intersection
+    rule), and intersection NDV (``jaccard · union``).
+
+    Everything downstream of the two sketch builds runs on ≤ 2k rows
+    of metadata.  Output one row: ``ndv_a, ndv_b, union_est,
+    jaccard_est, inter_est``."""
+    sa = kmv_sketch(df_a, col_a, k).localCheckpoint(eager=True)
+    sb = kmv_sketch(df_b, col_b, k).localCheckpoint(eager=True)
+    merged = (sa.unionByName(sb).distinct()
+              .orderBy("h").limit(k).localCheckpoint(eager=True))
+    both = merged.join(sa, "h", "semi").join(sb, "h", "semi")
+    ua = kmv_estimate(merged, k).select(
+        F.col("k_used").alias("mk"), F.col("ndv_est").alias("union_est"))
+    ja = both.agg(F.count(F.lit(1)).alias("matches"))
+    ea = kmv_estimate(sa, k).select(F.col("ndv_est").alias("ndv_a"))
+    eb = kmv_estimate(sb, k).select(F.col("ndv_est").alias("ndv_b"))
+    jac = F.round(F.col("matches").cast("double")
+                  / F.col("mk").cast("double"), 6)
+    return (ea.crossJoin(eb).crossJoin(ua).crossJoin(ja)
+            .withColumn("jaccard_est", jac)
+            .withColumn("inter_est",
+                        F.round(F.col("jaccard_est") * F.col("union_est"),
+                                4))
+            .select("ndv_a", "ndv_b", "union_est", "jaccard_est",
+                    "inter_est"))

@@ -8,6 +8,7 @@ built-in sketches are error-bound-pinned separately below."""
 from __future__ import annotations
 
 import __spark_entry__ as entry
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -284,3 +285,62 @@ def test_grouped_histogram_state_is_group_times_bin_bounded(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower()
     assert "BroadcastHashJoin" in plan  # bounds join never shuffles data
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches
+# ---------------------------------------------------------------------------
+
+def test_kmv_unsaturated_is_exact(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch,
+    )
+    df = spark.range(100).withColumn("k", F.col("id") % 37)
+    est = kmv_estimate(kmv_sketch(df, "k", k=256), k=256).first()
+    assert est["k_used"] == 37
+    assert est["ndv_est"] == 37.0
+
+
+def test_kmv_estimator_error_bound(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch,
+    )
+    n = 20_000
+    df = spark.range(n * 2).withColumn("k", F.col("id") % n)
+    est = kmv_estimate(kmv_sketch(df, "k", k=256), k=256).first()
+    assert est["k_used"] == 256
+    # standard error ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4σ
+    assert abs(est["ndv_est"] - n) / n < 0.25
+
+
+def test_kmv_set_ops_recovers_overlap(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+    # A = [0, 12000), B = [6000, 18000): |A∩B| = 6000, |A∪B| = 18000
+    a = spark.range(12_000).select(F.col("id").alias("x"))
+    b = spark.range(6_000, 18_000).select(F.col("id").alias("y"))
+    r = kmv_set_ops(a, "x", b, "y", k=256).first()
+    assert abs(r["union_est"] - 18_000) / 18_000 < 0.25
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(r["inter_est"] - 6_000) / 6_000 < 0.45
+    assert abs(r["ndv_a"] - 12_000) / 12_000 < 0.25
+
+
+def test_kmv_deterministic_across_partitionings(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch,
+    )
+    df = spark.range(5_000).withColumn("k", F.col("id"))
+    a = kmv_estimate(kmv_sketch(df, "k", k=128), k=128).first()
+    b = kmv_estimate(kmv_sketch(df.repartition(13), "k", k=128),
+                     k=128).first()
+    assert a == b
+
+
+def test_kmv_validation(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        kmv_sketch,
+    )
+    with pytest.raises(ValueError):
+        kmv_sketch(spark.range(3), "id", k=1)
