@@ -2930,6 +2930,24 @@ def q_jaccard_join(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over part names (operators.dedup.
+    sorted_neighborhood_pairs — Hernández & Stolfo SIGMOD'95): every
+    part pair within 3 positions of the (p_name, p_partkey) sort
+    order, via the distributed two-phase rank (range repartition +
+    per-partition row_number + offsets — never a one-reducer global
+    window) and a rank equi-join.  The third classic candidate
+    generator next to LSH banding (minhash) and prefix filtering
+    (jaccard_join)."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    part = _t(spark, sf_dir, "part")
+    return (sorted_neighborhood_pairs(part, "p_name", "p_partkey",
+                                      window=3)
+            .orderBy("id_a", "id_b"))
+
+
 def q_kmv_set_ops(spark, sf_dir):
     """Cross-table distinct-set estimates from bottom-k (KMV/theta)
     sketches (operators.sketches.kmv_set_ops): NDV per side, union
@@ -3045,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "warc_extract": q_warc_extract,
         "kmv_set_ops": q_kmv_set_ops,
+        "sorted_neighborhood": q_sorted_neighborhood,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -6375,6 +6394,16 @@ SELECT ia AS id_a, ib AS id_b,
        round(cast(c as double) / (sa.n + sb.n - c), 6) AS jaccard
 FROM pairs JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.95
+ORDER BY id_a, id_b
+""",
+        # --- round 5c: sorted-neighborhood blocking ---------------------------
+        "sorted_neighborhood": """
+WITH r AS (SELECT p_partkey AS id, p_name AS k,
+                  row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part)
+SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
 ORDER BY id_a, id_b
 """,
         # --- round 5c: KMV bottom-k sketch set operations ---------------------

@@ -215,6 +215,72 @@ def jaccard_join(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
+                              window: int = 4) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 —
+    the THIRD classic candidate generator next to LSH banding and
+    prefix filtering): sort the corpus by a blocking key and emit
+    every pair within ``window`` positions.  Catches near-duplicates
+    whose keys are lexicographically adjacent but not equal (typos,
+    prefixes) — the case equi-blocking misses and token-set methods
+    pay a verify join for.
+
+    Scale shape — the distributed two-phase rank (the
+    ``exact_quantiles`` machinery), NEVER a single-reducer global
+    window: range-repartition on (key, id), per-partition local
+    ``row_number`` plus the partition's global offset (metadata-sized
+    count collect), then neighbors come from an equi-join on rank
+    (each row emits its ``window`` successor ranks — corpus·window
+    rows, the method's defined output size).  Output: ``id_a, id_b,
+    key_a, key_b, dist`` (rank distance 1..window; ``id_a`` is the
+    rank-earlier row).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window as W
+
+    vals = (spread(df)
+            .select(F.col(key_col).alias("k"), F.col(id_col).alias("id"))
+            .repartitionByRange(F.col("k").asc(), F.col("id").asc())
+            .sortWithinPartitions(F.col("k").asc(), F.col("id").asc())
+            .withColumn("__pid__", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    part_counts = (vals.groupBy("__pid__")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .orderBy("__pid__").collect())
+    offsets, acc = {}, 0
+    for r in part_counts:
+        offsets[r["__pid__"]] = acc
+        acc += r["c"]
+    if acc == 0:
+        schema = df.select(F.col(id_col).alias("id_a"),
+                           F.col(id_col).alias("id_b"),
+                           F.col(key_col).alias("key_a"),
+                           F.col(key_col).alias("key_b")).schema
+        empty = df.sparkSession.createDataFrame([], schema)
+        return empty.withColumn("dist", F.lit(0).cast("long")).limit(0)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("__pid__").orderBy(F.col("k").asc(),
+                                         F.col("id").asc())
+    ranked = (vals.withColumn(
+        "rank", (off_map[F.col("__pid__")]
+                 + F.row_number().over(w)).cast("long"))
+        .drop("__pid__"))
+    left = ranked.select(
+        F.col("id").alias("id_a"), F.col("k").alias("key_a"), "rank",
+        F.explode(F.sequence(
+            F.col("rank") + 1,
+            F.col("rank") + window)).alias("rank2"))
+    right = ranked.select(F.col("rank").alias("rank2"),
+                          F.col("id").alias("id_b"),
+                          F.col("k").alias("key_b"))
+    return (left.join(right, "rank2")
+            .select("id_a", "id_b", "key_a", "key_b",
+                    (F.col("rank2") - F.col("rank")).cast("long")
+                    .alias("dist")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -347,3 +347,51 @@ def test_simhash_quality_report_empty_corpus(spark):
     r = simhash_quality_report(df, "text", "doc_id").collect()[0]
     assert (r["n_truth"], r["n_pred"], r["n_hit"]) == (0, 0, 0)
     assert r["precision"] is None and r["recall"] is None
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_matches_reference(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    rows = [(i, k) for i, k in enumerate(
+        ["apple", "appel", "apply", "banana", "bananna", "cherry", "date"])]
+    df = spark.createDataFrame(rows, "rid long, key string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           sorted_neighborhood_pairs(df, "key", "rid", window=2).collect()}
+    order = sorted(rows, key=lambda r: (r[1], r[0]))  # (key, id) sort
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + 3, len(order))):
+            want.add((order[i][0], order[j][0], j - i))
+    assert got == want
+    # the typo neighborhood: appel/apple adjacent in sort order
+    assert any(a == 1 and b == 0 for a, b, _ in got)
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    df = spark.range(200).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), (F.col("id") * 37 % 100)).alias("key"))
+    a = {tuple(r) for r in sorted_neighborhood_pairs(
+        df, "key", "rid", window=3).collect()}
+    b = {tuple(r) for r in sorted_neighborhood_pairs(
+        df.repartition(11), "key", "rid", window=3).collect()}
+    assert a == b
+    assert len(a) == 3 * 200 - (1 + 2 + 3)  # n·w minus the tail truncation
+
+
+def test_sorted_neighborhood_empty_and_validation(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    df = spark.createDataFrame([], "rid long, key string")
+    assert sorted_neighborhood_pairs(df, "key", "rid").count() == 0
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", "rid", window=0)
