@@ -43,6 +43,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # Q22 shape: scalar-subquery average = ONE-ROW
                   # broadcast cross join ahead of the anti-join
                   "idle_customer_balance",
+                  # kmv_set_ops assembles ONE-ROW estimate aggregates
+                  # (ndv_a × ndv_b × union × matches × the four exact
+                  # counts) by broadcast cross join — every side is a
+                  # single row by construction
+                  "kmv_set_ops",
                   # grouped histogram quantiles: |groups| × |qs| target
                   # table built by broadcast cross join over the
                   # metadata-sized bounds/quantile tables
