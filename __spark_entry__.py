@@ -3031,12 +3031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator accumulates a driver-recorded oracle diff across rounds.
     # Round 5 window: (1) embedding_whiten + doc_compression — their
     # oracles are NEW this round (r01-r04 recorded them as no_oracle);
-    # (2) the ten brand-new round-5 entries (seven TPC-H shapes,
-    # url_dedup, pca_variance, json_field_profile_exact); (3) entries
-    # whose engine code changed this round (mmr prune bound,
-    # label_noise literals, hash63_pairs cache boundary, domain_cap
-    # prefilter join, group_split signature, json_field_profile approx
-    # headline, pq_topk valve); (4) r04-green fill for
+    # (2) the brand-new round-5 entries (seven TPC-H shapes,
+    # url_dedup, pca_variance, json_field_profile_exact, span/quality/
+    # kmeans/video, then the session-2 batch: html_extract,
+    # unigram_tokens, jaccard_join, warc_extract, kmv_set_ops,
+    # sorted_neighborhood); (3) entries whose engine code changed this
+    # round (mmr prune bound, label_noise literals, hash63_pairs cache
+    # boundary, domain_cap prefilter join, group_split signature,
+    # json_field_profile approx headline, pq_topk valve, covariance/
+    # whiten/pca on the fixed-point split-GEMM kernel, kmeans Arrow
+    # kernel, keyword_topk window rewrite); (4) r04-green fill for
     # re-verification.  Everything below 50 has archived green rows.
     return {
         # -- (1) first-ever oracle rows ------------------------------
