@@ -2964,8 +2964,14 @@ def q_kmv_set_ops(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     est = kmv_set_ops(orders, "o_custkey", cust, "c_custkey", k=256)
-    oa = orders.select(F.col("o_custkey").alias("key")).distinct()
-    ob = cust.select(F.col("c_custkey").alias("key")).distinct()
+    # NULL keys are excluded from the exact counts to match BOTH the
+    # sketch's isNotNull filter and the oracle's count(DISTINCT col)
+    # semantics (SQL COUNT DISTINCT skips NULLs; TPC-H keys happen to
+    # be non-null, but the contract must hold on any input)
+    oa = (orders.filter(F.col("o_custkey").isNotNull())
+          .select(F.col("o_custkey").alias("key")).distinct())
+    ob = (cust.filter(F.col("c_custkey").isNotNull())
+          .select(F.col("c_custkey").alias("key")).distinct())
     exact = (oa.unionByName(ob).distinct()
              .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
              .crossJoin(oa.agg(F.count(F.lit(1)).cast("long")
@@ -6444,7 +6450,9 @@ ex_a AS (SELECT count(DISTINCT o_custkey) AS v FROM orders),
 ex_b AS (SELECT count(DISTINCT c_custkey) AS v FROM customer),
 ex_u AS (SELECT count(*) AS v FROM
          (SELECT DISTINCT o_custkey AS k FROM orders
-          UNION SELECT DISTINCT c_custkey FROM customer)),
+            WHERE o_custkey IS NOT NULL
+          UNION SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey IS NOT NULL)),
 ex_i AS (SELECT count(*) AS v FROM
          (SELECT DISTINCT o_custkey AS k FROM orders)
          WHERE k IN (SELECT c_custkey FROM customer))

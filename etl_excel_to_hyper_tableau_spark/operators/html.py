@@ -81,7 +81,11 @@ def wrap_html(df: DataFrame, id_col: str = "doc_id",
     codegen, no Python.
     """
     body = _escape(F.coalesce(F.col(text_col), F.lit("")))
-    paras = F.regexp_replace(body, r"(.{1,80})", r"<p data-i=\"x\">$1</p>")
+    # (?s): dot must match newlines, or newline-containing text leaves
+    # raw characters between <p> blocks (dropped by the extractor) and
+    # diverges from the oracle's contiguous-substring chunking
+    paras = F.regexp_replace(body, r"(?s)(.{1,80})",
+                             r"<p data-i=\"x\">$1</p>")
     html = F.concat(
         F.lit("<html><head><title>Doc "), F.col(id_col).cast("string"),
         F.lit("</title><style>p{color:#222}</style>"
@@ -107,28 +111,43 @@ class _BlockExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, str]] = []  # (tag, text)
-        self._skip_depth = 0
+        # open SKIP-subtree roots only (names, not a symmetric depth
+        # counter): real-world HTML legally omits end tags for
+        # implicitly-closed elements (<li>, <p>, <td>…), so counting
+        # every start/end tag inside a skip subtree leaks depth on
+        # pages like <nav><ul><li>a<li>b</ul></nav> and silently drops
+        # every content block after the nav.  Only tags that are
+        # themselves skip roots move this stack; the skip ends when the
+        # matching skip-root end tag arrives.
+        self._skip_stack: list[str] = []
         self._stack: list[tuple[str, list[str]]] = []  # open block tags
 
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
             return
-        if self._skip_depth or tag in _SKIP_TAGS:
-            self._skip_depth += 1
-        elif tag in _BLOCK_TAGS:
+        if tag in _SKIP_TAGS:
+            self._skip_stack.append(tag)
+        elif not self._skip_stack and tag in _BLOCK_TAGS:
             self._stack.append((tag, []))
 
     def handle_endtag(self, tag):
         if tag in _VOID_TAGS:
             return
-        if self._skip_depth:
-            self._skip_depth -= 1
-        elif self._stack and self._stack[-1][0] == tag:
+        if self._skip_stack:
+            # pop up to and including the nearest matching open skip
+            # root (handles an unclosed inner skip tag, e.g.
+            # <nav><header>x</nav>); non-skip end tags inside a skip
+            # subtree don't touch the state at all
+            if tag in self._skip_stack:
+                while self._skip_stack.pop() != tag:
+                    pass
+            return
+        if self._stack and self._stack[-1][0] == tag:
             t, buf = self._stack.pop()
             self.blocks.append((t, "".join(buf)))
 
     def handle_data(self, data):
-        if not self._skip_depth and self._stack:
+        if not self._skip_stack and self._stack:
             self._stack[-1][1].append(data)
 
 

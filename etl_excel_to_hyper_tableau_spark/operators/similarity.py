@@ -790,6 +790,18 @@ _COV_P72 = float(1 << (2 * _COV_BITS))
 _COV_LO = 1 << 19                    # hi/lo split for the exact GEMM
 
 
+def _round9_half_up(x: float) -> float:
+    """Driver-side replica of ``F.round(col, 9)`` / DuckDB ``round()``:
+    ties go AWAY from zero (Python's built-in ``round`` is half-even —
+    an exact tie at the 9th decimal would flip the eigendecomposition
+    input relative to the oracle).  The Decimal is built from
+    ``repr(x)`` — the shortest round-trip decimal string — matching
+    Spark's ``BigDecimal.valueOf(double)`` conversion."""
+    import decimal
+    return float(decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP))
+
+
 def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
     """One corpus pass → exact fixed-point second-moment partials, the
     shared input of :func:`embedding_covariance` and
@@ -836,10 +848,15 @@ def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
             d = x.shape[1]
             q = np.floor(x * _COV_SCALE + 0.5)
             qmax = float(np.max(np.abs(q))) if q.size else 0.0
-            if qmax >= float(1 << 52):
+            # exactness envelope: hi = q/2^19 must keep every SINGLE
+            # hi·hi product < 2^53 (float64-exact even at chunk=1), so
+            # himax < 2^26 ⇔ qmax < 2^45 ⇔ |x| < 2^9.  The old 2^52
+            # bound admitted |x| up to 2^16, where hi²>2^53 products go
+            # inexact and the int64 cast can overflow.
+            if qmax >= float(1 << 45):
                 raise ValueError(
                     "embedding magnitude too large for fixed-point "
-                    f"covariance (|x| must be < 2^{52 - _COV_BITS})")
+                    f"covariance (|x| must be < 2^{45 - _COV_BITS})")
             hi = np.floor(q / _COV_LO)
             lo = q - hi * _COV_LO            # in [0, 2^19)
             himax = max(1.0, float(np.max(np.abs(hi))))
@@ -957,15 +974,15 @@ def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,
     msum = {int(r["i"]): (int(r["s"]), int(r["n"]))
             for r in parts if r["j"] == -1}
     for i, (s, n) in msum.items():
-        mu[i] = round(float(s) / _COV_SCALE / n, 9)
+        mu[i] = _round9_half_up(float(s) / _COV_SCALE / n)
     for r in parts:
         i, j = int(r["i"]), int(r["j"])
         if j < 0:
             continue
         n = int(r["n"])
-        c = round(float(int(r["s"])) / _COV_P72 / n
-                  - (float(msum[i][0]) / _COV_SCALE / n)
-                  * (float(msum[j][0]) / _COV_SCALE / n), 9)
+        c = _round9_half_up(float(int(r["s"])) / _COV_P72 / n
+                            - (float(msum[i][0]) / _COV_SCALE / n)
+                            * (float(msum[j][0]) / _COV_SCALE / n))
         cov[i, j] = c
         cov[j, i] = c
     lam, u = np.linalg.eigh(cov)

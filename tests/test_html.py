@@ -62,6 +62,32 @@ def test_unclosed_block_not_emitted():
     assert extract_blocks("<p>never closed") == []
 
 
+def test_skip_subtree_with_implicitly_closed_tags():
+    # real-world HTML legally omits end tags for <li>/<p>/<td> — a
+    # symmetric depth counter would leak skip state here and drop
+    # every block after the nav (round-6 advice fix)
+    html = ("<body><nav><ul><li>a<li>b</ul></nav>"
+            "<p>kept</p><li>also kept</li></body>")
+    assert extract_blocks(html) == [("p", "kept"), ("li", "also kept")]
+
+
+def test_skip_subtree_with_unclosed_inner_skip_tag():
+    # an unclosed inner skip root ends with its ancestor's end tag
+    html = "<body><nav><header>x<p>junk</p></nav><p>kept</p></body>"
+    assert extract_blocks(html) == [("p", "kept")]
+
+
+def test_stray_skip_end_tag_ignored():
+    assert extract_blocks("<body></nav><p>kept</p></body>") == [
+        ("p", "kept")]
+
+
+def test_sibling_skip_subtrees_independent():
+    html = ("<body><nav><li>n1</nav><p>mid</p>"
+            "<footer><li>f<li>g</footer><p>end</p></body>")
+    assert extract_blocks(html) == [("p", "mid"), ("p", "end")]
+
+
 # ---------------------------------------------------------------------------
 # wrap_html → html_extract round trip on Spark
 # ---------------------------------------------------------------------------
@@ -97,6 +123,18 @@ def test_round_trip_escapes_special_chars(spark):
     # and nothing from the boilerplate leaked through
     tags = [r.tag for r in out]
     assert tags == ["title", "h1", "p", "li", "li"]
+
+
+def test_round_trip_newline_text(spark):
+    # (?s) chunking: newline-containing text must land entirely inside
+    # <p> blocks (Java regex dot does not match \n without the flag,
+    # which silently dropped the raw characters between chunks)
+    text = ("line one\nline two\n" * 6) + "tail"
+    df = _mk_docs(spark, [(3, text, "en", "s3")])
+    out = html_extract(wrap_html(df)).orderBy("block_idx").collect()
+    ps = [r.block_text for r in out if r.tag == "p"]
+    assert "".join(ps) == text
+    assert all(len(p) <= 80 for p in ps)
 
 
 def test_empty_text_has_no_p_blocks(spark):

@@ -1,0 +1,101 @@
+"""Round-6 fixes: the fixed-point covariance exactness envelope, the
+half-away-from-zero driver rounding, and the KMV NULL-key contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# _cov_partials exactness envelope (ADVICE r5: the 2^52 guard admitted
+# |x| < 2^16 where single hi*hi products exceed 2^53 and go inexact)
+# ---------------------------------------------------------------------------
+
+def test_cov_partials_rejects_large_magnitude(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    rows = [(i, [2000.0 + i, -1500.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    with pytest.raises(Exception, match="fixed-point"):
+        embedding_covariance(df, "emb").collect()
+
+
+def test_cov_partials_exact_at_envelope_edge(spark):
+    # |x| just under 2^9 = 512: himax ~ 2^26, the worst case the new
+    # guard admits — verify the distributed split-GEMM kernel against
+    # a sequential exact-integer replica of the same quantized math
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        _COV_P72, _COV_SCALE, _round9_half_up, embedding_covariance,
+    )
+    rng = np.random.default_rng(42)
+    n, d = 40, 3
+    mat = (rng.random((n, d)) * 2 - 1) * 511.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "id long, emb array<double>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df, "emb").collect()}
+    # exact replica with Python ints (no float accumulation at all)
+    q = [[int(np.floor(float(mat[r, c]) * _COV_SCALE + 0.5))
+          for c in range(d)] for r in range(n)]
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(q[r][i] * q[r][j] for r in range(n))
+            mi = sum(q[r][i] for r in range(n))
+            mj = sum(q[r][j] for r in range(n))
+            ref = _round9_half_up(
+                float(s) / _COV_P72 / n
+                - (float(mi) / _COV_SCALE / n)
+                * (float(mj) / _COV_SCALE / n))
+            assert got[(i, j)] == ref, (i, j)
+
+
+# ---------------------------------------------------------------------------
+# _round9_half_up: ties away from zero (ADVICE r5: Python round() is
+# half-even and could flip the eigendecomposition input vs the oracle)
+# ---------------------------------------------------------------------------
+
+def test_round9_half_up_tie_behavior():
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        _round9_half_up,
+    )
+    assert _round9_half_up(2.5e-9) == 3e-9          # round() gives 2e-9
+    assert _round9_half_up(-2.5e-9) == -3e-9        # away from zero
+    assert _round9_half_up(1.5e-9) == 2e-9
+    assert _round9_half_up(0.1234567894) == 0.123456789
+    assert _round9_half_up(0.1234567896) == 0.12345679
+
+
+def test_whiten_still_unit_covariance_after_rounding_change(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        embedding_whiten,
+    )
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(150, 3)) * np.array([8.0, 2.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(150)],
+        "id long, emb array<double>")
+    mat = np.array([r["vec"] for r in
+                    sorted(embedding_whiten(df, "emb", "id").collect(),
+                           key=lambda r: r["id"])])
+    mu = mat.mean(axis=0)
+    cov = (mat - mu).T @ (mat - mu) / mat.shape[0]
+    assert np.allclose(cov, np.eye(3), atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# KMV exact counts: NULL keys excluded on both engine and oracle side
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_counts_ignore_null_keys(spark):
+    # replicate q_kmv_set_ops' exact-count block on a NULL-bearing
+    # input: counts must match SQL COUNT(DISTINCT col) semantics
+    a = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], "k int").select(F.col("k"))
+    oa = (a.filter(F.col("k").isNotNull())
+          .select(F.col("k").alias("key")).distinct())
+    assert oa.count() == 2
