@@ -27,6 +27,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.hashing import md5_int64
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Driver-side replica of ``F.round(col, nd)`` / SQL ``round()``:
+    ties away from zero (Python's built-in ``round`` is half-even).
+    Built from ``repr(x)`` — the shortest round-trip decimal — matching
+    Spark's ``BigDecimal.valueOf(double)`` conversion."""
+    import decimal
+    return float(decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal(1).scaleb(-nd),
+        rounding=decimal.ROUND_HALF_UP))
+
+
 def _cms_bucket(key: Column, depth: Column, width: int) -> Column:
     """Row's counter column for one hash row: md5 of ``depth:key`` mod
     width — portable to any engine with md5 + int64 (DuckDB oracle
@@ -172,6 +183,147 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     return base.select("n_registers_hit", "v_zero",
                        F.col("s").alias("raw_register_sum"),
                        F.round(e, 4).alias("estimate"))
+
+
+def hll_register_table(df: DataFrame, key_cols: list[str],
+                       p: int = 8, exact: bool = False) -> DataFrame:
+    """Registers for SEVERAL columns in ONE pass — the fusion of
+    per-column :func:`hll_build` calls (round-5 verdict: the profile
+    entries ran one register scan per column; each extra scan is a
+    full stage at bench scale and a full pass at 100 TB when columns
+    share a table).
+
+    Two shapes, same register values as per-column ``hll_build``:
+
+    * ``exact=False`` (the 100 TB default): a tagged union of map-only
+      hash branches into ONE partial-agg ``groupBy(key_col,
+      register)`` — every task contributes at most ``|cols|·2^p`` rows
+      to the single exchange regardless of row count (the HLL
+      fixed-communication property, now shared across columns).
+    * ``exact=True``: dedup first (``distinct`` over the tagged union
+      — map-side partial agg, then md5 only the distinct values), and
+      carry ``n_keys`` per register so the EXACT per-column NDV is
+      ``Σ n_keys`` — for gauge entries that report exact counts
+      alongside, the dedup exchange is communication the exact count
+      pays anyway, and it is strictly cheaper than a separate
+      ``countDistinct`` pass per column.
+
+    Output: ``key_col, register, max_rank[, n_keys]`` —
+    ≤ ``|cols|·2^p`` rows (metadata-sized; safe to collect)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    nbits = 60 - p
+
+    def reg_rank(src: Column):
+        h = md5_int64(src)
+        w = F.floor(h / m)
+        rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
+            .otherwise(F.lit(nbits + 1))
+        return (h % m).alias("register"), rank.cast("int").alias("rank")
+
+    # tag columns by ORDINAL through the data-sized stages (an int
+    # shuffles/hashes far cheaper than a repeated name string —
+    # measured ~1.3× on the TPC-H key gauge); names come back via a
+    # literal map on the ≤ |cols|·m-row aggregate
+    names = F.create_map(*[x for i, c in enumerate(key_cols)
+                           for x in (F.lit(i), F.lit(c))])
+    if exact:
+        # dedup in the columns' NATIVE type when they share one (longs
+        # shuffle 8 bytes and hash-agg far faster than their decimal
+        # strings); the string cast md5 needs happens after the
+        # distinct, on NDV-many rows
+        types = {df.schema[c].dataType.simpleString() for c in key_cols}
+        cast_late = len(types) == 1
+        parts = [df.where(F.col(c).isNotNull())
+                 .select(F.lit(i).cast("int").alias("__t__"),
+                         (F.col(c) if cast_late
+                          else F.col(c).cast("string")).alias("__k__"))
+                 for i, c in enumerate(key_cols)]
+        u = parts[0]
+        for x in parts[1:]:
+            u = u.unionByName(x)
+        register, rank = reg_rank(F.col("__k__").cast("string"))
+        return (u.distinct()
+                .select("__t__", register, rank)
+                .groupBy("__t__", "register")
+                .agg(F.max("rank").alias("max_rank"),
+                     F.count(F.lit(1)).cast("long").alias("n_keys"))
+                .select(names[F.col("__t__")].alias("key_col"),
+                        "register", "max_rank", "n_keys"))
+    parts = []
+    for i, c in enumerate(key_cols):
+        register, rank = reg_rank(F.col(c).cast("string"))
+        parts.append(df.where(F.col(c).isNotNull())
+                     .select(F.lit(i).cast("int").alias("__t__"),
+                             register, rank))
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    return (u.groupBy("__t__", "register")
+            .agg(F.max("rank").alias("max_rank"))
+            .select(names[F.col("__t__")].alias("key_col"),
+                    "register", "max_rank"))
+
+
+def hll_estimate_py(register_rows, p: int = 8) -> dict:
+    """Driver-side replica of :func:`hll_estimate` over collected
+    register rows (``(register, max_rank)`` pairs for ONE column) —
+    for gauge entries that assemble a small report from an already
+    metadata-sized sketch, where a DataFrame round trip per column
+    costs more stages than the whole query's data work.  The register
+    sum is EXACT Python-int arithmetic; the estimate performs the same
+    pinned op order as the SQL oracle (one multiply chain, one divide,
+    small-range ``log``), rounded to 4 decimals at the boundary.
+
+    Returns ``{"n_registers_hit", "v_zero", "raw_register_sum",
+    "estimate"}``."""
+    import math
+
+    m = 1 << p
+    nbits = 60 - p
+    alpha = _hll_alpha(m)
+    n_hit = len(register_rows)
+    s_hit = sum(1 << (nbits - int(r[1])) for r in register_rows)
+    v_zero = m - n_hit
+    s = s_hit + v_zero * (1 << nbits)
+    e_raw = alpha * float(m) * float(m) * float(1 << nbits) / float(s)
+    if e_raw <= 2.5 * m and v_zero > 0:
+        e = float(m) * math.log(float(m) / float(v_zero))
+    else:
+        e = e_raw
+    return {"n_registers_hit": n_hit, "v_zero": v_zero,
+            "raw_register_sum": s, "estimate": _round_half_up(e, 4)}
+
+
+def histogram_quantiles_py(cells, bins: int,
+                           qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                           round_to: int = 6) -> dict:
+    """Driver-side replica of :func:`histogram_quantiles` over
+    collected sketch cells (``(bin, cnt, lo, hi, n)`` rows) — same
+    first-bin-reaching-``ceil(q·n)`` rule, same pinned interpolation
+    op order as the SQL oracle (``lo + (bin + (target - cum_before)
+    / cnt) * (hi - lo) / bins``), rounded at the boundary.  Returns
+    ``{q: estimate}`` (empty dict for an empty sketch)."""
+    if not cells:
+        return {}
+    rows = sorted((int(r[0]), int(r[1])) for r in cells)
+    lo, hi, n = float(cells[0][2]), float(cells[0][3]), int(cells[0][4])
+    out = {}
+    for q in qs:
+        target = int(-(-q * n // 1))  # ceil(q*n), same float multiply as SQL
+        cum = 0
+        for b, cnt in rows:
+            if cum + cnt >= target:
+                if hi == lo:
+                    out[q] = lo
+                else:
+                    out[q] = _round_half_up(
+                        lo + (b + (target - cum) / cnt)
+                        * (hi - lo) / float(bins), round_to)
+                break
+            cum += cnt
+    return out
 
 
 def exact_quantiles(df: DataFrame, value_col: str,

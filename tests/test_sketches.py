@@ -55,14 +55,92 @@ def test_native_spark_sketches_within_error_bounds(spark, sf_dir):
 
 
 def test_sketch_profile_exchanges_are_register_bounded(spark, sf_dir):
-    plan = (entry.q_sketch_profile(spark, sf_dir)
+    # the entry now assembles driver-side from collected metadata
+    # (≤1.3k rows), so the distributed contract lives in the fused
+    # register pass: map-side partial agg before the single exchange,
+    # no join exchange anywhere
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_register_table,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (hll_register_table(li, ["l_orderkey", "l_partkey",
+                                    "l_suppkey"], p=8)
             ._jdf.queryExecution().executedPlan().toString())
-    # every sketch reduces map-side before its exchange
     assert "partial" in plan.lower()
-    # 3 HLL register merges + histogram cell merge + bounds/count aggs:
-    # all single-column partial aggregates; no join exchange anywhere
-    # (assembly is broadcast-only)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # ONE data exchange for all three columns (plus AQE bookkeeping):
+    # the tagged union merges before shuffling
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sketch_profile_entry_shape(spark, sf_dir):
+    out = entry.q_sketch_profile(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] > 0
+    assert r["price_p50"] <= r["price_p95"] <= r["price_p99"]
+    for c in ("ndv_orders", "ndv_parts", "ndv_suppliers"):
+        assert r[c] > 0
+
+
+def test_hll_register_table_matches_per_column_builds(spark, sf_dir):
+    # the fused tagged-union build (both shapes) must yield EXACTLY the
+    # registers of per-column hll_build — same md5, same max ranks
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_register_table,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_orderkey", "l_suppkey"]
+    want = {}
+    for c in cols:
+        for r in hll_build(li, c, p=8).collect():
+            want[(c, r["register"])] = r["max_rank"]
+    for exact in (False, True):
+        got = {(r["key_col"], r["register"]): r["max_rank"]
+               for r in hll_register_table(li, cols, p=8,
+                                           exact=exact).collect()}
+        assert got == want, f"exact={exact}"
+    # exact=True's n_keys sums to the true per-column NDV
+    ndv = {r["key_col"]: 0
+           for r in hll_register_table(li, cols, p=8, exact=True)
+           .collect()}
+    for r in hll_register_table(li, cols, p=8, exact=True).collect():
+        ndv[r["key_col"]] += r["n_keys"]
+    exact_ndv = li.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
+    for c in cols:
+        assert ndv[c] == exact_ndv[c]
+
+
+def test_hll_estimate_py_matches_sql_estimator(spark, sf_dir):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        hll_build, hll_estimate, hll_estimate_py,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = hll_build(li, "l_partkey", p=8)
+    want = hll_estimate(sk, p=8).collect()[0]
+    got = hll_estimate_py(
+        [(r["register"], r["max_rank"]) for r in sk.collect()], p=8)
+    assert got["n_registers_hit"] == want["n_registers_hit"]
+    assert got["v_zero"] == want["v_zero"]
+    assert got["raw_register_sum"] == want["raw_register_sum"]
+    assert got["estimate"] == want["estimate"]
+
+
+def test_histogram_quantiles_py_matches_sql_estimator(spark, sf_dir):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_quantiles, histogram_quantiles_py, histogram_sketch,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = histogram_sketch(li, "l_extendedprice", bins=128)
+    want = {r["q"]: r["estimate"]
+            for r in histogram_quantiles(sk, 128,
+                                         (0.25, 0.5, 0.99)).collect()}
+    cells = [(r["bin"], r["cnt"], r["lo"], r["hi"], r["n"])
+             for r in sk.collect()]
+    got = histogram_quantiles_py(cells, 128, (0.25, 0.5, 0.99))
+    assert got == want
 
 
 def test_count_min_matches_python_model_and_bounds(spark):
