@@ -1484,23 +1484,39 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str, id_col: str,
                .filter(F.col("cnt")
                        >= F.ceil(F.lit(float(min_frac)) * F.col("n_docs")))
                .select("h"))
-    kept = hashed.join(bad, "h", "left_anti")
-    reasm = (kept.groupBy("id")
-             .agg(F.array_join(
-                      F.transform(
-                          F.array_sort(F.collect_list(
-                              F.struct(F.col("pos"), F.col("line")))),
-                          lambda s: s["line"]),
-                      delimiter).alias("clean_text"),
-                  F.count(F.lit(1)).cast("long").alias("n_kept")))
-    totals = base.select(
+    # Reassembly (the dup_span_removal doctrine, round 6): aggregate
+    # each document's REMOVED positions into one sorted array — the
+    # exchange carries only boilerplate occurrences as (id, pos) ints,
+    # never line text — then rebuild per doc with array ops
+    # (array_except keeps surviving positions in order, element_at
+    # re-reads each surviving line in O(1)).  The previous form
+    # shuffled every surviving line as a (pos, text) struct through a
+    # groupBy(id) + per-doc struct sort — a corpus-sized text exchange.
+    removed = (hashed.join(bad, "h", "semi")
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_set("pos")).alias("rem_arr")))
+    # staged selects so each array expression evaluates ONCE per row
+    # (a single projection would re-evaluate split/array_except for
+    # every consumer — CollapseProject keeps multi-use expensive
+    # expressions staged)
+    arr = F.split(F.col("text"), delimiter)
+    staged = (base.join(removed, "id", "left")
+              .select("id", arr.alias("__arr__"), "rem_arr")
+              .withColumn("__n__", F.size("__arr__")))
+    all_pos = F.when(F.col("__n__") > 0,
+                     F.sequence(F.lit(0), F.col("__n__") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    staged = staged.withColumn(
+        "__kept__",
+        F.array_except(all_pos,
+                       F.coalesce(F.col("rem_arr"),
+                                  F.array().cast("array<int>"))))
+    return staged.select(
         "id",
-        F.size(F.split(F.col("text"), delimiter)).cast("long").alias("n_lines"))
-    return (totals.join(reasm, "id", "left")
-            .select("id",
-                    F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
-                    .alias("n_kept"),
-                    (F.col("n_lines")
-                     - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long")
-                    .alias("n_removed")))
+        F.array_join(
+            F.transform(F.col("__kept__"),
+                        lambda p: F.element_at(F.col("__arr__"), p + 1)),
+            delimiter).alias("clean_text"),
+        F.size("__kept__").cast("long").alias("n_kept"),
+        (F.col("__n__") - F.size("__kept__")).cast("long")
+        .alias("n_removed"))

@@ -88,6 +88,27 @@ def test_whiten_still_unit_covariance_after_rounding_change(spark):
 
 
 # ---------------------------------------------------------------------------
+# hash63_pairs valve: refuse quadratic duplicate classes (verdict item 6)
+# ---------------------------------------------------------------------------
+
+def test_hash63_pairs_valve_refuses_dense_class(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        hash63_pairs,
+    )
+    # 8 identical signatures = one duplicate class of 8 > bound 5
+    df = spark.createDataFrame([(i, 12345) for i in range(8)],
+                               "fid long, phash long")
+    with pytest.raises(ValueError, match="max_class_size"):
+        hash63_pairs(df, "fid", "phash", max_hamming=2, max_class_size=5)
+    # at or under the bound the pair form still runs
+    out = hash63_pairs(df, "fid", "phash", max_hamming=2,
+                       max_class_size=8)
+    assert out.count() == 8 * 7 // 2
+    # default (None) keeps the historical unvalved behavior
+    assert hash63_pairs(df, "fid", "phash", 2).count() == 28
+
+
+# ---------------------------------------------------------------------------
 # KMV exact counts: NULL keys excluded on both engine and oracle side
 # ---------------------------------------------------------------------------
 
