@@ -3107,6 +3107,40 @@ def q_warc_extract(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join over bucketed tables (plans/bucketing.py): both
+    fact tables are written ONCE with ``bucketBy(8, key)`` — the
+    shuffle paid at write time — and the join then plans with ZERO
+    shuffle exchanges (the 100 TB amortization lever for a workload
+    that joins the same keys every run).  The physical property is part
+    of the CORRECTNESS contract: the ``join_exchanges`` column carries
+    the executed plan's shuffle-exchange count and the oracle pins it
+    to 0, so a planner regression that reintroduces the shuffle fails
+    the driver's hash gate, not just a unit test.  sum_qty is exact
+    (integral quantities, every partial < 2^53)."""
+    from etl_excel_to_hyper_tableau_spark.plans.bucketing import (
+        co_located_join, join_exchanges, write_bucketed,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    write_bucketed(li.select("l_orderkey", "l_quantity"),
+                   "bucketed_lineitem_demo", ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                                 "o_orderpriority"),
+                   "bucketed_orders_demo", ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    j = co_located_join(spark, "bucketed_lineitem_demo",
+                        "bucketed_orders_demo", ["l_orderkey"],
+                        force_sort_merge=True)
+    n_ex = join_exchanges(j)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .withColumn("join_exchanges", F.lit(n_ex).cast("long"))
+            .orderBy("o_orderpriority"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3118,24 +3152,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records the
-    # FIRST 50 entries in declaration order (CORRECTNESS_r01-r04 key
+    # FIRST 50 entries in declaration order (CORRECTNESS_r01-r05 key
     # sets are exactly positions 1-50 of each round's registry).
-    # Entries without an archived driver-green row come first so every
-    # operator accumulates a driver-recorded oracle diff across rounds.
-    # Round 5 window: (1) embedding_whiten + doc_compression — their
-    # oracles are NEW this round (r01-r04 recorded them as no_oracle);
-    # (2) the brand-new round-5 entries (seven TPC-H shapes,
-    # url_dedup, pca_variance, json_field_profile_exact, span/quality/
-    # kmeans/video, then the session-2 batch: html_extract,
-    # unigram_tokens, jaccard_join, warc_extract, kmv_set_ops,
-    # sorted_neighborhood); (3) entries whose engine code changed this
-    # round (mmr prune bound, label_noise literals, hash63_pairs cache
-    # boundary, domain_cap prefilter join, group_split signature,
-    # json_field_profile approx headline, pq_topk valve, covariance/
-    # whiten/pca on the fixed-point split-GEMM kernel, kmeans Arrow
-    # kernel, keyword_topk window rewrite); (4) r04-green fill for
-    # re-verification.  Everything below 50 has archived green rows.
-    return {
+    # Entries whose KERNEL OR ORACLE changed in the current round are
+    # pinned into the window via _R6_WINDOW below (the round-5 verdict
+    # process fix: a rewritten operator must never leave the window
+    # before the driver re-records its oracle diff); the rest of the
+    # window fills from the registry's standing order (round-5 window
+    # first, then archived-green rows).  Every registry entry also
+    # runs vs its oracle in `pytest -m full_oracle` regardless of
+    # window position.
+    reg = {
         # -- (1) first-ever oracle rows ------------------------------
         "embedding_whiten": q_embedding_whiten,
         "doc_compression": q_doc_compression,
@@ -3161,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "kmv_set_ops": q_kmv_set_ops,
         "sorted_neighborhood": q_sorted_neighborhood,
+        # -- new in round 6 -------------------------------------------
+        "bucketed_join": q_bucketed_join,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -3320,6 +3349,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": q_data_quality_report,
         "resample_ffill": q_resample_ffill,
     }
+    # Round-6 window head: (1) every entry whose kernel or oracle
+    # changed this round — kmeans (stats fused into the last E-step;
+    # oracle CTE chain shortened), the fused sketch gauges, dsir's
+    # checkpoint + local-lr restructure, the array-rebuild span/
+    # boilerplate reassemblies, the kmv NULL-key contract, the HTML
+    # skip-stack + (?s) chunking (html_extract, warc_extract), the
+    # covariance-family guard + half-up rounding, and the hash63_pairs
+    # valve path (video/image/audio/stream media dedups); (2) the
+    # round-5 rewrites whose green rows predate their rewrite
+    # (keyword_topk window form, minhash_dedup bucket-min election,
+    # stream_hll_distinct glob-contract readers).  dict.update keeps
+    # existing keys' positions, so the remainder of the 50-row window
+    # fills from the registry order above.
+    window = [
+        "bucketed_join",
+        "kmeans_clusters", "hll_distinct", "sketch_profile",
+        "dsir_weights", "dup_span_removal", "boilerplate_lines",
+        "kmv_set_ops", "html_extract", "warc_extract",
+        "embedding_whiten", "embedding_covariance", "pca_variance",
+        "video_frame_dedup", "video_dedup", "image_phash_dedup",
+        "audio_fp_dedup", "stream_media_dedup",
+        "keyword_topk", "minhash_dedup", "stream_hll_distinct",
+    ]
+    out = {name: reg[name] for name in window}
+    out.update(reg)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -6561,6 +6616,17 @@ SELECT round(est_a.e, 4) AS ndv_a, round(est_b.e, 4) AS ndv_b,
                   * round(est_u.e, 4), 4) - ex_i.v) / ex_i.v, 6)
     AS rel_err_inter
 FROM est_a, est_b, est_u, mt, ex_a, ex_b, ex_u, ex_i
+""",
+        # --- round 6: bucketed co-located join --------------------------------
+        # join_exchanges is pinned to 0: the oracle makes the
+        # exchange-free physical property part of the value contract
+        "bucketed_join": """
+SELECT o_orderpriority,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(l_quantity) as bigint) AS sum_qty,
+       cast(0 as bigint) AS join_exchanges
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         # --- round 5c: WARC crawl-archive round trip --------------------------
         # construction oracle: make_warc_media's synthesis is
