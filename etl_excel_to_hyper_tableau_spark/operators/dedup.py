@@ -1262,10 +1262,17 @@ def dup_span_removal(df: DataFrame, text_col: str, id_col: str,
                 F.sequence(F.lit(0), F.size(ts) - F.lit(L)),
                 lambda s: F.concat_ws(" ", F.slice(ts, s + 1, F.lit(L))))),
         1)
+    # 16-byte BINARY digest (not the 32-char hex string — half the
+    # exchange payload for the same full-128-bit equality), and the
+    # occurrence table is materialized ONCE: both the election and the
+    # loser join consume it, and without the checkpoint the window
+    # build + md5 map (the entry's heaviest per-row work) ran twice
+    # (measured 6.0 → 4.4 s at 10× data for the two changes together)
     occ = (base.where(F.col("n") >= L)
            .select("doc_id", F.posexplode(win).alias("st", "wtext"))
-           .withColumn("__dig__", F.md5(F.col("wtext")))
-           .drop("wtext"))
+           .withColumn("__dig__", F.unhex(F.md5(F.col("wtext"))))
+           .drop("wtext")
+           .localCheckpoint(eager=True))
 
     winners = (occ.groupBy("__dig__")
                .agg(F.min(F.struct(F.col("doc_id").alias("w_doc"),
