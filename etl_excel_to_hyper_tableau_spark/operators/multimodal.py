@@ -594,7 +594,7 @@ def phash_pairs(df: DataFrame, max_hamming: int = 6,
 
 def hash63_pairs(sig: DataFrame, id_col: str, hash_col: str,
                  max_hamming: int,
-                 max_class_size: int | None = None) -> DataFrame:
+                 max_pairs: int | None = None) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` over a 63-bit
     signature table (shared machinery behind :func:`phash_pairs` and
     :func:`audio_fp_pairs`).  Distinct-signature collapse first:
@@ -605,27 +605,34 @@ def hash63_pairs(sig: DataFrame, id_col: str, hash_col: str,
     m²·chunks candidate rows through a dedup exchange.  The PAIR
     OUTPUT is still inherently quadratic in duplicate-class size (a
     class of m identical signatures emits m(m−1)/2 rows); pass
-    ``max_class_size`` to refuse that explosion instead of silently
-    running it — the valve doctrine of ``max_exact``/``max_queries``.
-    Output: ``id_a, id_b, hamming``.
+    ``max_pairs`` to refuse a projected Σ m(m−1)/2 above the budget
+    instead of silently running it — the valve doctrine of
+    ``max_exact``/``max_queries``, bounding the DIRECT quantity (a
+    per-class size cap would admit many mid-sized classes whose total
+    still explodes, and the measured 411 s sf1 case was 240 classes
+    of 1250).  The probe is one metadata-sized aggregate over the
+    persisted signatures.  Output: ``id_a, id_b, hamming``.
     """
     chunks = max_hamming + 1
     width = 63 // chunks
     ph = (sig.select(F.col(id_col).alias("__id__"),
                      F.col(hash_col).alias("__h__"))
           .filter(F.col("__h__").isNotNull()).persist())
-    if max_class_size is not None:
-        biggest = (ph.groupBy("__h__")
-                   .agg(F.count(F.lit(1)).alias("c"))
-                   .agg(F.max("c").alias("m")).collect()[0]["m"])
-        if biggest is not None and int(biggest) > int(max_class_size):
+    if max_pairs is not None:
+        c = F.col("c").cast("long")
+        proj = (ph.groupBy("__h__")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(c * (c - 1) / 2).cast("long").alias("p"))
+                .collect()[0]["p"])
+        if proj is not None and int(proj) > int(max_pairs):
             ph.unpersist()
             raise ValueError(
-                f"duplicate class of {int(biggest)} identical signatures "
-                f"exceeds max_class_size={int(max_class_size)}: the pair "
-                f"form would emit ~m²/2 rows per class; use the linear "
-                f"election form (video_dedup / minhash_dedup doctrine) "
-                f"or raise max_class_size explicitly")
+                f"identical-signature classes project {int(proj)} "
+                f"within-class pairs, exceeding max_pairs="
+                f"{int(max_pairs)}: the pair form is quadratic in "
+                f"duplicate-class size; use the linear election form "
+                f"(video_dedup / minhash_dedup doctrine) or raise "
+                f"max_pairs explicitly")
     m_a = ph.select("__h__", F.col("__id__").alias("id_a"))
     m_b = ph.select("__h__", F.col("__id__").alias("id_b"))
     within = (m_a.join(m_b, "__h__")
@@ -916,7 +923,7 @@ _FRAME_KEY_BITS = 20  # composite key: media_id << 20 | frame_idx
 
 def video_dup_pairs(df: DataFrame, every_n: int = 2,
                     max_hamming: int = 6,
-                    max_class_size: int = 10_000) -> DataFrame:
+                    max_pairs: int = 10_000_000) -> DataFrame:
     """Cross-video near-duplicate detection at the FRAME level — the
     multimodal pass that catches re-uploads / re-encodes sharing
     footage: sampled frames are pHashed (:func:`video_frame_phash`),
@@ -929,12 +936,14 @@ def video_dup_pairs(df: DataFrame, every_n: int = 2,
 
     PAIR output is quadratic in duplicate-class size BY DEFINITION
     (m re-uploads of the same footage → m²/2 video pairs — measured
-    411 s at sf1 on 1250-video classes): ``max_class_size`` refuses a
-    frame-signature class larger than the bound instead of silently
-    exploding (the ``max_exact``/``max_queries`` valve doctrine).
-    :func:`video_dedup` is the corpus-linear election form — the
-    100 TB path; use THIS form only on a bounded slice (e.g. the
-    suspects a linear pass already flagged).
+    411 s at sf1, where 240 frame-hash classes of 1250 projected
+    ~187 M within-class pairs): ``max_pairs`` refuses a projected
+    within-class pair count above the budget instead of silently
+    exploding (the ``max_exact``/``max_queries`` valve doctrine; the
+    default 10 M would have refused that sf1 run).  :func:`video_dedup`
+    is the corpus-linear election form — the 100 TB path; use THIS
+    form only on a bounded slice (e.g. the suspects a linear pass
+    already flagged).
     """
     sig = video_frame_phash(df, every_n)
     comp = sig.select(
@@ -942,7 +951,7 @@ def video_dup_pairs(df: DataFrame, every_n: int = 2,
          + F.col("frame_idx")).alias("fid"),
         "phash")
     pairs = hash63_pairs(comp, "fid", "phash", max_hamming,
-                         max_class_size=max_class_size)
+                         max_pairs=max_pairs)
     va = F.shiftright(F.col("id_a"), _FRAME_KEY_BITS)
     vb = F.shiftright(F.col("id_b"), _FRAME_KEY_BITS)
     return (pairs

@@ -28,10 +28,16 @@ from ..functions.hashing import md5_int64
 
 
 def _round_half_up(x: float, nd: int) -> float:
-    """Driver-side replica of ``F.round(col, nd)`` / SQL ``round()``:
-    ties away from zero (Python's built-in ``round`` is half-even).
-    Built from ``repr(x)`` — the shortest round-trip decimal — matching
-    Spark's ``BigDecimal.valueOf(double)`` conversion."""
+    """Driver-side replica of ``F.round(col, nd)``: ties away from
+    zero (Python's built-in ``round`` is half-even), built from
+    ``repr(x)`` — the shortest round-trip decimal — matching Spark's
+    ``BigDecimal.valueOf(double)`` conversion exactly (property-pinned
+    in tests/test_round6_ops.py).  NOTE: DuckDB's ``round()`` on
+    doubles multiplies by 10^nd first, so on adversarial near-ties it
+    can disagree with Spark and with exact decimal rounding alike —
+    the oracles' round-at-the-boundary doctrine relies on rounded
+    values sitting ulps away from half-boundaries, which every green
+    driver round has so far confirmed empirically."""
     import decimal
     return float(decimal.Decimal(repr(float(x))).quantize(
         decimal.Decimal(1).scaleb(-nd),

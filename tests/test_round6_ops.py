@@ -91,21 +91,66 @@ def test_whiten_still_unit_covariance_after_rounding_change(spark):
 # hash63_pairs valve: refuse quadratic duplicate classes (verdict item 6)
 # ---------------------------------------------------------------------------
 
-def test_hash63_pairs_valve_refuses_dense_class(spark):
+def test_hash63_pairs_valve_refuses_projected_pair_budget(spark):
     from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
         hash63_pairs,
     )
-    # 8 identical signatures = one duplicate class of 8 > bound 5
+    # 8 identical signatures project 28 within-class pairs > budget 20
     df = spark.createDataFrame([(i, 12345) for i in range(8)],
                                "fid long, phash long")
-    with pytest.raises(ValueError, match="max_class_size"):
-        hash63_pairs(df, "fid", "phash", max_hamming=2, max_class_size=5)
-    # at or under the bound the pair form still runs
-    out = hash63_pairs(df, "fid", "phash", max_hamming=2,
-                       max_class_size=8)
+    with pytest.raises(ValueError, match="max_pairs"):
+        hash63_pairs(df, "fid", "phash", max_hamming=2, max_pairs=20)
+    # the budget is the TOTAL across classes — two mid-sized classes
+    # that individually look tame still trip it (the sf1 411 s case
+    # was 240 classes of 1250, no single class alarming)
+    df2 = spark.createDataFrame(
+        [(i, 1) for i in range(6)] + [(10 + i, 2) for i in range(6)],
+        "fid long, phash long")
+    with pytest.raises(ValueError, match="max_pairs"):
+        hash63_pairs(df2, "fid", "phash", max_hamming=2, max_pairs=29)
+    # at or under the budget the pair form still runs
+    out = hash63_pairs(df, "fid", "phash", max_hamming=2, max_pairs=28)
     assert out.count() == 8 * 7 // 2
     # default (None) keeps the historical unvalved behavior
     assert hash63_pairs(df, "fid", "phash", 2).count() == 28
+
+
+# ---------------------------------------------------------------------------
+# _round_half_up: property-pinned against DuckDB's round() — the
+# rounding contract every driver-assembled gauge relies on
+# ---------------------------------------------------------------------------
+
+def test_round_half_up_matches_spark_round():
+    # the helper's contract is F.round (BigDecimal.valueOf — EXACT
+    # half-up on the shortest decimal repr), because that is what the
+    # entries' Spark-side expressions compute.  DuckDB's round() on
+    # doubles multiplies by 10^nd first, so on adversarial near-ties
+    # (e.g. 9.449999999999999e-05 at nd=6, where x·10^6 lands exactly
+    # on 94.5) it can disagree with BOTH Spark and exact decimal
+    # rounding — a pre-existing cross-engine hazard the oracles absorb
+    # by rounding values that sit ulps away from half-boundaries, not
+    # a property this helper can or should reproduce.
+    import random
+
+    from etl_excel_to_hyper_tableau_spark import get_spark
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        _round_half_up,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vals = ([rng.uniform(-1e6, 1e6) for _ in range(400)]
+            + [rng.randint(-10**9, 10**9) * 5e-10 for _ in range(300)]
+            + [rng.randint(-10**7, 10**7) * 5e-7 for _ in range(300)]
+            + [0.0, -0.0, 2.5e-9, -2.5e-9, 9.449999999999999e-05])
+    spark = get_spark(app_name="tests", master="local[4]",
+                      shuffle_partitions=4)
+    for nd in (4, 6, 9):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [r["r"] for r in
+               df.select(F.round(F.col("x"), nd).alias("r")).collect()]
+        for v, w in zip(vals, got):
+            assert _round_half_up(v, nd) == w, (v, nd)
 
 
 # ---------------------------------------------------------------------------
