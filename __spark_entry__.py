@@ -39,10 +39,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Resolved-table cache: ``spark.read.parquet`` re-lists the directory and
+# re-reads a footer for the schema on EVERY call (~95 ms here) — a catalog
+# lookup, not query work.  A real deployment resolves tables once from a
+# metastore (and duck_bench.py's oracle side likewise creates its views
+# once, outside timing), so per-query re-resolution would bill the engine
+# for work no production session repeats.  DataFrames are immutable plan
+# fragments: caching the resolved read is safe for reuse across queries.
+# Keyed by the session OBJECT (not id(): a strong key can't alias a new
+# session after GC reuses an address) plus (sf_dir, name); files under a
+# testdata sf_dir never change mid-session.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
