@@ -3160,6 +3160,42 @@ def q_bucketed_join(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+# Phrase dictionary for q_dictionary_tag: mixed 1/2/3-token entries so
+# the operator exercises every n-gram window length it generates.
+_TAG_PHRASES = [
+    "batch", "vector",
+    "hash join", "table scan", "sort merge", "group value", "slow filter",
+    "key agg row", "fast merge batch", "data column",
+]
+
+
+def q_dictionary_tag(spark, sf_dir):
+    """Phrase-dictionary taxonomy tagging (operators.text.dictionary_tag):
+    doc n-grams at the dictionary's token lengths broadcast-joined against
+    the phrase list — the Aho-Corasick-class task, map-side on the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.dictionary_tag(docs, "text", "doc_id", _TAG_PHRASES)
+            .orderBy("doc_id", "phrase"))
+
+
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage gauge (operators.text.oov_rate): corpus top-20
+    vocabulary (count desc, token asc) as a TakeOrderedAndProject, then
+    per-language out-of-vocabulary token rate."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.oov_rate(docs, "text", "lang", vocab_size=20).orderBy("lang")
+
+
+def q_context_pairs(spark, sf_dir):
+    """Next-action training pairs (streaming.events.context_pairs): each
+    event's ≤3 preceding same-user event types as the context array, the
+    event itself as the target — one user-bounded window, no global sort."""
+    from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
+    ev = _t(spark, sf_dir, "events")
+    return (context_pairs(ev, "user_id", "ts", "event_type", "event_id", k=3)
+            .orderBy("user_id", "event_id"))
+
+
 # ===========================================================================
 # Contract functions
 # ===========================================================================
@@ -3209,6 +3245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
+        "dictionary_tag": q_dictionary_tag,
+        "oov_rate": q_oov_rate,
+        "context_pairs": q_context_pairs,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -3382,7 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # existing keys' positions, so the remainder of the 50-row window
     # fills from the registry order above.
     window = [
-        "bucketed_join",
+        "bucketed_join", "dictionary_tag", "oov_rate", "context_pairs",
         "kmeans_clusters", "hll_distinct", "sketch_profile",
         "dsir_weights", "dup_span_removal", "boilerplate_lines",
         "kmv_set_ops", "html_extract", "warc_extract",
@@ -6646,6 +6685,47 @@ SELECT o_orderpriority,
        cast(0 as bigint) AS join_exchanges
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        # --- round 6: phrase-dictionary tagging ---------------------------
+        # n-grams at the dictionary's token lengths (1/2/3 here), joined
+        # against the same literal phrase list the Spark entry broadcasts
+        "dictionary_tag": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (SELECT doc_id, unnest(flatten([
+    [t[i] for i in range(1, len(t) + 1)],
+    [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))],
+    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+  ])) AS phrase FROM tk),
+phr AS (SELECT unnest({_TAG_PHRASES!r}) AS phrase)
+SELECT doc_id, g.phrase AS phrase, cast(count(*) as bigint) AS n_hits
+FROM g JOIN phr ON g.phrase = phr.phrase
+GROUP BY doc_id, g.phrase ORDER BY doc_id, phrase
+""",
+        # --- round 6: per-language OOV rate vs corpus top-20 vocab --------
+        "oov_rate": f"""
+WITH tk AS (SELECT lang, unnest({toks}) AS token FROM documents),
+v AS (SELECT token FROM (
+        SELECT token, count(*) AS c FROM tk GROUP BY token
+        ORDER BY c DESC, token LIMIT 20)),
+a AS (SELECT lang, count(*) AS n_tokens,
+             sum(CASE WHEN token NOT IN (SELECT token FROM v)
+                 THEN 1 ELSE 0 END) AS n_oov
+      FROM tk GROUP BY lang)
+SELECT lang, cast(n_tokens as bigint) AS n_tokens,
+       cast(n_oov as bigint) AS n_oov,
+       cast(n_oov as double) / cast(n_tokens as double) AS oov_rate
+FROM a ORDER BY lang
+""",
+        # --- round 6: next-action context/target training pairs -----------
+        "context_pairs": """
+SELECT user_id, event_id,
+       list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+       event_type AS target
+FROM events
+QUALIFY len(context) >= 1
+ORDER BY user_id, event_id
 """,
         # --- round 5c: WARC crawl-archive round trip --------------------------
         # construction oracle: make_warc_media's synthesis is

@@ -1520,3 +1520,108 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str, id_col: str,
         F.size("__kept__").cast("long").alias("n_kept"),
         (F.col("__n__") - F.size("__kept__")).cast("long")
         .alias("n_removed"))
+
+
+# ---------------------------------------------------------------------------
+# Phrase-dictionary tagging (taxonomy / topic tagging)
+# ---------------------------------------------------------------------------
+
+def dictionary_tag(df: DataFrame, text_col: str, id_col: str,
+                   phrases: list[str], max_dict: int = 1_000_000) -> DataFrame:
+    """Tag documents against a phrase dictionary — the corpus-curation
+    step that routes documents to taxonomy buckets (topic lists, unsafe-
+    content term lists, domain keyword sets).  The single-node classic
+    is an Aho-Corasick / FlashText automaton walked over each document;
+    the Spark-first shape is the other way around: generate document
+    n-grams ONLY at the token lengths the dictionary actually contains
+    and broadcast-join them against the dictionary, so the corpus never
+    shuffles and the automaton state never exists.
+
+    Scale shape (100 TB):
+
+    * The dictionary is the small side by construction (≤ ``max_dict``
+      entries — a valve, raised loudly, because a corpus-sized
+      "dictionary" would silently turn this into a shuffle join).
+      Spark broadcasts it; every match is decided map-side.
+    * The doc side explodes n-grams at ``len(distinct phrase lengths)``
+      window sizes — corpus-linear, same constant as the shingle pass
+      the dedup family already pays.
+    * One hash aggregate on (doc, phrase) — high-entropy key, partial
+      aggregation absorbs hot phrases.
+
+    Output: one row per (document, matched phrase):
+    ``doc_id, phrase, n_hits`` (occurrence count at any alignment).
+    """
+    if len(phrases) > max_dict:
+        raise ValueError(
+            f"dictionary has {len(phrases)} entries > max_dict={max_dict}; "
+            "a dictionary this large should be a pre-staged table joined "
+            "on a hash bucket, not a broadcast literal")
+    lengths = sorted({len(p.split()) for p in phrases if p.strip()})
+    if not lengths:
+        raise ValueError("empty phrase dictionary")
+    toks = tokens(F.col(text_col))
+    base = (spread(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("__t__"))
+            .withColumn("__n__", F.size("__t__")))
+    def _grams_at(n: int) -> Column:
+        # NB: the lambda must stay single-parameter — pyspark gives a
+        # two-parameter lambda the (element, index) signature, which
+        # would silently rebind a default-arg loop variable to the
+        # index column.  Close over ``n`` via this factory instead.
+        return (F.when(
+            F.col("__n__") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n__") - F.lit(n)),
+                lambda s: F.concat_ws(
+                    " ", F.slice(F.col("__t__"), s + 1, F.lit(n)))))
+            .otherwise(F.array().cast("array<string>")))
+
+    grams = [_grams_at(n) for n in lengths]
+    occ = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*grams))).alias("phrase"))
+    dict_df = df.sparkSession.createDataFrame(
+        [(p,) for p in phrases], "phrase string").distinct()
+    return (occ.join(F.broadcast(dict_df), "phrase")
+            .groupBy("doc_id", "phrase")
+            .agg(F.count("*").cast("long").alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-coverage (OOV rate) gauge
+# ---------------------------------------------------------------------------
+
+def oov_rate(df: DataFrame, text_col: str, lang_col: str,
+             vocab_size: int = 500) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus top-V
+    vocabulary — the tokenizer-coverage gauge run before committing a
+    vocab size: a language whose OOV rate stays high at the chosen V
+    will fragment into UNK/bytes and train badly (the cross-lingual
+    coverage argument of Rust et al. 2021, the same QA family as
+    :func:`token_fertility`).
+
+    Plan: one explode → (token) count aggregate → top-V by
+    ``(count desc, token asc)`` as a TakeOrderedAndProject (never a
+    global sort), broadcast back against a second per-language count —
+    the corpus is scanned twice but shuffled only as counts; the
+    vocabulary itself is driver-bounded at V rows.
+
+    Output: ``lang, n_tokens, n_oov, oov_rate`` (rate is the IEEE
+    double of the exact integer division — bit-reproducible).
+    """
+    toks = (spread(df)
+            .select(F.col(lang_col).alias("lang"),
+                    F.explode(tokens(F.col(text_col))).alias("token")))
+    vocab = (toks.groupBy("token").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("token"))
+             .limit(int(vocab_size))
+             .select("token"))
+    flagged = toks.join(F.broadcast(vocab.withColumn("__in__", F.lit(1))),
+                        "token", "left")
+    return (flagged.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in__").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.col("n_oov").cast("double")
+                        / F.col("n_tokens").cast("double")))

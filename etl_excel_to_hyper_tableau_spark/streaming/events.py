@@ -530,3 +530,34 @@ def robust_value_anomalies(df: DataFrame, key_col: str, value_col: str,
     return (scored.where(F.abs(F.col("rscore")) > z)
             .select("key", "id", F.col("v").alias("value"), "med", "mad",
                     "rscore"))
+
+
+def context_pairs(events: DataFrame, user_col: str, ts_col: str,
+                  event_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Next-action training-pair assembly: for every event, the up-to-k
+    preceding event types of the same user (oldest → newest) as the
+    context and the current event type as the target — the supervised
+    dataset builder behind next-action / sequential-recommendation
+    models, and the event-log analogue of the (prefix, next-token)
+    pairs a language-model pipeline emits.
+
+    Scale shape: ONE user-bounded window (``rowsBetween(-k, -1)`` over
+    ``partitionBy(user)``) — the shuffle is a hash exchange on the user
+    key, per-user state is the k-element ring the window maintains, and
+    there is never a global sort or a per-user history materialization.
+    Events with no predecessor (each user's first) are dropped: a pair
+    needs at least one context element.  Ordering inside a user is
+    ``(ts, event_id)`` so ties are deterministic.
+
+    Output: ``user_id, event_id, context (array<string>), target``.
+    """
+    w = (Window.partitionBy(F.col(user_col))
+         .orderBy(F.col(ts_col), F.col(id_col))
+         .rowsBetween(-k, -1))
+    return (events
+            .withColumn("context", F.collect_list(F.col(event_col)).over(w))
+            .where(F.size("context") >= 1)
+            .select(F.col(user_col).alias("user_id"),
+                    F.col(id_col).alias("event_id"),
+                    "context",
+                    F.col(event_col).alias("target")))

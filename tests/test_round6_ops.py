@@ -165,3 +165,75 @@ def test_kmv_exact_counts_ignore_null_keys(spark):
     oa = (a.filter(F.col("k").isNotNull())
           .select(F.col("k").alias("key")).distinct())
     assert oa.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Phrase-dictionary tagging
+# ---------------------------------------------------------------------------
+
+def test_dictionary_tag_counts_all_alignments(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import dictionary_tag
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # "a b" at 0 and 2; "b a" at 1 and 3
+         (2, "x"),                # shorter than every multi-token phrase
+         (3, "a b c d"),          # trigram "a b c" once
+         (4, "")],                # empty doc: no grams at all
+        "doc_id int, text string")
+    out = dictionary_tag(docs, "text", "doc_id",
+                         ["a b", "b a", "a b c", "x"])
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"] for r in out.collect()}
+    assert got == {(1, "a b"): 2, (1, "b a"): 2,
+                   (2, "x"): 1, (3, "a b"): 1, (3, "a b c"): 1}
+
+
+def test_dictionary_tag_valves(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import dictionary_tag
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="max_dict"):
+        dictionary_tag(docs, "text", "doc_id", ["a", "b", "c"], max_dict=2)
+    with pytest.raises(ValueError, match="empty"):
+        dictionary_tag(docs, "text", "doc_id", ["  "])
+
+
+# ---------------------------------------------------------------------------
+# OOV-rate gauge
+# ---------------------------------------------------------------------------
+
+def test_oov_rate_top_v_cutoff_and_ties(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.text import oov_rate
+
+    # counts: a=3, b=2, c=2, d=1.  V=2 keeps {a, b} (count desc, token
+    # asc breaks the b/c tie) -> OOV tokens are c and d.
+    docs = spark.createDataFrame(
+        [(1, "a a b c", "en"), (2, "a b c d", "de")],
+        "doc_id int, text string, lang string")
+    out = {r["lang"]: r for r in
+           oov_rate(docs, "text", "lang", vocab_size=2).collect()}
+    assert out["en"]["n_tokens"] == 4 and out["en"]["n_oov"] == 1
+    assert out["de"]["n_tokens"] == 4 and out["de"]["n_oov"] == 2
+    assert out["de"]["oov_rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Next-action context/target pairs
+# ---------------------------------------------------------------------------
+
+def test_context_pairs_window_semantics(spark):
+    from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
+
+    ev = spark.createDataFrame(
+        [("u1", 1, 10, "a"), ("u1", 2, 20, "b"), ("u1", 3, 30, "c"),
+         ("u1", 4, 40, "d"), ("u1", 5, 50, "e"),
+         ("u2", 6, 10, "x"),                    # single event: no pair
+         ("u3", 7, 10, "p"), ("u3", 8, 10, "q")],  # ts tie -> id order
+        "user_id string, event_id int, ts int, event_type string")
+    out = {r["event_id"]: (list(r["context"]), r["target"]) for r in
+           context_pairs(ev, "user_id", "ts", "event_type",
+                         "event_id", k=3).collect()}
+    assert 1 not in out and 6 not in out          # first events dropped
+    assert out[2] == (["a"], "b")
+    assert out[4] == (["a", "b", "c"], "d")
+    assert out[5] == (["b", "c", "d"], "e")       # capped at k=3
+    assert out[8] == (["p"], "q")                 # deterministic tie order
