@@ -72,6 +72,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _fin(df: DataFrame, *cols) -> DataFrame:
+    """Deterministic total order for driver-contract outputs WITHOUT
+    RangePartitioning: a trailing global ``orderBy`` plans a range
+    exchange whose boundary sampling is an extra pass over the result
+    (measured ~0.3 s per query at sf0.1 — about 2x the cost of the
+    sort itself), pure presentation overhead for a result the driver
+    collects anyway.  One explicit single-partition exchange plus an
+    in-partition sort produces the identical total order (same column
+    semantics, same null ordering) in one pass.
+
+    Scale note: everything passing through here is a driver-contract
+    OUTPUT — already bounded by the collect that follows, so the
+    1-partition exchange adds no asymptotic funnel the collect didn't
+    already impose.  Corpus-sized intermediates inside operators never
+    use this; top-k entries keep ``orderBy(...).limit(k)`` so Catalyst
+    plans TakeOrderedAndProject."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _dsum(col, alias: str, scale: str = "decimal(28,4)"):
     """Deterministic double sum: exact decimal accumulation → double.
     Only sound when ``col`` is a *stored* value (2-decimal money / small
@@ -109,7 +128,7 @@ def q_pricing_summary(spark, sf_dir):
                  F.sum(disc_price).cast("double").alias("sum_disc_price"),
                  F.sum(charge).cast("double").alias("sum_charge"),
                  F.count("*").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+            .transform(_fin, "l_returnflag", "l_linestatus"))
 
 
 def q_shipping_priority(spark, sf_dir):
@@ -146,7 +165,7 @@ def q_local_supplier_volume(spark, sf_dir):
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy("n_name")
             .agg(F.sum(revenue).cast("double").alias("revenue"))
-            .orderBy(F.desc("revenue"), "n_name"))
+            .transform(_fin, F.desc("revenue"), "n_name"))
 
 
 def q_returned_items(spark, sf_dir):
@@ -178,7 +197,7 @@ def q_priority_rank_window(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"))
         .filter(F.col("rn") <= 5)
-        .orderBy("o_orderpriority", "rn"))
+        .transform(_fin, "o_orderpriority", "rn"))
 
 
 def q_orders_rollup(spark, sf_dir):
@@ -190,7 +209,7 @@ def q_orders_rollup(spark, sf_dir):
                  _dsum(F.col("o_totalprice"), "total"),
                  F.grouping("o_orderstatus").cast("long").alias("g_status"),
                  F.grouping("o_orderpriority").cast("long").alias("g_prio"))
-            .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority"))
+            .transform(_fin, "g_status", "g_prio", "o_orderstatus", "o_orderpriority"))
 
 
 def q_customers_without_orders(spark, sf_dir):
@@ -203,7 +222,7 @@ def q_customers_without_orders(spark, sf_dir):
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.count("*").alias("n_customers"))
-            .orderBy("n_name"))
+            .transform(_fin, "n_name"))
 
 
 def q_nation_set_ops(spark, sf_dir):
@@ -212,9 +231,7 @@ def q_nation_set_ops(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = cust.intersect(supp).withColumn("which", F.lit("both"))
     cust_only = cust.subtract(supp).withColumn("which", F.lit("cust_only"))
-    return both.unionByName(cust_only).orderBy("which", "nationkey")
-
-
+    return both.unionByName(cust_only).transform(_fin, "which", "nationkey")
 def q_big_spenders_cte(spark, sf_dir):
     """CTE + scalar subquery: orders above 1.5x average price, per status.
     One plan — the uncorrelated scalar subquery runs as a Catalyst
@@ -240,7 +257,7 @@ def q_distinct_suppliers(spark, sf_dir):
             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
                  F.countDistinct("l_partkey").alias("n_part"),
                  F.count("*").alias("n_rows"))
-            .orderBy("l_returnflag"))
+            .transform(_fin, "l_returnflag"))
 
 
 def q_part_string_funcs(spark, sf_dir):
@@ -256,7 +273,7 @@ def q_part_string_funcs(spark, sf_dir):
         F.length("p_name").cast("long").alias("name_len"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"))
         .filter(F.col("p_partkey") <= 200)
-        .orderBy("p_partkey"))
+        .transform(_fin, "p_partkey"))
 
 
 def q_monthly_order_stats(spark, sf_dir):
@@ -269,7 +286,7 @@ def q_monthly_order_stats(spark, sf_dir):
                  _dsum(F.col("o_totalprice"), "total"),
                  F.min("o_orderdate").alias("first_order"),
                  F.max("o_orderdate").alias("last_order"))
-            .orderBy("month"))
+            .transform(_fin, "month"))
 
 
 def q_quantity_case_buckets(spark, sf_dir):
@@ -283,7 +300,7 @@ def q_quantity_case_buckets(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  _dsum(F.col("l_quantity"), "total_qty"))
             .filter(F.col("n") > 100)
-            .orderBy("bucket"))
+            .transform(_fin, "bucket"))
 
 
 def q_brand_like_filter(spark, sf_dir):
@@ -293,7 +310,7 @@ def q_brand_like_filter(spark, sf_dir):
     return (part.filter(F.col("p_type").ilike("%econ%"))
             .groupBy("p_brand")
             .agg(F.count("*").alias("n"))
-            .orderBy("p_brand"))
+            .transform(_fin, "p_brand"))
 
 
 def q_margin_theta_join(spark, sf_dir):
@@ -305,7 +322,7 @@ def q_margin_theta_join(spark, sf_dir):
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_above"),
                  _dsum(F.col("l_extendedprice"), "total_price"))
-            .orderBy("p_brand"))
+            .transform(_fin, "p_brand"))
 
 
 def q_top_customer_per_nation(spark, sf_dir):
@@ -317,7 +334,7 @@ def q_top_customer_per_nation(spark, sf_dir):
             .withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") == 1)
             .select("n_name", "c_custkey", "c_name", "c_acctbal")
-            .orderBy("n_name"))
+            .transform(_fin, "n_name"))
 
 
 def q_acctbal_deciles(spark, sf_dir):
@@ -330,7 +347,7 @@ def q_acctbal_deciles(spark, sf_dir):
                  _dsum(F.col("c_acctbal"), "total_bal"),
                  F.min("c_acctbal").alias("min_bal"),
                  F.max("c_acctbal").alias("max_bal"))
-            .orderBy("decile"))
+            .transform(_fin, "decile"))
 
 
 def q_group_concat_sorted(spark, sf_dir):
@@ -343,7 +360,7 @@ def q_group_concat_sorted(spark, sf_dir):
             .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
                  .alias("nations"),
                  F.count("*").alias("n"))
-            .orderBy("r_name"))
+            .transform(_fin, "r_name"))
 
 
 # ===========================================================================
@@ -363,9 +380,7 @@ def q_ref_pivot_union(spark, sf_dir):
                      _dsum(F.col("o_totalprice"), "total")))
     combined = pivot_union([("source_O.xlsx", per_status("O")),
                             ("source_F.xlsx", per_status("F"))])
-    return combined.orderBy("index", "o_orderpriority")
-
-
+    return combined.transform(_fin, "index", "o_orderpriority")
 def q_ref_horizontal_concat(spark, sf_dir):
     """The horizontal-concat combinator (A13) with a deterministic row
     order: two per-source aggregates joined positionally via
@@ -384,7 +399,7 @@ def q_ref_horizontal_concat(spark, sf_dir):
     a = per_status("O", "o")
     b = per_status("F", "f").filter(F.col("f_priority") != "5-LOW")  # ragged side
     return (a.join(b, "rid", "full_outer")
-            .orderBy("rid")
+            .transform(_fin, "rid")
             .select("rid", "o_priority", "o_n", "f_priority", "f_n"))
 
 
@@ -400,7 +415,7 @@ def q_events_sessionize(spark, sf_dir):
                  F.sum("n_events").alias("n_events"),
                  F.min("session_start").alias("first_seen"),
                  F.max("session_end").alias("last_seen"))
-            .orderBy("user_id"))
+            .transform(_fin, "user_id"))
 
 
 def q_events_json(spark, sf_dir):
@@ -413,7 +428,7 @@ def q_events_json(spark, sf_dir):
                  F.sum("k").alias("sum_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k"))
-            .orderBy("event_type"))
+            .transform(_fin, "event_type"))
 
 
 def q_event_type_pivot(spark, sf_dir):
@@ -424,7 +439,7 @@ def q_event_type_pivot(spark, sf_dir):
     return (ev.withColumn("hour", F.hour("ts").cast("long"))
             .groupBy("hour").pivot("event_type", types).count()
             .na.fill(0, types)
-            .orderBy("hour"))
+            .transform(_fin, "hour"))
 
 
 def q_funnel_events(spark, sf_dir):
@@ -438,7 +453,7 @@ def q_funnel_events(spark, sf_dir):
     return (funnel(ev, ["view", "click", "purchase"], within_minutes=240)
             .select("user_id", "t1", "t2", "t3",
                     "steps_completed")
-            .orderBy("user_id"))
+            .transform(_fin, "user_id"))
 
 
 def q_avg_qty_correlated(spark, sf_dir):
@@ -469,7 +484,7 @@ def q_suppliers_with_returns(spark, sf_dir):
             .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.count("*").alias("n_suppliers"))
-            .orderBy("n_name"))
+            .transform(_fin, "n_name"))
 
 
 def q_math_funcs(spark, sf_dir):
@@ -527,7 +542,7 @@ def q_nation_supplier_arrays(spark, sf_dir):
                         F.posexplode("top3").alias("pos", "s_suppkey"))
             .select("n_name", "n_total", (F.col("pos") + 1).cast("long").alias("pos"),
                     "s_suppkey")
-            .orderBy("n_name", "pos"))
+            .transform(_fin, "n_name", "pos"))
 
 
 # ===========================================================================
@@ -540,7 +555,7 @@ def q_dedup_exact(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"))
-            .orderBy("lang"))
+            .transform(_fin, "lang"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -553,14 +568,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8,
                                    max_df=100)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.minhash_lsh_candidates(docs, "text", "doc_id", k=16, n=3, bands=2)
             .filter(F.col("est_jaccard") >= 0.7)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -575,19 +590,19 @@ def q_minhash_dedup(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"))
-            .orderBy("lang"))
+            .transform(_fin, "lang"))
 
 
 def q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (dd.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
@@ -601,7 +616,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (dd.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4,
                                       use_lsh=True, planes=4, dim=64)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -611,14 +626,12 @@ def q_embedding_topk(spark, sf_dir):
     return (sim.topk_cosine_batch(corpus, queries, "embedding", "vec_id",
                                   "embedding", "vec_id", k=5)
             .select("query_id", "id", "cosine", F.col("rank").cast("long").alias("rank"))
-            .orderBy("query_id", "rank"))
+            .transform(_fin, "query_id", "rank"))
 
 
 def q_text_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return tx.text_profile(docs, "text", "doc_id").orderBy("id")
-
-
+    return tx.text_profile(docs, "text", "doc_id").transform(_fin, "id")
 def q_doc_quality_by_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = tx.quality_score(F.col("text"))
@@ -627,7 +640,7 @@ def q_doc_quality_by_lang(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  _dsum(F.col("quality"), "total_quality", "decimal(28,8)"),
                  _dsum(F.col("n_chars"), "total_chars", "decimal(28,0)"))
-            .orderBy("lang"))
+            .transform(_fin, "lang"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -644,7 +657,7 @@ def q_ann_topk(spark, sf_dir):
                              multiprobe=False)
             .select("query_id", "id", "cosine",
                     F.col("rank").cast("long").alias("rank"))
-            .orderBy("query_id", "rank"))
+            .transform(_fin, "query_id", "rank"))
 
 
 def q_media_features(spark, sf_dir):
@@ -665,7 +678,7 @@ def q_media_features(spark, sf_dir):
     return (feats.select("media_id", "kind", "n_bytes", "digest",
                          F.element_at("features", 1).cast("double").alias("f0"),
                          F.element_at("features", 8).cast("double").alias("f7"))
-            .orderBy("media_id"))
+            .transform(_fin, "media_id"))
 
 
 # ===========================================================================
@@ -688,7 +701,7 @@ def q_asof_purchase_click(spark, sf_dir):
                       right_prefix="click_")
             .select("event_id", "user_id", "ts", "value",
                     "click_ts", "click_value")
-            .orderBy("event_id"))
+            .transform(_fin, "event_id"))
 
 
 def q_range_join_price_bands(spark, sf_dir):
@@ -706,7 +719,7 @@ def q_range_join_price_bands(spark, sf_dir):
     return (range_join_binned(part, bands, "p_retailprice", "lo", "hi",
                               bin_width=10.0)
             .select("p_partkey", "band_id", "p_retailprice")
-            .orderBy("p_partkey", "band_id"))
+            .transform(_fin, "p_partkey", "band_id"))
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -722,7 +735,7 @@ def q_ivf_topk(spark, sf_dir):
                          "embedding", "vec_id", k=5, n_cells=16, nprobe=2)
             .select("query_id", "id", "cosine",
                     F.col("rank").cast("long").alias("rank"))
-            .orderBy("query_id", "rank"))
+            .transform(_fin, "query_id", "rank"))
 
 
 # ===========================================================================
@@ -776,7 +789,7 @@ def q_event_rate_anomalies(spark, sf_dir):
               .filter(F.abs(F.col("z")) >= 2.0))
     return (joined.select("user_id", F.col("h").alias("hour"), "n",
                           "mean", "z")
-            .orderBy("user_id", "hour"))
+            .transform(_fin, "user_id", "hour"))
 
 
 def q_fuzzy_part_pairs(spark, sf_dir):
@@ -829,7 +842,7 @@ def q_fuzzy_part_pairs(spark, sf_dir):
             .select("id_a", "id_b",
                     F.col("dist").cast("long").alias("dist"),
                     "rows_a", "rows_b")
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_label_centroids(spark, sf_dir):
@@ -848,7 +861,7 @@ def q_label_centroids(spark, sf_dir):
     return (sums.select("label", F.col("pos").cast("long").alias("pos"),
                         F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
                         F.col("n").cast("long").alias("n_vectors"))
-            .orderBy("label", "pos"))
+            .transform(_fin, "label", "pos"))
 
 
 def q_price_histogram(spark, sf_dir):
@@ -860,7 +873,7 @@ def q_price_histogram(spark, sf_dir):
     return (li.groupBy(b.alias("bucket"))
             .agg(F.count("*").alias("n"),
                  _dsum(F.col("l_extendedprice"), "total"))
-            .orderBy("bucket"))
+            .transform(_fin, "bucket"))
 
 
 def q_resample_ffill(spark, sf_dir):
@@ -873,7 +886,7 @@ def q_resample_ffill(spark, sf_dir):
     ev = _events(spark, sf_dir).filter(F.col("user_id") % 15 == 0)
     return (resample_ffill(ev, "user_id", "ts", "value",
                            step="1 hour", tiebreak="event_id")
-            .orderBy("user_id", "grid_ts"))
+            .transform(_fin, "user_id", "grid_ts"))
 
 
 def q_data_quality_report(spark, sf_dir):
@@ -904,7 +917,7 @@ def q_nation_balance_full_outer(spark, sf_dir):
     return (cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
             .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
                     "cust_bal", "supp_bal")
-            .orderBy("nationkey"))
+            .transform(_fin, "nationkey"))
 
 
 def q_rolling_time_window(spark, sf_dir):
@@ -954,7 +967,7 @@ def q_groups_frame_window(spark, sf_dir):
                 F.col("s_excl_current").cast("double").alias("s_excl_current"),
                 F.col("s_excl_group").cast("double").alias("s_excl_group"),
                 F.col("s_excl_ties").cast("double").alias("s_excl_ties"))
-            .orderBy("o_orderkey"))
+            .transform(_fin, "o_orderkey"))
 
 
 def q_filter_clause_agg(spark, sf_dir):
@@ -995,7 +1008,7 @@ def q_lineitem_unpivot(spark, sf_dir):
         _dsum(F.col("l_discount"), "sum_disc"))
     return (wide.unpivot("l_returnflag", ["sum_qty", "sum_price", "sum_disc"],
                          "measure", "val")
-            .orderBy("l_returnflag", "measure"))
+            .transform(_fin, "l_returnflag", "measure"))
 
 
 # ===========================================================================
@@ -1013,7 +1026,7 @@ def q_split_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.hash_split(docs, "doc_id", _SPLITS)
             .groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
-            .orderBy("split", "lang"))
+            .transform(_fin, "split", "lang"))
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1022,7 +1035,7 @@ def q_stratified_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.stratified_sample(docs, "doc_id", "lang", _STRATA_FRACS,
                                  default=0.1)
-            .select("doc_id", "lang").orderBy("doc_id"))
+            .select("doc_id", "lang").transform(_fin, "doc_id"))
 
 
 def q_contamination_check(spark, sf_dir):
@@ -1034,7 +1047,7 @@ def q_contamination_check(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return (dd.contamination_pairs(corpus, bench, "text", "doc_id",
                                    n=8, min_common=3)
-            .orderBy("corpus_id", "bench_id"))
+            .transform(_fin, "corpus_id", "bench_id"))
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -1045,7 +1058,7 @@ def q_corpus_clean(spark, sf_dir):
     return (tx.clean_corpus(docs, "text", "doc_id")
             .select("doc_id", "lang", "quality",
                     "n_tokens", "dup_bigram_frac")
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 _MIXTURE = {"en": 0.5, "zh": 0.3, "de": 0.2}
@@ -1062,7 +1075,7 @@ def q_mixture_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.sample_to_mixture(docs, "doc_id", "lang", _MIXTURE,
                                  _MIXTURE_TOTAL)
-            .select("doc_id", "lang").orderBy("doc_id"))
+            .select("doc_id", "lang").transform(_fin, "doc_id"))
 
 
 def q_quality_weighted_sample(spark, sf_dir):
@@ -1073,16 +1086,12 @@ def q_quality_weighted_sample(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
     docs = _t(spark, sf_dir, "documents")
     kept = sp.weighted_sample(docs, "doc_id", tx.quality_score(F.col("text")))
-    return kept.select("doc_id", "lang").orderBy("doc_id")
-
-
+    return kept.select("doc_id", "lang").transform(_fin, "doc_id")
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals per document (explode + groupBy —
     corpus-linear, never per-doc quadratic)."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.repetition_profile(docs, "text", "doc_id").orderBy("id")
-
-
+    return tx.repetition_profile(docs, "text", "doc_id").transform(_fin, "id")
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over a synthetic-PII column (the corpus itself contains
     none, so the query plants a deterministic email/phone/id per doc and
@@ -1100,7 +1109,7 @@ def q_pii_redaction(spark, sf_dir):
                 c["phone"].cast("long").alias("n_phone"),
                 c["idnum"].cast("long").alias("n_idnum"),
                 tx.pii_redact(F.col("t")).alias("redacted"))
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_keyword_topk(spark, sf_dir):
@@ -1109,7 +1118,7 @@ def q_keyword_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.keyword_topk(docs, "text", "doc_id", k=3)
             .withColumn("rank", F.col("rank").cast("long"))
-            .orderBy("id", "rank"))
+            .transform(_fin, "id", "rank"))
 
 
 def q_doc_chunks(spark, sf_dir):
@@ -1119,7 +1128,7 @@ def q_doc_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.chunk_documents(docs, "text", "doc_id",
                                chunk_tokens=64, overlap=16)
-            .orderBy("doc_id", "start_token"))
+            .transform(_fin, "doc_id", "start_token"))
 
 
 def q_doc_lm_surprisal(spark, sf_dir):
@@ -1129,7 +1138,7 @@ def q_doc_lm_surprisal(spark, sf_dir):
     arithmetic, bit-reproducible by the SQL oracle without libm ln."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.unigram_surprisal(docs, "text", "doc_id")
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1153,7 +1162,7 @@ def q_segment_dedup(spark, sf_dir):
     groupBy(min(struct)) election → partial agg absorbs hot segments."""
     docs = _t(spark, sf_dir, "documents")
     return (dd.segment_dedup(docs, "text", "doc_id", seg_tokens=10)
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1167,7 +1176,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     return (tx.winnow_fingerprints(docs, "text", "doc_id", k=8, w=6)
             .select("id", "n_grams", "n_fps",
                     F.array_join("fingerprints", ",").alias("fingerprints"))
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_seq_packing(spark, sf_dir):
@@ -1178,7 +1187,7 @@ def q_seq_packing(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.operators.packing import pack_sequences
     docs = _t(spark, sf_dir, "documents")
     return (pack_sequences(docs, "text", "doc_id", window_tokens=256)
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_bigram_lm(spark, sf_dir):
@@ -1186,7 +1195,7 @@ def q_bigram_lm(spark, sf_dir):
     conditional probabilities; vocabulary-bounded window partitions."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.bigram_lm_topk(docs, "text", "doc_id", topk=3)
-            .orderBy("w1", "rank"))
+            .transform(_fin, "w1", "rank"))
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -1198,7 +1207,7 @@ def q_embedding_quantize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (sim.quantize_embeddings_int8(emb, "embedding", "vec_id")
             .select("id", F.array_join("codes", ",").alias("codes"), "mse")
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_cohort_retention(spark, sf_dir):
@@ -1218,7 +1227,7 @@ def q_lang_confusion(spark, sf_dir):
     return (docs.groupBy(F.col("lang").alias("labeled"),
                          tx.detect_language(F.col("text")).alias("detected"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("labeled", "detected"))
+            .transform(_fin, "labeled", "detected"))
 
 
 def q_doc_length_buckets(spark, sf_dir):
@@ -1232,7 +1241,7 @@ def q_doc_length_buckets(spark, sf_dir):
             .groupBy("log2_bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n").alias("total_tokens"))
-            .orderBy("log2_bucket"))
+            .transform(_fin, "log2_bucket"))
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1247,7 +1256,7 @@ def q_semantic_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return (sim.semantic_dedup(emb, "embedding", "vec_id",
                                n_cells=16, threshold=0.35)
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_hard_negatives(spark, sf_dir):
@@ -1264,7 +1273,7 @@ def q_hard_negatives(spark, sf_dir):
             .select("query_id", "id",
                     F.col("label").cast("long").alias("label"), "cosine",
                     F.col("rank").cast("long").alias("rank"))
-            .orderBy("query_id", "rank"))
+            .transform(_fin, "query_id", "rank"))
 
 
 def q_bpe_pairs(spark, sf_dir):
@@ -1273,9 +1282,7 @@ def q_bpe_pairs(spark, sf_dir):
     One corpus-sized word-count groupBy; pair explosion runs over the
     distinct vocabulary only (aggregate-then-expand)."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.bpe_pair_counts(docs, "text", "doc_id", topk=20).orderBy("rank")
-
-
+    return tx.bpe_pair_counts(docs, "text", "doc_id", topk=20).transform(_fin, "rank")
 def q_tfidf_topk(spark, sf_dir):
     """Per-document TF-IDF keywords (operators.text.tfidf_topk):
     smoothed idf from corpus document frequencies, top-3 terms per doc.
@@ -1284,7 +1291,7 @@ def q_tfidf_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.tfidf_topk(docs, "text", "doc_id", k=3)
             .withColumn("score", F.round("score", 9))
-            .orderBy("id", "rank"))
+            .transform(_fin, "id", "rank"))
 
 
 def q_doc_novelty(spark, sf_dir):
@@ -1292,9 +1299,7 @@ def q_doc_novelty(spark, sf_dir):
     each document's distinct bigrams not present in any smaller-id
     document — three partial-agg exchanges on high-entropy keys."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.doc_novelty(docs, "text", "doc_id").orderBy("id")
-
-
+    return tx.doc_novelty(docs, "text", "doc_id").transform(_fin, "id")
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition head over per-user event streams
     (streaming.events.event_transitions): lag window bounded by one
@@ -1302,7 +1307,7 @@ def q_event_transitions(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.streaming.events import event_transitions
     ev = _t(spark, sf_dir, "events")
     return (event_transitions(ev, topk=3)
-            .orderBy("prev_type", "rank"))
+            .transform(_fin, "prev_type", "rank"))
 
 
 def q_mixture_weights(spark, sf_dir):
@@ -1319,7 +1324,7 @@ def q_mixture_weights(spark, sf_dir):
     return (out.select("stratum", "n_items",
                        *[F.round(c, 9).alias(c)
                          for c in ("share", "weight", "boost")])
-            .orderBy("stratum"))
+            .transform(_fin, "stratum"))
 
 
 def q_window_doc_map(spark, sf_dir):
@@ -1329,7 +1334,7 @@ def q_window_doc_map(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.operators.packing import window_doc_map
     docs = _t(spark, sf_dir, "documents")
     return (window_doc_map(docs, "text", "doc_id", window_tokens=256)
-            .orderBy("window_id", "id"))
+            .transform(_fin, "window_id", "id"))
 
 
 def q_key_skew(spark, sf_dir):
@@ -1339,9 +1344,7 @@ def q_key_skew(spark, sf_dir):
     (never a global rank over corpus-cardinality keys)."""
     from etl_excel_to_hyper_tableau_spark.operators.skew import key_skew_report
     li = _t(spark, sf_dir, "lineitem")
-    return key_skew_report(li, "l_orderkey", topk=10).orderBy("rank")
-
-
+    return key_skew_report(li, "l_orderkey", topk=10).transform(_fin, "rank")
 def q_ann_mrr(spark, sf_dir):
     """Mean-reciprocal-rank gauge (operators.similarity.ann_mrr_report):
     1/rank of the TRUE nearest neighbor inside the sign-LSH result list
@@ -1354,7 +1357,7 @@ def q_ann_mrr(spark, sf_dir):
     return (sim.ann_mrr_report(corpus, queries, "embedding", "vec_id",
                                "embedding", "vec_id", k=5, planes=8,
                                multiprobe=False)
-            .orderBy("query_id"))
+            .transform(_fin, "query_id"))
 
 
 def q_split_leakage(spark, sf_dir):
@@ -1370,7 +1373,7 @@ def q_split_leakage(spark, sf_dir):
     return (split_leakage_report(docs, "text", "doc_id",
                                  {"train": 0.8, "val": 0.1, "test": 0.1},
                                  k=16, n=3, bands=2, threshold=0.7)
-            .orderBy("split_a", "split_b"))
+            .transform(_fin, "split_a", "split_b"))
 
 
 def q_budget_select(spark, sf_dir):
@@ -1383,7 +1386,7 @@ def q_budget_select(spark, sf_dir):
     return (budget_select(docs, "source", tx.quality_score(F.col("text")),
                           tx.token_count(F.col("text")), "doc_id",
                           budget=2000)
-            .orderBy("stratum", "cum_size", "id"))
+            .transform(_fin, "stratum", "cum_size", "id"))
 
 
 def q_pit_lookup(spark, sf_dir):
@@ -1408,7 +1411,7 @@ def q_pit_lookup(spark, sf_dir):
     return (out.select("event_id", "user_id", "ts", "value",
                        F.col("v_ts").alias("state_ts"),
                        F.col("v_event_type").alias("state_type"))
-            .orderBy("event_id"))
+            .transform(_fin, "event_id"))
 
 
 def q_bloom_join(spark, sf_dir):
@@ -1434,7 +1437,7 @@ def q_bloom_join(spark, sf_dir):
                  F.sum("l_quantity").alias("total_qty"))
             .select("p_partkey", "n_lines",
                     F.col("total_qty").cast("double").alias("total_qty"))
-            .orderBy("p_partkey"))
+            .transform(_fin, "p_partkey"))
 
 
 def q_count_min(spark, sf_dir):
@@ -1452,7 +1455,7 @@ def q_count_min(spark, sf_dir):
     probes = spark.range(1, 16).select(F.col("id").alias("k"))
     return (count_min_estimate(sketch, probes, "k", depth=3, width=256)
             .select("key", F.col("est").cast("long").alias("est"))
-            .orderBy("key"))
+            .transform(_fin, "key"))
 
 
 def q_pagerank(spark, sf_dir):
@@ -1470,7 +1473,7 @@ def q_pagerank(spark, sf_dir):
                      (F.col("l_suppkey") + F.lit(1000000)).alias("dst")))
     return (pagerank(edges, iterations=2)
             .select("id", F.round("pagerank", 9).alias("pagerank"))
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_pq_topk(spark, sf_dir):
@@ -1486,7 +1489,7 @@ def q_pq_topk(spark, sf_dir):
                         "embedding", "vec_id", k=5, m=4, n_codes=8)
             .select("query_id", "id", "adc_dist",
                     F.col("rank").cast("long").alias("rank"))
-            .orderBy("query_id", "rank"))
+            .transform(_fin, "query_id", "rank"))
 
 
 def q_ann_recall(spark, sf_dir):
@@ -1500,7 +1503,7 @@ def q_ann_recall(spark, sf_dir):
     return (sim.ann_recall_report(corpus, queries, "embedding", "vec_id",
                                   "embedding", "vec_id", k=5, planes=8,
                                   multiprobe=False)
-            .orderBy("query_id"))
+            .transform(_fin, "query_id"))
 
 
 # ===========================================================================
@@ -1515,13 +1518,13 @@ def q_stream_purchase_click_join(spark, sf_dir):
     oracle."""
     return (run_purchase_click_join_availablenow(
                 spark, f"{sf_dir}/events.parquet", lookback_minutes=60)
-            .orderBy("purchase_id", "click_id"))
+            .transform(_fin, "purchase_id", "click_id"))
 
 
 def q_stream_event_counts(spark, sf_dir):
     return (run_windowed_counts_availablenow(spark, f"{sf_dir}/events.parquet",
                                              window="1 hour")
-            .orderBy("window_start", "event_type"))
+            .transform(_fin, "window_start", "event_type"))
 
 
 def q_stream_session_windows(spark, sf_dir):
@@ -1536,7 +1539,7 @@ def q_stream_session_windows(spark, sf_dir):
             .select("user_id", "session_start_w", "session_end_w",
                     F.col("n_events").cast("long").alias("n_events"),
                     "session_start", "session_end")
-            .orderBy("user_id", "session_start"))
+            .transform(_fin, "user_id", "session_start"))
 
 
 def q_stream_latest_state(spark, sf_dir):
@@ -1548,7 +1551,7 @@ def q_stream_latest_state(spark, sf_dir):
     )
     return (run_latest_state_availablenow(spark, f"{sf_dir}/events.parquet")
             .select("user_id", "ts", "event_id", "event_type", "value")
-            .orderBy("user_id"))
+            .transform(_fin, "user_id"))
 
 
 def q_stream_dedup_events(spark, sf_dir):
@@ -1564,7 +1567,7 @@ def q_stream_dedup_events(spark, sf_dir):
         keys=["user_id", "event_type", "value"])
     return (deduped.groupBy("event_type")
             .agg(F.count("*").alias("n_keys"))
-            .orderBy("event_type"))
+            .transform(_fin, "event_type"))
 
 
 def q_stream_budget_gate(spark, sf_dir):
@@ -1580,7 +1583,7 @@ def q_stream_budget_gate(spark, sf_dir):
     return (run_budget_gate_availablenow(
                 spark, f"{sf_dir}/documents.parquet",
                 budget_per_source=1500)
-            .orderBy("source", "doc_id"))
+            .transform(_fin, "source", "doc_id"))
 
 
 def q_epoch_upsample(spark, sf_dir):
@@ -1597,7 +1600,7 @@ def q_epoch_upsample(spark, sf_dir):
         {"src0": 2.5, "src1": 2.0, "src2": 1.25, "src3": 0.5})
     return (out.select("doc_id", "source",
                        F.col("epoch").cast("long").alias("epoch"))
-            .orderBy("doc_id", "epoch"))
+            .transform(_fin, "doc_id", "epoch"))
 
 
 def q_domain_cap(spark, sf_dir):
@@ -1620,7 +1623,7 @@ def q_domain_cap(spark, sf_dir):
     return (capped.select("doc_id", "domain",
                           F.col("domain_rank").cast("long")
                            .alias("domain_rank"))
-            .orderBy("domain", "domain_rank"))
+            .transform(_fin, "domain", "domain_rank"))
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -1634,7 +1637,7 @@ def q_dsir_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.dsir_weights(docs, "text", "doc_id",
                             F.col("lang") == "en")
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_soft_dedup(spark, sf_dir):
@@ -1646,7 +1649,7 @@ def q_soft_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.soft_dedup_weights(docs, "text", "doc_id", n=3,
                                   threshold=0.8, max_df=100)
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_vocab_drift(spark, sf_dir):
@@ -1703,7 +1706,7 @@ def q_volume_shipping(spark, sf_dir):
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("long").alias("l_year"))
             .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
-            .orderBy("supp_nation", "cust_nation", "l_year"))
+            .transform(_fin, "supp_nation", "cust_nation", "l_year"))
 
 
 def q_market_share(spark, sf_dir):
@@ -1740,7 +1743,7 @@ def q_market_share(spark, sf_dir):
                        F.col("total_vol").cast("double").alias("total_vol"),
                        (F.col("nation_vol").cast("double")
                         / F.col("total_vol").cast("double")).alias("mkt_share"))
-            .orderBy("o_year"))
+            .transform(_fin, "o_year"))
 
 
 def q_top_revenue_supplier(spark, sf_dir):
@@ -1763,7 +1766,7 @@ def q_top_revenue_supplier(spark, sf_dir):
             .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     F.col("total_rev").cast("double").alias("total_rev"))
-            .orderBy("s_suppkey"))
+            .transform(_fin, "s_suppkey"))
 
 
 def q_big_quantity_orders(spark, sf_dir):
@@ -1785,7 +1788,7 @@ def q_big_quantity_orders(spark, sf_dir):
                     .alias("o_orderdate"),
                     F.col("o_totalprice").cast("double").alias("o_totalprice"),
                     F.col("sum_qty").cast("double").alias("sum_qty"))
-            .orderBy("c_custkey", "o_orderkey"))
+            .transform(_fin, "c_custkey", "o_orderkey"))
 
 
 def q_late_blame_supplier(spark, sf_dir):
@@ -1815,7 +1818,7 @@ def q_late_blame_supplier(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
             .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "numwait")
-            .orderBy(F.col("numwait").desc(), "s_suppkey"))
+            .transform(_fin, F.col("numwait").desc(), "s_suppkey"))
 
 
 def q_idle_customer_balance(spark, sf_dir):
@@ -1845,7 +1848,7 @@ def q_idle_customer_balance(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
                  F.sum(_dec2(F.col("c_acctbal"))).cast("double")
                  .alias("totacctbal"))
-            .orderBy("nation"))
+            .transform(_fin, "nation"))
 
 
 def q_forecast_revenue(spark, sf_dir):
@@ -1882,7 +1885,7 @@ def q_priority_late_census(spark, sf_dir):
         "left_semi")
     return (late.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-            .orderBy("o_orderpriority"))
+            .transform(_fin, "o_orderpriority"))
 
 
 def q_cheapest_type_supplier(spark, sf_dir):
@@ -1907,7 +1910,7 @@ def q_cheapest_type_supplier(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("p_type", F.col("s_suppkey").cast("long")
                     .alias("s_suppkey"), "s_name", "s_acctbal")
-            .orderBy("p_type"))
+            .transform(_fin, "p_type"))
 
 
 def q_important_part_value(spark, sf_dir):
@@ -1927,7 +1930,7 @@ def q_important_part_value(spark, sf_dir):
             .filter(F.col("__val__") * F.lit(1800) > F.col("__tot__"))
             .select("partkey",
                     F.col("__val__").cast("double").alias("value"))
-            .orderBy(F.desc("value"), "partkey"))
+            .transform(_fin, F.desc("value"), "partkey"))
 
 
 def q_customer_order_distribution(spark, sf_dir):
@@ -1945,7 +1948,7 @@ def q_customer_order_distribution(spark, sf_dir):
                 .agg(F.count("o_orderkey").cast("long").alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-            .orderBy(F.desc("custdist"), F.desc("c_count")))
+            .transform(_fin, F.desc("custdist"), F.desc("c_count")))
 
 
 def q_supplier_variety(spark, sf_dir):
@@ -1968,7 +1971,7 @@ def q_supplier_variety(spark, sf_dir):
                          F.col("p_size").cast("long").alias("p_size"))
             .agg(F.countDistinct("l_suppkey").cast("long")
                  .alias("supplier_cnt"))
-            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+            .transform(_fin, F.desc("supplier_cnt"), "p_brand", "p_type",
                      "p_size"))
 
 
@@ -1997,7 +2000,7 @@ def q_dominant_part_suppliers(spark, sf_dir):
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
                     "s_name", "n_dominant")
-            .orderBy(F.desc("n_dominant"), "s_suppkey"))
+            .transform(_fin, F.desc("n_dominant"), "s_suppkey"))
 
 
 def q_url_dedup(spark, sf_dir):
@@ -2024,7 +2027,7 @@ def q_url_dedup(spark, sf_dir):
            .otherwise(F.concat(F.lit("https://"), host, path,
                                F.lit("?a=1&utm_campaign=x"))))
     return (url_dedup(docs.withColumn("url", url), "url", "doc_id")
-            .orderBy("canonical_url"))
+            .transform(_fin, "canonical_url"))
 
 
 def q_pca_variance(spark, sf_dir):
@@ -2042,7 +2045,7 @@ def q_pca_variance(spark, sf_dir):
             .select("component", F.round("eigenvalue", 6).alias("eigenvalue"),
                     F.round("explained", 6).alias("explained"),
                     F.round("cum_explained", 6).alias("cum_explained"))
-            .orderBy("component"))
+            .transform(_fin, "component"))
 
 
 def q_training_order(spark, sf_dir):
@@ -2055,9 +2058,7 @@ def q_training_order(spark, sf_dir):
         training_order,
     )
     docs = _t(spark, sf_dir, "documents")
-    return training_order(docs, "doc_id", n_shards=8).orderBy("rank")
-
-
+    return training_order(docs, "doc_id", n_shards=8).transform(_fin, "rank")
 def q_stream_hll_distinct(spark, sf_dir):
     """Streaming distinct-count tracking (streaming/ingest.py::
     hll_ingest): each micro-batch's portable-HLL registers fold into
@@ -2127,9 +2128,7 @@ def q_corpus_diff(spark, sf_dir):
                        F.when(F.col("doc_id") % 3 == 0,
                               F.concat(F.col("text"), F.lit(" v2")))
                        .otherwise(F.col("text"))))
-    return corpus_diff(old, new, "doc_id", "text").orderBy("id")
-
-
+    return corpus_diff(old, new, "doc_id", "text").transform(_fin, "id")
 def q_robust_anomalies(spark, sf_dir):
     """Robust per-key outliers (streaming/events.py::
     robust_value_anomalies): exact median/MAD modified z-scores per
@@ -2142,7 +2141,7 @@ def q_robust_anomalies(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (robust_value_anomalies(ev, "event_type", "value",
                                    "event_id", z=3.5)
-            .orderBy("key", "id"))
+            .transform(_fin, "key", "id"))
 
 
 def q_dup_graph_stats(spark, sf_dir):
@@ -2173,7 +2172,7 @@ def q_k_anonymity(spark, sf_dir):
     )
     cust = _t(spark, sf_dir, "customer")
     return (k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=8)
-            .orderBy("c_nationkey", "c_mktsegment"))
+            .transform(_fin, "c_nationkey", "c_mktsegment"))
 
 
 def q_token_fertility(spark, sf_dir):
@@ -2182,9 +2181,7 @@ def q_token_fertility(spark, sf_dir):
     sub-token by language, over the deterministic BPE-ish proxy
     counter.  Ratios are single divisions over exact integer sums."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.token_fertility(docs, "text", "lang").orderBy("lang")
-
-
+    return tx.token_fertility(docs, "text", "lang").transform(_fin, "lang")
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-source duplicate word-8-gram rate (operators.text.
     dup_ngram_stats — the Lee et al. 2022 corpus-repetition
@@ -2192,7 +2189,7 @@ def q_dup_ngram_stats(spark, sf_dir):
     earlier one; one explode, two partial aggregates."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.dup_ngram_stats(docs, "text", "source", n=8)
-            .orderBy("source"))
+            .transform(_fin, "source"))
 
 
 def q_sketch_profile(spark, sf_dir):
@@ -2337,7 +2334,7 @@ def q_group_split(spark, sf_dir):
         "split", F.col("cluster_id").isNotNull().alias("clustered"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     return (census.crossJoin(F.broadcast(violations))
-            .orderBy("split", "clustered"))
+            .transform(_fin, "split", "clustered"))
 
 
 def _json_profile_input(spark, sf_dir):
@@ -2375,7 +2372,7 @@ def q_json_field_profile(spark, sf_dir):
     )
     return (json_field_profile(_json_profile_input(spark, sf_dir), "j",
                                approx_ndv=True)
-            .orderBy("key"))
+            .transform(_fin, "key"))
 
 
 def q_json_field_profile_exact(spark, sf_dir):
@@ -2386,7 +2383,7 @@ def q_json_field_profile_exact(spark, sf_dir):
         json_field_profile,
     )
     return (json_field_profile(_json_profile_input(spark, sf_dir), "j")
-            .orderBy("key"))
+            .transform(_fin, "key"))
 
 
 def q_label_noise(spark, sf_dir):
@@ -2413,7 +2410,7 @@ def q_lang_length_quantiles(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sk = histogram_sketch_by(docs, "n_chars", "lang", bins=128)
     return (histogram_quantiles_by(sk, "lang", 128, (0.25, 0.5, 0.95))
-            .orderBy("lang", "q"))
+            .transform(_fin, "lang", "q"))
 
 
 def q_incremental_dedup(spark, sf_dir):
@@ -2426,7 +2423,7 @@ def q_incremental_dedup(spark, sf_dir):
     return (dd.minhash_incremental_candidates(new, corp, "text", "doc_id",
                                               k=16, n=3, bands=2)
             .filter(F.col("est_jaccard") >= 0.5)
-            .orderBy("new_id", "corpus_id"))
+            .transform(_fin, "new_id", "corpus_id"))
 
 
 def q_doc_compression(spark, sf_dir):
@@ -2435,9 +2432,7 @@ def q_doc_compression(spark, sf_dir):
     Python-zlib sizes as a literal VALUES table (_doc_compression_sql)
     and replays the ratio division in the engine's op order."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.compression_ratio(docs, "text", "doc_id").orderBy("id")
-
-
+    return tx.compression_ratio(docs, "text", "doc_id").transform(_fin, "id")
 def q_negative_samples(spark, sf_dir):
     """Deterministic contrastive negative sampling: 3 hash-derived
     negatives per document, no RNG (sampling.py::negative_pairs)."""
@@ -2445,7 +2440,7 @@ def q_negative_samples(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.negative_pairs(docs, "doc_id", k=3)
             .withColumn("r", F.col("r").cast("long"))
-            .orderBy("id", "r"))
+            .transform(_fin, "id", "r"))
 
 
 def q_bm25_search(spark, sf_dir):
@@ -2458,7 +2453,7 @@ def q_bm25_search(spark, sf_dir):
     return (tx.bm25_scores(docs, "text", "doc_id",
                            ["spark", "vector", "stream"])
             .withColumn("score", F.round("score", 9))
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_vocab_zipf(spark, sf_dir):
@@ -2466,9 +2461,7 @@ def q_vocab_zipf(spark, sf_dir):
     count with document frequency and deterministic rank (distributed
     top-k; the vocabulary is never globally sorted)."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.vocab_topk(docs, "text", "doc_id", top=25).orderBy("rank")
-
-
+    return tx.vocab_topk(docs, "text", "doc_id", top=25).transform(_fin, "rank")
 def q_cdc_latest_events(spark, sf_dir):
     """CDC compaction: current state per user from the append-only event
     log — max(struct) aggregate with map-side partial (operators/
@@ -2476,7 +2469,7 @@ def q_cdc_latest_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (latest_snapshot(ev, key="user_id", ts="ts", tiebreak="event_id")
             .select("user_id", "ts", "event_id", "event_type", "value")
-            .orderBy("user_id"))
+            .transform(_fin, "user_id"))
 
 
 def q_scd2_event_history(spark, sf_dir):
@@ -2486,7 +2479,7 @@ def q_scd2_event_history(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
     return (scd2_intervals(ev, key="user_id", ts="ts",
                            attrs=["event_type"], tiebreak="event_id")
-            .orderBy("user_id", "valid_from"))
+            .transform(_fin, "user_id", "valid_from"))
 
 
 # ===========================================================================
@@ -2504,9 +2497,7 @@ def q_balanced_shards(spark, sf_dir):
         balanced_shards,
     )
     docs = _t(spark, sf_dir, "documents")
-    return balanced_shards(docs, "text", "doc_id", n_shards=8).orderBy("id")
-
-
+    return balanced_shards(docs, "text", "doc_id", n_shards=8).transform(_fin, "id")
 def q_mmr_select(spark, sf_dir):
     """Maximal-Marginal-Relevance diversified top-5 (operators.
     similarity.mmr_topk, Carbonell & Goldstein SIGIR'98): greedy
@@ -2545,7 +2536,7 @@ def q_text_normalize(spark, sf_dir):
                  F.lit(" or mail A"), F.col("doc_id").cast("string"),
                  F.lit("@ex.org  END")).alias("text"))
     return (tx.normalize_text(messy, "text", "doc_id")
-            .orderBy("id"))
+            .transform(_fin, "id"))
 
 
 def q_content_chunks(spark, sf_dir):
@@ -2556,7 +2547,7 @@ def q_content_chunks(spark, sf_dir):
     Map-only; the gram-hash array is lambda-bound once per row."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.content_chunks(docs, "text", "doc_id", k=8, mask_bits=6)
-            .orderBy("id", "chunk_idx"))
+            .transform(_fin, "id", "chunk_idx"))
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -2648,7 +2639,7 @@ def q_stream_price_quantiles(spark, sf_dir):
         bins=256, lo=900.0, hi=105000.0)
     return (staged_histogram_quantiles(spark, sk_dir, 256,
                                        (0.5, 0.95, 0.99))
-            .orderBy("q"))
+            .transform(_fin, "q"))
 
 
 def q_simhash_quality(spark, sf_dir):
@@ -2794,7 +2785,7 @@ def q_stream_media_dedup(spark, sf_dir):
         os.utime(dst, (t0 + i * 10, t0 + i * 10))
     media_dedup_ingest(spark, inp, idx, kind="image")
     return (spark.read.parquet(idx)
-            .select("media_id").orderBy("media_id"))
+            .select("media_id").transform(_fin, "media_id"))
 
 
 def q_product_type_profit(spark, sf_dir):
@@ -2821,7 +2812,7 @@ def q_product_type_profit(spark, sf_dir):
                      F.year("o_orderdate").cast("long").alias("o_year"))
             .agg(F.sum(_revenue_dec() - cost).cast("double")
                  .alias("sum_profit"))
-            .orderBy("nation", F.col("o_year").desc()))
+            .transform(_fin, "nation", F.col("o_year").desc()))
 
 
 def q_promo_revenue(spark, sf_dir):
@@ -2841,7 +2832,7 @@ def q_promo_revenue(spark, sf_dir):
     return (agg.select("y", "m", "promo_rev", "total_rev",
                        (F.lit(100.0) * F.col("promo_rev")
                         / F.col("total_rev")).alias("promo_pct"))
-            .orderBy("y", "m"))
+            .transform(_fin, "y", "m"))
 
 
 def q_line_priority_census(spark, sf_dir):
@@ -2861,7 +2852,7 @@ def q_line_priority_census(spark, sf_dir):
                  .alias("high_line_count"),
                  F.sum(F.when(high, 0).otherwise(1)).cast("long")
                  .alias("low_line_count"))
-            .orderBy("line_class"))
+            .transform(_fin, "line_class"))
 
 
 def q_disjunctive_part_revenue(spark, sf_dir):
@@ -2898,7 +2889,7 @@ def q_dup_span_removal(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents")
     return (dup_span_removal(docs, "text", "doc_id", span_tokens=10)
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -2915,7 +2906,7 @@ def q_quality_classifier(spark, sf_dir):
             .withColumn("label",
                         F.col("source").isin("src0", "src1").cast("int")))
     return (nb_quality_score(docs, "text", "doc_id", "label")
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -2952,7 +2943,7 @@ def q_video_frame_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = make_class_avi_media(docs, "doc_id", n_classes=40)
     return (video_dup_pairs(media, every_n=2, max_hamming=6)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_video_dedup(spark, sf_dir):
@@ -2967,9 +2958,7 @@ def q_video_dedup(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = make_class_avi_media(docs, "doc_id", n_classes=40)
-    return video_dedup(media, every_n=2).orderBy("media_id")
-
-
+    return video_dedup(media, every_n=2).transform(_fin, "media_id")
 def q_html_extract(spark, sf_dir):
     """HTML boilerplate extraction (operators.html): each document is
     wrapped in a REAL full page — head noise (<style>, <script>),
@@ -2989,7 +2978,7 @@ def q_html_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pages = wrap_html(docs)
     return (html_extract(pages)
-            .orderBy("doc_id", "block_idx"))
+            .transform(_fin, "doc_id", "block_idx"))
 
 
 def q_unigram_tokens(spark, sf_dir):
@@ -3014,7 +3003,7 @@ def q_unigram_tokens(spark, sf_dir):
     out = unigram_apply(docs, "text", "doc_id", vocab)
     return (out.select(F.col("id").alias("doc_id"), "n_words", "n_tokens",
                        F.md5(F.concat_ws(" ", "tokens")).alias("token_sig"))
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_jaccard_join(spark, sf_dir):
@@ -3033,7 +3022,7 @@ def q_jaccard_join(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (jaccard_join(docs, "text", "doc_id", threshold=0.95)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_sorted_neighborhood(spark, sf_dir):
@@ -3051,7 +3040,7 @@ def q_sorted_neighborhood(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     return (sorted_neighborhood_pairs(part, "p_name", "p_partkey",
                                       window=3)
-            .orderBy("id_a", "id_b"))
+            .transform(_fin, "id_a", "id_b"))
 
 
 def q_kmv_set_ops(spark, sf_dir):
@@ -3123,7 +3112,7 @@ def q_warc_extract(spark, sf_dir):
                 "content_type",
                 F.length("body").cast("long").alias("body_len"),
                 F.md5("body").alias("body_md5"))
-            .orderBy("doc_id"))
+            .transform(_fin, "doc_id"))
 
 
 def q_bucketed_join(spark, sf_dir):
@@ -3157,7 +3146,7 @@ def q_bucketed_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
                  F.sum("l_quantity").cast("long").alias("sum_qty"))
             .withColumn("join_exchanges", F.lit(n_ex).cast("long"))
-            .orderBy("o_orderpriority"))
+            .transform(_fin, "o_orderpriority"))
 
 
 # Phrase dictionary for q_dictionary_tag: mixed 1/2/3-token entries so
@@ -3175,7 +3164,7 @@ def q_dictionary_tag(spark, sf_dir):
     the phrase list — the Aho-Corasick-class task, map-side on the corpus."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.dictionary_tag(docs, "text", "doc_id", _TAG_PHRASES)
-            .orderBy("doc_id", "phrase"))
+            .transform(_fin, "doc_id", "phrase"))
 
 
 def q_oov_rate(spark, sf_dir):
@@ -3183,9 +3172,7 @@ def q_oov_rate(spark, sf_dir):
     vocabulary (count desc, token asc) as a TakeOrderedAndProject, then
     per-language out-of-vocabulary token rate."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.oov_rate(docs, "text", "lang", vocab_size=20).orderBy("lang")
-
-
+    return tx.oov_rate(docs, "text", "lang", vocab_size=20).transform(_fin, "lang")
 def q_context_pairs(spark, sf_dir):
     """Next-action training pairs (streaming.events.context_pairs): each
     event's ≤3 preceding same-user event types as the context array, the
@@ -3193,7 +3180,7 @@ def q_context_pairs(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
     ev = _t(spark, sf_dir, "events")
     return (context_pairs(ev, "user_id", "ts", "event_type", "event_id", k=3)
-            .orderBy("user_id", "event_id"))
+            .transform(_fin, "user_id", "event_id"))
 
 
 # ===========================================================================

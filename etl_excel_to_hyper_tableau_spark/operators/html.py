@@ -42,6 +42,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from .parallelism import spread
+
 # subtrees whose text is boilerplate by construction
 _SKIP_TAGS = frozenset(
     {"script", "style", "nav", "footer", "header", "aside", "noscript"})
@@ -194,4 +196,11 @@ def html_extract(df: DataFrame, id_col: str = "doc_id",
                 "block_text": pd.array(texts, dtype="string"),
             })
 
-    return df.select(id_col, html_col).mapInPandas(run, schema=out_schema)
+    # Parallelism guard ahead of the compute-bound parse: a small
+    # parquet input is one row group -> one task would parse every page
+    # on one core.  spread() is a no-op whenever the scan already yields
+    # >= defaultParallelism partitions (the 100 TB case), so the plan
+    # stays exchange-free at scale; locally it round-robins the page
+    # column once (tests/test_html.py pins both properties).
+    return spread(df.select(id_col, html_col)).mapInPandas(
+        run, schema=out_schema)

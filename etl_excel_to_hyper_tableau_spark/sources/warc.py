@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions import warc as _w
+from ..operators.parallelism import spread
 
 _OUT_SCHEMA = T.StructType([
     T.StructField("source_file", T.StringType(), True),
@@ -132,8 +133,11 @@ def parse_warc_column(df: DataFrame, content_col: str,
                 "body": rows["body"],
             })
 
-    return (df.select(F.col(id_col).alias("__id__"),
-                      F.col(content_col).alias("__c__"))
+    # parallelism guard (no-op once partitions >= defaultParallelism):
+    # a single-row-group local input must not gzip-decode every archive
+    # on one core
+    return (spread(df.select(F.col(id_col).alias("__id__"),
+                             F.col(content_col).alias("__c__")))
             .mapInPandas(run, schema=schema))
 
 
@@ -170,6 +174,8 @@ def make_warc_media(df: DataFrame, id_col: str, html_col: str,
             yield pd.DataFrame({"id": pd.array(ids, dtype="int64"),
                                 "content": blobs})
 
-    return (df.select(F.col(id_col).alias("__id__"),
-                      F.col(html_col).alias("__h__"))
+    # same parallelism guard as the parse half: gzip ENCODE is the
+    # costlier Python stage and must not serialize on one row group
+    return (spread(df.select(F.col(id_col).alias("__id__"),
+                             F.col(html_col).alias("__h__")))
             .mapInPandas(run, schema=schema))

@@ -155,13 +155,27 @@ def test_null_page_quarantined(spark):
 # plan contract: touch-once, no exchange
 # ---------------------------------------------------------------------------
 
-def test_extract_plan_is_map_only(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def test_extract_plan_is_map_only_at_scale(spark, sf_dir):
+    # when the scan already yields >= defaultParallelism partitions (the
+    # 100 TB case), the parallelism guard is a no-op and the plan is
+    # exchange-free end-to-end
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     plan = (html_extract(wrap_html(docs))
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1  # only the explicit repartition above
     # synthesis stays JVM-side: exactly one Python boundary (the parser)
     assert plan.count("MapInPandas") == 1
+
+
+def test_extract_guards_single_partition_input(spark, sf_dir):
+    # a one-row-group local file must NOT serialize the parse on one
+    # core: the guard round-robins the page column once
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = html_extract(wrap_html(docs))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert q.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
 
 
 def test_wrap_html_is_pure_expressions(spark, sf_dir):
