@@ -85,17 +85,32 @@ def nb_quality_score(df: DataFrame, text_col: str, id_col: str,
     """
     from .text import tokens
 
-    weights = nb_token_weights(df, text_col, label_col)
+    # ONE tokenize+explode feeds both the training counts and the
+    # scoring join (the two-pass form re-scanned and re-tokenized the
+    # corpus; Catalyst does not CSE across DataFrame references, so the
+    # shared subtree must be materialized explicitly).  Weight math is
+    # unchanged — identical counts, identical micro-nat quantization.
+    occ = (spread(df)
+           .select(F.col(id_col).alias("doc_id"),
+                   F.col(label_col).cast("int").alias("y"),
+                   F.explode(tokens(F.col(text_col))).alias("token"))
+           .localCheckpoint(eager=True))
+    counts = (occ.groupBy("token")
+              .agg(F.sum("y").cast("long").alias("c1"),
+                   F.sum(1 - F.col("y")).cast("long").alias("c0")))
+    totals = counts.agg(F.sum("c1").alias("t1"), F.sum("c0").alias("t0"),
+                        F.count(F.lit(1)).alias("v"))
+    wexpr = (F.log((F.col("c1") + 1) / (F.col("t1") + F.col("v")))
+             - F.log((F.col("c0") + 1) / (F.col("t0") + F.col("v"))))
+    weights = (counts.crossJoin(F.broadcast(totals))
+               .select("token", F.round(wexpr * 1e6).cast("long").alias("w")))
     prior = (df.agg(
         F.sum(F.col(label_col).cast("int")).alias("n1"),
         F.sum(1 - F.col(label_col).cast("int")).alias("n0"))
         .select(F.round((F.log(F.col("n1")) - F.log(F.col("n0")))
                         * 1e6).cast("long").alias("prior")))
 
-    occ = (spread(df)
-           .select(F.col(id_col).alias("doc_id"),
-                   F.explode(tokens(F.col(text_col))).alias("token")))
-    doc_sum = (occ.join(weights.select("token", "w"), "token")
+    doc_sum = (occ.join(weights, "token")
                .groupBy("doc_id")
                .agg(F.sum("w").alias("wsum"),
                     F.count(F.lit(1)).alias("n_tokens")))
