@@ -149,6 +149,11 @@ HEADLINE = [
     # join amortizes — timing the write against DuckDB's in-memory
     # join measures nothing; the exchange-free property is pinned by
     # the oracle's join_exchanges=0 column and tests/test_bucketing.py
+    # round 6b additions (oov_rate stays out: a 5-row two-scan gauge
+    # against a floor-time denominator — no physical pattern the set
+    # doesn't already time)
+    "dictionary_tag",
+    "context_pairs",
 ]
 
 
