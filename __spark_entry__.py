@@ -91,6 +91,18 @@ def _fin(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def _fin_wide(df: DataFrame, *cols) -> DataFrame:
+    """Total order for CORPUS-SIZED outputs (pair listings, per-row
+    projections — anything whose row count grows with the input):
+    keep the parallel range sort.  ``_fin``'s single-partition sort is
+    the right trade only for bounded reports — at sf1 it serialized
+    minhash_candidates' 21 M pair rows through one task (49 s; range
+    sort ~31 s, and the gap widens with scale).  The split is by
+    output-growth class: bounded gauge/report -> _fin, corpus-linear
+    (≥ ~10k rows at sf0.1) -> _fin_wide."""
+    return df.orderBy(*cols)
+
+
 def _dsum(col, alias: str, scale: str = "decimal(28,4)"):
     """Deterministic double sum: exact decimal accumulation → double.
     Only sound when ``col`` is a *stored* value (2-decimal money / small
@@ -575,7 +587,7 @@ def q_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (dd.minhash_lsh_candidates(docs, "text", "doc_id", k=16, n=3, bands=2)
             .filter(F.col("est_jaccard") >= 0.7)
-            .transform(_fin, "id_a", "id_b"))
+            .transform(_fin_wide, "id_a", "id_b"))
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -701,7 +713,7 @@ def q_asof_purchase_click(spark, sf_dir):
                       right_prefix="click_")
             .select("event_id", "user_id", "ts", "value",
                     "click_ts", "click_value")
-            .transform(_fin, "event_id"))
+            .transform(_fin_wide, "event_id"))
 
 
 def q_range_join_price_bands(spark, sf_dir):
@@ -719,7 +731,7 @@ def q_range_join_price_bands(spark, sf_dir):
     return (range_join_binned(part, bands, "p_retailprice", "lo", "hi",
                               bin_width=10.0)
             .select("p_partkey", "band_id", "p_retailprice")
-            .transform(_fin, "p_partkey", "band_id"))
+            .transform(_fin_wide, "p_partkey", "band_id"))
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1047,7 +1059,7 @@ def q_contamination_check(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return (dd.contamination_pairs(corpus, bench, "text", "doc_id",
                                    n=8, min_common=3)
-            .transform(_fin, "corpus_id", "bench_id"))
+            .transform(_fin_wide, "corpus_id", "bench_id"))
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -1118,7 +1130,7 @@ def q_keyword_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.keyword_topk(docs, "text", "doc_id", k=3)
             .withColumn("rank", F.col("rank").cast("long"))
-            .transform(_fin, "id", "rank"))
+            .transform(_fin_wide, "id", "rank"))
 
 
 def q_doc_chunks(spark, sf_dir):
@@ -1291,7 +1303,7 @@ def q_tfidf_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (tx.tfidf_topk(docs, "text", "doc_id", k=3)
             .withColumn("score", F.round("score", 9))
-            .transform(_fin, "id", "rank"))
+            .transform(_fin_wide, "id", "rank"))
 
 
 def q_doc_novelty(spark, sf_dir):
@@ -2423,7 +2435,7 @@ def q_incremental_dedup(spark, sf_dir):
     return (dd.minhash_incremental_candidates(new, corp, "text", "doc_id",
                                               k=16, n=3, bands=2)
             .filter(F.col("est_jaccard") >= 0.5)
-            .transform(_fin, "new_id", "corpus_id"))
+            .transform(_fin_wide, "new_id", "corpus_id"))
 
 
 def q_doc_compression(spark, sf_dir):
@@ -2440,7 +2452,7 @@ def q_negative_samples(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sp.negative_pairs(docs, "doc_id", k=3)
             .withColumn("r", F.col("r").cast("long"))
-            .transform(_fin, "id", "r"))
+            .transform(_fin_wide, "id", "r"))
 
 
 def q_bm25_search(spark, sf_dir):
@@ -2547,7 +2559,7 @@ def q_content_chunks(spark, sf_dir):
     Map-only; the gram-hash array is lambda-bound once per row."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.content_chunks(docs, "text", "doc_id", k=8, mask_bits=6)
-            .transform(_fin, "id", "chunk_idx"))
+            .transform(_fin_wide, "id", "chunk_idx"))
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -2978,7 +2990,7 @@ def q_html_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pages = wrap_html(docs)
     return (html_extract(pages)
-            .transform(_fin, "doc_id", "block_idx"))
+            .transform(_fin_wide, "doc_id", "block_idx"))
 
 
 def q_unigram_tokens(spark, sf_dir):
@@ -3022,7 +3034,7 @@ def q_jaccard_join(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (jaccard_join(docs, "text", "doc_id", threshold=0.95)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-            .transform(_fin, "id_a", "id_b"))
+            .transform(_fin_wide, "id_a", "id_b"))
 
 
 def q_sorted_neighborhood(spark, sf_dir):
@@ -3180,7 +3192,7 @@ def q_context_pairs(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
     ev = _t(spark, sf_dir, "events")
     return (context_pairs(ev, "user_id", "ts", "event_type", "event_id", k=3)
-            .transform(_fin, "user_id", "event_id"))
+            .transform(_fin_wide, "user_id", "event_id"))
 
 
 # ===========================================================================

@@ -124,6 +124,13 @@ def main() -> None:
     decontaminated = deduped.join(flagged, "doc_id", "left_anti")
     n3 = decontaminated.count()
 
+    # 3b. taxonomy tagging: route documents to topic buckets by phrase
+    # dictionary (broadcast n-gram join — map-side on the corpus); a
+    # real run keys its mixture/filter policies off these tags
+    tags = tx.dictionary_tag(decontaminated, "text", "doc_id",
+                             ["table scan", "hash join", "sort merge"])
+    n_tagged = tags.select("doc_id").distinct().count()
+
     # 4. PII scrub
     scrubbed = decontaminated.withColumn("text", tx.pii_redact(F.col("text")))
 
@@ -207,7 +214,8 @@ def main() -> None:
         f"{r['stratum']}: {r['share']:.2f}→{r['weight']:.2f}"
         for r in sorted(weights, key=lambda r: r["stratum"])[:4])
     print(f"corpus {n0} → cleaned {n1} → deduped {n2} "
-          f"→ decontaminated {n3} → mixed-train {n4} "
+          f"→ decontaminated {n3} ({n_tagged} taxonomy-tagged) "
+          f"→ mixed-train {n4} "
           f"({n_subword} subword tokens under the trained unigram vocab) "
           f"(+{n5} negative pairs, "
           f"{(n_windows or 0) + 1} context windows; α-weights {mix_report} …); "

@@ -25,6 +25,8 @@ SAMPLE = [
     "dedup_exact",            # md5 digest dedup
     "embedding_topk",         # vector math
     "text_profile",           # text operators
+    "dictionary_tag",         # broadcast n-gram dictionary join (round 6b)
+    "context_pairs",          # user-bounded window, array output (round 6b)
 ]
 
 
