@@ -135,3 +135,62 @@ def test_sink_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         write_arrow_shards(_docs(spark, 1), str(tmp_path), "doc_id",
                            ["payload"], n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# JSONL shard sink
+# ---------------------------------------------------------------------------
+
+def _sha_all(paths):
+    return {os.path.basename(p):
+            hashlib.sha256(open(p, "rb").read()).hexdigest() for p in paths}
+
+
+def test_jsonl_shards_round_trip_and_determinism(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.sinks.jsonl import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", ["t", str(i)]) for i in range(40)],
+        "doc_id long, text string, tags array<string>")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    p1 = write_jsonl_shards(df, d1, "doc_id", n_shards=4)
+    # different input partitioning must produce byte-identical shards
+    p2 = write_jsonl_shards(df.repartition(7), d2, "doc_id", n_shards=4)
+    assert len(p1) == 4 and _sha_all(p1) == _sha_all(p2)
+    # round trip: every row back, valid JSON, in-shard id order
+    seen = {}
+    for p in p1:
+        ids = []
+        for line in open(p, "rb").read().decode("utf-8").splitlines():
+            obj = json.loads(line)
+            seen[obj["doc_id"]] = obj
+            ids.append(obj["doc_id"])
+        assert ids == sorted(ids)
+        assert "__shard__" not in obj
+    assert len(seen) == 40
+    assert seen[7]["text"] == "doc 7" and seen[7]["tags"] == ["t", "7"]
+
+
+def test_jsonl_shards_gzip_deterministic(spark, tmp_path):
+    import gzip
+
+    from etl_excel_to_hyper_tableau_spark.sinks.jsonl import write_jsonl_shards
+
+    df = spark.createDataFrame([(i, "x" * i) for i in range(20)],
+                               "doc_id long, text string")
+    d1, d2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    p1 = write_jsonl_shards(df, d1, "doc_id", n_shards=2, compress=True)
+    p2 = write_jsonl_shards(df.coalesce(1), d2, "doc_id", n_shards=2,
+                            compress=True)
+    assert _sha_all(p1) == _sha_all(p2)  # pinned gzip mtime
+    rows = sum(len(gzip.open(p).read().splitlines()) for p in p1)
+    assert rows == 20
+
+
+def test_jsonl_shards_refuses_binary(spark, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.sinks.jsonl import write_jsonl_shards
+
+    df = spark.createDataFrame([(1, bytearray(b"\x00"))],
+                               "doc_id long, blob binary")
+    with pytest.raises(ValueError, match="binary column"):
+        write_jsonl_shards(df, str(tmp_path / "x"), "doc_id")
