@@ -3185,6 +3185,20 @@ def q_oov_rate(spark, sf_dir):
     per-language out-of-vocabulary token rate."""
     docs = _t(spark, sf_dir, "documents")
     return tx.oov_rate(docs, "text", "lang", vocab_size=20).transform(_fin, "lang")
+def q_knn_graph(spark, sf_dir):
+    """Corpus self-kNN graph (operators.similarity.knn_graph), exact
+    valved form: every vector's top-5 cosine neighbors over the whole
+    embedding table — the graph substrate for kNN clustering / density
+    scoring.  The sign-LSH bucketed self-join (planes=None) is the
+    100 TB path (corpus joins corpus on the bucket key, NO broadcast);
+    its recall is gauged the same way ann_recall gauges query ANN.
+    N² verification form stays out of the bench headline by the same
+    rule as the other quadratic-by-definition verification paths."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (sim.knn_graph(emb, "embedding", "vec_id", k=5, planes=0)
+            .transform(_fin_wide, "id", "rank"))
+
+
 def q_context_pairs(spark, sf_dir):
     """Next-action training pairs (streaming.events.context_pairs): each
     event's ≤3 preceding same-user event types as the context array, the
@@ -3247,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_tag": q_dictionary_tag,
         "oov_rate": q_oov_rate,
         "context_pairs": q_context_pairs,
+        "knn_graph": q_knn_graph,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
         "mmr_select": q_mmr_select,
@@ -3421,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills from the registry order above.
     window = [
         "bucketed_join", "dictionary_tag", "oov_rate", "context_pairs",
+        "knn_graph",
         "kmeans_clusters", "hll_distinct", "sketch_profile",
         "dsir_weights", "dup_span_removal", "boilerplate_lines",
         "kmv_set_ops", "html_extract", "warc_extract",
@@ -6714,6 +6730,19 @@ SELECT lang, cast(n_tokens as bigint) AS n_tokens,
        cast(n_oov as bigint) AS n_oov,
        cast(n_oov as double) / cast(n_tokens as double) AS oov_rate
 FROM a ORDER BY lang
+""",
+        # --- round 6: corpus self-kNN graph (exact valved form) ------------
+        "knn_graph": f"""
+WITH scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 9) AS cosine
+  FROM (SELECT vec_id, embedding AS e FROM embeddings) a,
+       (SELECT vec_id, embedding AS e FROM embeddings) b
+  WHERE a.vec_id <> b.vec_id)
+SELECT id, nbr, cosine,
+  cast(row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr)
+       as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY id, rank
 """,
         # --- round 6: next-action context/target training pairs -----------
         "context_pairs": """

@@ -1155,3 +1155,95 @@ def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
                    F.round(F.col("own_d2") - F.col("__o__.d2"), round_to)
                    .alias("margin")))
     return out.orderBy(F.desc("margin"), "id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus self-kNN graph
+# ---------------------------------------------------------------------------
+
+def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
+              planes: int | None = 0, multiprobe: bool = True,
+              max_exact: int = 100_000) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the corpus itself — every vector's
+    top-k cosine neighbors.  The substrate for graph-based semantic
+    analysis (kNN-component clustering, density/novelty scoring, graph
+    dedup beyond pairwise thresholds) and the offline index a
+    retrieval-augmented pipeline ships.
+
+    Two paths, the :func:`~.dedup.embedding_cosine_pairs` doctrine:
+
+    * ``planes=0`` (exact): all-pairs scoring.  Valved at ``max_exact``
+      vectors — the exact graph is inherently N² work, so a corpus
+      above the valve must choose the LSH path EXPLICITLY rather than
+      silently going quadratic.  Verification-scale corpora get the
+      oracle-reproducible exact answer.
+    * ``planes>0`` / ``planes=None`` (sign-LSH, auto-scaled planes):
+      candidates only within the deterministic sign-LSH bucket (plus
+      every 1-bit probe with ``multiprobe``), ranked within retrieved
+      candidates.  CRITICALLY this is a SHUFFLE equi-join of the corpus
+      with itself on the bucket key — neither side broadcasts, each
+      bucket's pair work is occupancy-bounded, so the plan survives any
+      corpus size (recall traded exactly as the ANN gauges measure).
+
+    Output: ``id, nbr, cosine, rank`` (rank 1..k by cosine desc, nbr
+    asc on ties; self-pairs excluded; vectors with no candidate in any
+    probed bucket simply have fewer than k rows).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = spread(df).select(F.col(id_col).alias("id"),
+                          F.col(vec_col).cast("array<double>").alias("vec"))
+    if planes == 0:
+        if c.limit(max_exact + 1).count() > max_exact:
+            raise ValueError(
+                f"exact knn_graph above max_exact={max_exact} vectors is "
+                "N^2 work — pass planes=None (auto-scaled sign-LSH) for "
+                "the bucketed scale path, or raise max_exact explicitly")
+        other = (c.select(F.col("id").alias("nbr"),
+                          F.col("vec").alias("nvec")))
+        cand = c.join(F.broadcast(other), F.col("id") != F.col("nbr"))
+    else:
+        first = c.select("vec").first()
+        if first is None:
+            return c.select("id", F.col("id").alias("nbr"),
+                            F.lit(0.0).alias("cosine"),
+                            F.lit(0).cast("int").alias("rank")).limit(0)
+        dim = len(first["vec"])
+        if planes is None:
+            # expected bucket occupancy corpus/2^planes ~ 64: the same
+            # auto-scaling rule semantic_dedup documents
+            import math
+            n = c.count()
+            planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / 64.0)))))
+        left = c.withColumn("bucket", _sign_lsh_signature("vec", planes, dim))
+        right = (left.select(F.col("id").alias("nbr"),
+                             F.col("vec").alias("nvec"), "bucket"))
+        if multiprobe:
+            probes = F.array(F.col("bucket"), *[
+                F.concat(F.substring("bucket", 1, i),
+                         F.when(F.substring("bucket", i + 1, 1) == "1",
+                                "0").otherwise("1"),
+                         F.substring("bucket", i + 2, planes - i - 1))
+                for i in range(planes)
+            ])
+            left = left.select("id", "vec", F.explode(probes).alias("bucket"))
+        # shuffle equi-join on the bucket key: corpus joins corpus, no
+        # broadcast of either side — the property that makes this the
+        # 100 TB path (multiprobe can retrieve a neighbor through more
+        # than one bucket -> distinct before ranking)
+        cand = (left.join(right, "bucket")
+                .where(F.col("id") != F.col("nbr"))
+                .select("id", "vec", "nbr", "nvec")
+                .distinct())
+    # rank over the ROUNDED cosine (9 dp) so the ordering contract is
+    # identical in any replaying engine: ranking raw doubles and
+    # rounding afterward would let a sub-9dp difference order two
+    # neighbors differently across engines while emitting equal values
+    scored = cand.select(
+        "id", "nbr",
+        F.round(_cosine(F.col("vec"), F.col("nvec")), 9).alias("cosine"))
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "nbr", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

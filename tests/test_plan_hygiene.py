@@ -21,6 +21,11 @@ import __spark_entry__ as entry
 # cross-join a broadcast ONE-ROW aggregate (corpus totals / per-dim
 # calibration stats / doc counts / Σ and Σ√ scalars)
 NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
+                  # knn_graph's EXACT form is a deliberate valved
+                  # crossJoin (max_exact guard; the sign-LSH bucketed
+                  # self-join is the scale path and is pinned
+                  # broadcast-free in tests/test_round6_ops.py)
+                  "knn_graph",
                   "negative_samples", "hard_negatives",
                   "embedding_quantize", "tfidf_topk", "mixture_weights",
                   "ann_recall", "ann_mrr", "pq_topk", "key_skew",

@@ -237,3 +237,61 @@ def test_context_pairs_window_semantics(spark):
     assert out[4] == (["a", "b", "c"], "d")
     assert out[5] == (["b", "c", "d"], "e")       # capped at k=3
     assert out[8] == (["p"], "q")                 # deterministic tie order
+
+
+# ---------------------------------------------------------------------------
+# Corpus self-kNN graph
+# ---------------------------------------------------------------------------
+
+def _toy_vectors(spark, n=30, dim=8, clusters=3):
+    import math
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        base = [math.sin(0.7 * c * (d + 1)) for d in range(dim)]
+        rows.append((i, [b + 0.01 * ((i * 7 + d) % 5) for d, b in
+                         enumerate(base)]))
+    return spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+
+def test_knn_graph_exact_matches_numpy(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import knn_graph
+
+    df = _toy_vectors(spark)
+    got = {(r["id"], r["rank"]): r["nbr"] for r in
+           knn_graph(df, "emb", "vec_id", k=3, planes=0).collect()}
+    vecs = {r["vec_id"]: np.array(r["emb"]) for r in df.collect()}
+    for i, v in vecs.items():
+        sims = sorted(((round(float(v @ w / (np.linalg.norm(v)
+                                             * np.linalg.norm(w))), 9), -j)
+                       for j, w in vecs.items() if j != i), reverse=True)
+        for rank, (c, negj) in enumerate(sims[:3], start=1):
+            assert got[(i, rank)] == -negj, (i, rank)
+
+
+def test_knn_graph_exact_valve(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import knn_graph
+
+    df = _toy_vectors(spark, n=12)
+    with pytest.raises(ValueError, match="max_exact"):
+        knn_graph(df, "emb", "vec_id", k=2, planes=0, max_exact=10).collect()
+
+
+def test_knn_graph_lsh_path_never_broadcasts_the_corpus(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import knn_graph
+
+    df = _toy_vectors(spark, n=60)
+    g = knn_graph(df, "emb", "vec_id", k=3, planes=4)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    # the bucket self-join must be a shuffle join (both sides are the
+    # corpus); broadcasting either side would OOM at scale.  Spark can
+    # only pick a broadcast strategy below the adaptive threshold, so
+    # pin the logical property instead: no BroadcastNestedLoop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # within-bucket recall on clustered toy data: every vector's true
+    # top-1 shares its cluster; the LSH graph must place SOME same-
+    # cluster neighbor at rank 1 for most vectors
+    rows = g.filter(F.col("rank") == 1).collect()
+    same = sum(1 for r in rows if r["id"] % 3 == r["nbr"] % 3)
+    assert same >= int(0.8 * len(rows)), (same, len(rows))
