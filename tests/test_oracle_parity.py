@@ -27,6 +27,7 @@ SAMPLE = [
     "text_profile",           # text operators
     "dictionary_tag",         # broadcast n-gram dictionary join (round 6b)
     "context_pairs",          # user-bounded window, array output (round 6b)
+    "knn_graph",              # valved exact self-kNN, rounded-rank contract
 ]
 
 
