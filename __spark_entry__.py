@@ -3202,10 +3202,19 @@ def q_knn_graph(spark, sf_dir):
 def q_context_pairs(spark, sf_dir):
     """Next-action training pairs (streaming.events.context_pairs): each
     event's ≤3 preceding same-user event types as the context array, the
-    event itself as the target — one user-bounded window, no global sort."""
+    event itself as the target — one user-bounded window, no global sort.
+
+    Contract projection: the kernel's ``context`` is ``array<string>``;
+    the driver canonicalizer sorts columns in pandas, which cannot hash a
+    list column, so the contract output serializes it to a scalar
+    (``array_join`` / ``array_to_string`` on the oracle side) — the same
+    all-scalar convention q_nation_supplier_arrays documents.  Element
+    order inside the array is already deterministic ((ts, event_id)
+    window), so the joined string is too."""
     from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
     ev = _t(spark, sf_dir, "events")
     return (context_pairs(ev, "user_id", "ts", "event_type", "event_id", k=3)
+            .withColumn("context", F.array_join("context", ","))
             .transform(_fin_wide, "user_id", "event_id"))
 
 
@@ -6745,14 +6754,23 @@ SELECT id, nbr, cosine,
 FROM scored QUALIFY rank <= 5 ORDER BY id, rank
 """,
         # --- round 6: next-action context/target training pairs -----------
+        # null event types are excluded on BOTH sides (kernel filters
+        # pre-window; Spark collect_list would drop them from context but
+        # keep them as targets, DuckDB list() would keep them in context —
+        # the explicit filter is the only symmetric semantics); the array
+        # is serialized to a scalar per the all-scalar contract convention
         "context_pairs": """
+WITH ev AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+ctx AS (
+  SELECT user_id, event_id,
+         list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context_arr,
+         event_type AS target
+  FROM ev)
 SELECT user_id, event_id,
-       list(event_type) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
-       event_type AS target
-FROM events
-QUALIFY len(context) >= 1
+       array_to_string(context_arr, ',') AS context, target
+FROM ctx WHERE len(context_arr) >= 1
 ORDER BY user_id, event_id
 """,
         # --- round 5c: WARC crawl-archive round trip --------------------------

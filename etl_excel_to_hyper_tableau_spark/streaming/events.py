@@ -549,12 +549,20 @@ def context_pairs(events: DataFrame, user_col: str, ts_col: str,
     needs at least one context element.  Ordering inside a user is
     ``(ts, event_id)`` so ties are deterministic.
 
+    Null event types are filtered BEFORE the window: ``collect_list``
+    silently drops nulls from the context while a null target row would
+    still be emitted — an asymmetry (and a divergence from SQL ``list()``
+    which keeps nulls).  A null event type is an unlabeled action that
+    can be neither context nor target, so the kernel excludes it from
+    both roles explicitly rather than letting the aggregate decide.
+
     Output: ``user_id, event_id, context (array<string>), target``.
     """
     w = (Window.partitionBy(F.col(user_col))
          .orderBy(F.col(ts_col), F.col(id_col))
          .rowsBetween(-k, -1))
     return (events
+            .where(F.col(event_col).isNotNull())
             .withColumn("context", F.collect_list(F.col(event_col)).over(w))
             .where(F.size("context") >= 1)
             .select(F.col(user_col).alias("user_id"),
