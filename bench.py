@@ -144,11 +144,12 @@ HEADLINE = [
     # kmv_set_ops stays out with unigram_tokens: a ≤2k-row sketch gauge
     # (two TakeOrdered builds + exact-count cross-checks), not a corpus
     # throughput pattern the set doesn't already exercise
-    # bucketed_join (round 6) stays out too: it is a physical-layout
-    # demo whose wall is the one-time bucketed WRITE the co-located
-    # join amortizes — timing the write against DuckDB's in-memory
-    # join measures nothing; the exchange-free property is pinned by
-    # the oracle's join_exchanges=0 column and tests/test_bucketing.py
+    # bucketed_join (round 6) and bucketed_priority_census (round 8)
+    # stay out too: physical-layout demos whose wall is the one-time
+    # bucketed WRITE the co-located join amortizes — timing the write
+    # against DuckDB's in-memory join measures nothing; the
+    # exchange-free property is pinned by the oracles'
+    # join_exchanges=0 column and tests/test_bucketing.py
     # round 6b additions (oov_rate stays out: a 5-row two-scan gauge
     # against a floor-time denominator — no physical pattern the set
     # doesn't already time)

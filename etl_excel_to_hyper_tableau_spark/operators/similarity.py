@@ -1163,7 +1163,8 @@ def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
 
 def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
               planes: int | None = 0, multiprobe: bool = True,
-              max_exact: int = 100_000) -> DataFrame:
+              max_exact: int = 100_000,
+              max_bucket: int = 10_000) -> DataFrame:
     """k-nearest-neighbor GRAPH over the corpus itself — every vector's
     top-k cosine neighbors.  The substrate for graph-based semantic
     analysis (kNN-component clustering, density/novelty scoring, graph
@@ -1188,6 +1189,16 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
     Output: ``id, nbr, cosine, rank`` (rank 1..k by cosine desc, nbr
     asc on ties; self-pairs excluded; vectors with no candidate in any
     probed bucket simply have fewer than k rows).
+
+    ``max_bucket`` valves the LSH path against DEGENERATE corpora:
+    sign-LSH buckets by direction, so a corpus of (near-)identical
+    vectors lands in ONE bucket no matter how many planes auto-scaling
+    picks, and the bucket self-join silently goes occupancy² — the
+    quadratic blow-up the bucketing exists to prevent.  The guard is
+    one count aggregate over the bucketed corpus (cheap next to the
+    candidate join); a bucket above the valve raises with the remedies
+    (dedup/canonicalize identical vectors first — exact dedup is the
+    right operator for exact duplicates — or raise the valve knowingly).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1205,9 +1216,16 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
     else:
         first = c.select("vec").first()
         if first is None:
-            return c.select("id", F.col("id").alias("nbr"),
-                            F.lit(0.0).alias("cosine"),
-                            F.lit(0).cast("int").alias("rank")).limit(0)
+            # schema must equal the populated path's — same names, same
+            # types, same NULLABILITY (rank long non-null, cosine a
+            # nullable double: lit() literals would flip nullable flags)
+            from pyspark.sql import types as T
+            idf = c.schema["id"]
+            return df.sparkSession.createDataFrame([], T.StructType([
+                T.StructField("id", idf.dataType, idf.nullable),
+                T.StructField("nbr", idf.dataType, idf.nullable),
+                T.StructField("cosine", T.DoubleType(), True),
+                T.StructField("rank", T.LongType(), False)]))
         dim = len(first["vec"])
         if planes is None:
             # expected bucket occupancy corpus/2^planes ~ 64: the same
@@ -1216,6 +1234,19 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
             n = c.count()
             planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / 64.0)))))
         left = c.withColumn("bucket", _sign_lsh_signature("vec", planes, dim))
+        # degenerate-corpus valve: identical-direction vectors share a
+        # bucket at ANY plane count; candidate pairs are occupancy², so
+        # an over-full bucket must refuse loudly, not run quadratic
+        top = (left.groupBy("bucket").count()
+               .agg(F.max("count").alias("m")).first())
+        if top is not None and top["m"] is not None and top["m"] > max_bucket:
+            raise ValueError(
+                f"sign-LSH bucket holds {top['m']} vectors > "
+                f"max_bucket={max_bucket}: the corpus is degenerate under "
+                "direction hashing (many identical/near-identical vectors) "
+                "and the bucket self-join would be occupancy-squared. "
+                "Exact-dedup identical vectors first (dedup_exact on a "
+                "vector digest), or raise max_bucket explicitly")
         right = (left.select(F.col("id").alias("nbr"),
                              F.col("vec").alias("nvec"), "bucket"))
         if multiprobe:

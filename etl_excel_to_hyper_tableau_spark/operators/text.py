@@ -1557,7 +1557,13 @@ def dictionary_tag(df: DataFrame, text_col: str, id_col: str,
             f"dictionary has {len(phrases)} entries > max_dict={max_dict}; "
             "a dictionary this large should be a pre-staged table joined "
             "on a hash bucket, not a broadcast literal")
-    lengths = sorted({len(p.split()) for p in phrases if p.strip()})
+    # Normalize dictionary whitespace up front: document n-grams are
+    # single-space token joins, so a phrase carrying a double space or a
+    # tab could never match ANY alignment — its raw form would sit in the
+    # broadcast dict as a silent zero-match.  The normalized form is also
+    # what the output `phrase` column reports.
+    norm = sorted({" ".join(p.split()) for p in phrases if p.strip()})
+    lengths = sorted({len(p.split()) for p in norm})
     if not lengths:
         raise ValueError("empty phrase dictionary")
     toks = tokens(F.col(text_col))
@@ -1581,7 +1587,7 @@ def dictionary_tag(df: DataFrame, text_col: str, id_col: str,
     occ = base.select(
         "doc_id", F.explode(F.flatten(F.array(*grams))).alias("phrase"))
     dict_df = df.sparkSession.createDataFrame(
-        [(p,) for p in phrases], "phrase string").distinct()
+        [(p,) for p in norm], "phrase string")
     return (occ.join(F.broadcast(dict_df), "phrase")
             .groupBy("doc_id", "phrase")
             .agg(F.count("*").cast("long").alias("n_hits")))

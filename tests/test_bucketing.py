@@ -74,3 +74,22 @@ def test_write_bucketed_validates(spark, sf_dir):
         write_bucketed(li, "b6_bad", ["l_orderkey"], 0)
     with pytest.raises(ValueError, match="bucket_cols"):
         write_bucketed(li, "b6_bad", [], 4)
+
+
+def test_bucketed_priority_census_matches_plain_q12(spark, sf_dir):
+    # the round-8 entry: TPC-H Q12 semantics over the bucketed staging
+    # must (a) plan the join with zero shuffle exchanges and (b) agree
+    # value-for-value with the plain-table entry
+    import __spark_entry__ as e
+
+    b = {r["line_class"]: (r["high_line_count"], r["low_line_count"],
+                           r["join_exchanges"])
+         for r in e.queries()["bucketed_priority_census"](spark, sf_dir)
+         .collect()}
+    p = {r["line_class"]: (r["high_line_count"], r["low_line_count"])
+         for r in e.queries()["line_priority_census"](spark, sf_dir)
+         .collect()}
+    assert set(b) == set(p) and len(b) > 0
+    for k, (hi, lo, n_ex) in b.items():
+        assert (hi, lo) == p[k]
+        assert n_ex == 0

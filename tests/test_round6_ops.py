@@ -295,3 +295,83 @@ def test_knn_graph_lsh_path_never_broadcasts_the_corpus(spark):
     rows = g.filter(F.col("rank") == 1).collect()
     same = sum(1 for r in rows if r["id"] % 3 == r["nbr"] % 3)
     assert same >= int(0.8 * len(rows)), (same, len(rows))
+
+
+def test_dictionary_tag_normalizes_phrase_whitespace(spark):
+    # a double-spaced / tabbed phrase must match single-space document
+    # n-grams: the dictionary is whitespace-normalized before broadcast
+    # (raw "a  b" could never equal any concat_ws(' ', ...) gram)
+    from etl_excel_to_hyper_tableau_spark.operators.text import dictionary_tag
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e")], "doc_id int, text string")
+    out = dictionary_tag(docs, "text", "doc_id",
+                         ["a  b", "c\td  e", "a b"])  # dups after norm too
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"] for r in out.collect()}
+    assert got == {(1, "a b"): 2, (2, "c d e"): 1}
+
+
+def test_knn_graph_schema_identical_across_branches(spark):
+    # the empty-corpus LSH return and the populated path must emit ONE
+    # schema (rank was int in the empty branch before round 8)
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import knn_graph
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    populated = _toy_vectors(spark, n=20)
+    s_empty = knn_graph(empty, "emb", "vec_id", k=2, planes=4).schema
+    s_lsh = knn_graph(populated, "emb", "vec_id", k=2, planes=4).schema
+    s_exact = knn_graph(populated, "emb", "vec_id", k=2, planes=0).schema
+    assert s_empty == s_lsh == s_exact
+
+
+def test_knn_graph_degenerate_corpus_valve(spark):
+    # an all-identical-vector corpus lands in ONE sign-LSH bucket at any
+    # plane count; the bucket self-join would be occupancy^2 -> refuse
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import knn_graph
+
+    df = spark.createDataFrame([(i, [1.0, 2.0, 3.0]) for i in range(40)],
+                               "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="max_bucket"):
+        knn_graph(df, "emb", "vec_id", k=2, planes=4, max_bucket=10).collect()
+    # and a healthy corpus passes under the same valve
+    ok = knn_graph(_toy_vectors(spark, n=40), "emb", "vec_id",
+                   k=2, planes=4, max_bucket=10_000)
+    assert ok.count() > 0
+
+
+def test_context_pairs_excludes_null_event_types(spark):
+    # nulls are filtered BEFORE the window: collect_list would drop them
+    # from contexts while keeping them as targets — an asymmetry (and a
+    # divergence from SQL list()); the kernel excludes them from both roles
+    from etl_excel_to_hyper_tableau_spark.streaming.events import context_pairs
+
+    ev = spark.createDataFrame(
+        [("u1", 1, 10, "a"), ("u1", 2, 20, None), ("u1", 3, 30, "c")],
+        "user_id string, event_id int, ts int, event_type string")
+    out = {r["event_id"]: (list(r["context"]), r["target"]) for r in
+           context_pairs(ev, "user_id", "ts", "event_type",
+                         "event_id", k=3).collect()}
+    assert 2 not in out                        # null target row gone
+    assert out[3] == (["a"], "c")              # null absent from context
+
+
+def test_table_cache_releases_stopped_sessions():
+    # _TABLE_CACHE must key sessions WEAKLY: a strong tuple key pinned
+    # every stopped SparkSession (and its cached plans) forever
+    import gc
+    import __spark_entry__ as e
+
+    class FakeRead:
+        def parquet(self, path):
+            return object()
+
+    class FakeSession:
+        read = FakeRead()
+
+    s = FakeSession()
+    e._t(s, "/tmp/x", "nation")
+    assert any(k is s for k in e._TABLE_CACHE)
+    del s
+    gc.collect()
+    assert len([k for k in e._TABLE_CACHE
+                if type(k).__name__ == "FakeSession"]) == 0
