@@ -113,6 +113,22 @@ def _fin_wide(df: DataFrame, *cols) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def _fin_heavy(df: DataFrame, *cols) -> DataFrame:
+    """Total order for corpus-linear outputs whose PLAN IS EXPENSIVE
+    (heavy per-row compute: the C4 gate's quality scoring, the PII
+    regex battery): a bare ``orderBy`` re-runs the whole plan once more
+    in the range partitioner's boundary-sampling pass — measured 2× the
+    query at sf1 (corpus_clean 2.9 s -> 5.7 s, pii_redaction 3.7 s ->
+    6.9 s), and ``_fin``'s single-partition exchange is the funnel the
+    wide split exists to avoid.  Materialize ONCE (lazy local
+    checkpoint — distributed executor-local blocks, no driver funnel),
+    then range-sort the materialized rows: sampling reads cheap stored
+    rows instead of recomputing the operator.  Measured equal to
+    ``_fin`` at sf1 (2.99 vs 2.94 s / 3.7-4.0 vs 3.7 s) while keeping
+    the parallel sort that survives a 100× corpus."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def _dsum(col, alias: str, scale: str = "decimal(28,4)"):
     """Deterministic double sum: exact decimal accumulation → double.
     Only sound when ``col`` is a *stored* value (2-decimal money / small
@@ -1080,7 +1096,7 @@ def q_corpus_clean(spark, sf_dir):
     return (tx.clean_corpus(docs, "text", "doc_id")
             .select("doc_id", "lang", "quality",
                     "n_tokens", "dup_bigram_frac")
-            .transform(_fin_wide, "doc_id"))
+            .transform(_fin_heavy, "doc_id"))
 
 
 _MIXTURE = {"en": 0.5, "zh": 0.3, "de": 0.2}
@@ -1131,7 +1147,7 @@ def q_pii_redaction(spark, sf_dir):
                 c["phone"].cast("long").alias("n_phone"),
                 c["idnum"].cast("long").alias("n_idnum"),
                 tx.pii_redact(F.col("t")).alias("redacted"))
-            .transform(_fin_wide, "doc_id"))
+            .transform(_fin_heavy, "doc_id"))
 
 
 def q_keyword_topk(spark, sf_dir):

@@ -110,7 +110,15 @@ def nb_quality_score(df: DataFrame, text_col: str, id_col: str,
         .select(F.round((F.log(F.col("n1")) - F.log(F.col("n0")))
                         * 1e6).cast("long").alias("prior")))
 
-    doc_sum = (occ.join(weights, "token")
+    # weights are VOCAB-sized (the model, not the corpus) — broadcast
+    # them so the token stream never shuffles: the probe is map-side
+    # over the checkpointed occ and the only corpus exchange left is
+    # the per-doc sum.  (A shuffle join here repartitioned the whole
+    # token stream by token — corpus-sized — to meet a model-sized
+    # build side.  At the 100 M+-token-vocab extreme, hash-bucket the
+    # features first, fastText-style; the broadcast is the right
+    # default for a trained filter's vocabulary.)
+    doc_sum = (occ.join(F.broadcast(weights), "token")
                .groupBy("doc_id")
                .agg(F.sum("w").alias("wsum"),
                     F.count(F.lit(1)).alias("n_tokens")))

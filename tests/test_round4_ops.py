@@ -812,3 +812,22 @@ def test_domain_cap_prefilter_broadcast_join_many_hot_domains(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     counts = (out.groupBy("domain").count().agg(F.max("count")).collect())
     assert counts[0][0] == 1
+
+
+def test_mmr_driver_greedy_equals_cluster_rounds(spark):
+    # round 8: the valved driver-side greedy (survivor set collected
+    # from ONE TakeOrdered pass) must reproduce the distributed rounds
+    # exactly — force the fallback with a tiny valve and compare
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    rows = [(i, [((i * 13 + d * 7) % 11) / 10.0 - 0.4 for d in range(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = [0.9, 0.1, -0.2, 0.4, 0.0, 0.3]
+    local = mmr_topk(df, "emb", "id", q, k=6, lam=0.6).collect()
+    cluster = mmr_topk(df, "emb", "id", q, k=6, lam=0.6,
+                       max_local=3).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in cluster]
+    assert len(local) == 6
