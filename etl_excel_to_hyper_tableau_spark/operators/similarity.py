@@ -702,7 +702,7 @@ def _norm_py(a: list) -> float:
 
 def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 5,
-             lam: float = 0.7, max_local: int = 100_000) -> DataFrame:
+             lam: float = 0.7, max_local: int = 5_000) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR'98) — the selection rule for "relevant but not
     redundant" sets: few-shot example pools, eval suites, dedup-aware
@@ -751,7 +751,12 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     # entry's whole cost at bench scale (12.9× of a 0.2 s DuckDB
     # denominator, all job floor).  A survivor set above the valve
     # keeps the distributed rounds: at 100 TB with a weak prune the
-    # greedy stays on the cluster.
+    # greedy stays on the cluster.  `scored` is persisted BEFORE the
+    # head collect so this one pass is also the cache materialization
+    # the fallback rounds reuse — without it the fallback re-scored the
+    # corpus once more (measured +1 s at sf1); the local path just
+    # unpersists a tiny relation.
+    scored = scored.persist()
     head = (scored.orderBy(F.desc("rel"), F.asc("id"))
             .limit(max_local + 1).collect())
     top_rows = head[:k]
@@ -771,21 +776,29 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     else:
         surv = None    # survivor set may exceed the valve: cluster path
     if surv is not None:
+        # the greedy is interpreted Python at O(|surv|·k·d) — max_local
+        # (default 5 000) keeps that under the cluster rounds' job
+        # floor; norms are cached per row (same doubles, the fold runs
+        # once) so each round is one dot per (candidate × newest pick)
         lam_f, oml_f = float(lam), 1.0 - float(lam)
         by_id = {int(r["id"]): ([float(x) for x in r["vec"]],
                                 float(r["rel"])) for r in surv}
+        norms = {i: _norm_py(v) for i, (v, _) in by_id.items()}
         picked: list[tuple] = []
-        sel: list[list[float]] = []
+        sel: list[tuple] = []          # (vec, norm) of selections
         taken: set[int] = set()
+        maxsims: dict[int, float] = {}
         for r in range(1, k + 1):
             best = None
             for i, (v, rel) in by_id.items():
                 if i in taken:
                     continue
                 if sel:
-                    maxsim = max(
-                        _dot_py(v, s) / (_norm_py(v) * _norm_py(s))
-                        for s in sel)
+                    sv, sn = sel[-1]
+                    new = _dot_py(v, sv) / (norms[i] * sn)
+                    prev = maxsims.get(i)
+                    maxsim = new if prev is None else max(prev, new)
+                    maxsims[i] = maxsim
                 else:
                     maxsim = 0.0
                 score = lam_f * rel - oml_f * maxsim
@@ -795,13 +808,14 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
             if best is None:
                 break
             picked.append((r, best[1], best[2], best[0]))
-            sel.append(best[3])
+            sel.append((best[3], norms[best[1]]))
             taken.add(best[1])
+        scored.unpersist()
         return df.sparkSession.createDataFrame(
             picked, "rank long, id long, relevance double, mmr_score double")
     # fallback: survivor set may exceed the valve — distributed rounds
-    # over the cached pruned corpus (the pre-round-8 path)
-    scored = scored.persist()
+    # over the cached pruned corpus (the pre-round-8 path; the cache was
+    # already materialized by the head collect above)
     base = scored if thr is None \
         else scored.filter(F.col("rel") >= F.lit(thr))
     lam_c = F.lit(float(lam))
