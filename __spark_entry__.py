@@ -3281,7 +3281,7 @@ def q_context_pairs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (context_pairs(ev, "user_id", "ts", "event_type", "event_id", k=3)
             .withColumn("context", F.array_join("context", ","))
-            .transform(_fin_wide, "user_id", "event_id"))
+            .transform(_fin_heavy, "user_id", "event_id"))
 
 
 # ===========================================================================
@@ -6127,14 +6127,14 @@ dist AS (SELECT bucket, sum(n) AS c_raw,
          FROM db GROUP BY bucket),
 tot AS (SELECT sum(c_raw) AS tot_r, sum(c_t) AS tot_t FROM dist),
 lr AS (SELECT bucket,
-         ln(c_t + 1.0) - ln(tot_t + 1024.0)
-         - ln(c_raw + 1.0) + ln(tot_r + 1024.0) AS lr
+         cast(round((ln(c_t + 1.0) - ln(tot_t + 1024.0)
+                     - ln(c_raw + 1.0) + ln(tot_r + 1024.0)) * 1e6)
+              as bigint) AS w
        FROM dist CROSS JOIN tot),
-per AS (SELECT id, is_t, bucket, n, n * lr AS c
+per AS (SELECT id, is_t, n, n * w AS c
         FROM db JOIN lr USING (bucket))
 SELECT id, max(is_t) AS is_t, cast(sum(n) as bigint) AS n_grams,
-  round(list_reduce(list_prepend(0.0, list(c ORDER BY bucket)),
-                    (acc, x) -> acc + x), 9) AS log_w
+  cast(sum(c) as double) / 1e6 AS log_w
 FROM per GROUP BY id ORDER BY id
 """,
         # --- round 4: soft dedup (reweight clusters instead of removing) ----

@@ -369,15 +369,19 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
     Feature hashing keeps BOTH distributions fixed-size (``n_buckets``
     rows) regardless of corpus scale: the per-bucket table broadcasts,
     so the only shuffles are the two partial-aggregating ``groupBy``s
-    ((doc, bucket) counts, then per-doc fold) — nothing grows with
-    vocabulary.  The per-doc sum folds contributions in sorted bucket
-    order (``aggregate`` over a sorted array, the bm25 doctrine), and
-    each term is libm ``ln`` on identical doubles — so the weight is
-    bit-reproducible by an external engine, rounded to 9 decimals only
-    to absorb nothing (the fold order is already pinned).
+    ((doc, bucket) counts, then the per-doc sum) — nothing grows with
+    vocabulary.  The per-bucket log-ratio is quantized to MICRO-NATS
+    (``w = round(lr·1e6)`` as bigint — the quality-classifier scoring
+    convention): the per-doc weight ``Σ n_b·w_b`` is then exact integer
+    arithmetic, order-independent and bit-reproducible in any engine
+    with no fold-order pinning, and the aggregate stays a plain codegen
+    hash agg with map-side combine.  Each ``ln`` is libm on identical
+    doubles in both engines, so the quantization rounds the same
+    values.
 
     Output: ``id, is_t, n_grams, log_w`` — one row per document with
-    ≥ 1 bigram; higher ``log_w`` = more target-like.
+    ≥ 1 bigram; higher ``log_w`` = more target-like (micro-nat
+    precision: log_w is the exact integer micro-nat sum / 1e6).
     """
     from .text import spread, tokens
 
@@ -436,24 +440,30 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
     dist_pdf = pd.DataFrame(
         [(int(r["bucket"]), int(r["c_raw"]), int(r["c_t"]))
          for r in dist_rows], columns=["bucket", "c_raw", "c_t"])
+    # micro-nat quantization (the quality_classifier convention): the
+    # per-bucket log-ratio becomes a BIGINT w = round(lr·1e6), so the
+    # per-doc weight Σ n_b·w_b is exact integer arithmetic —
+    # order-independent, hence a plain codegen hash aggregate with
+    # map-side partials instead of the interpreted sorted-struct fold
+    # the double sum needed for bit-reproducibility (measured: the fold
+    # was the final job's dominant cost at the bench's job floor).  The
+    # ln itself stays a JVM F.log over the local relation so the
+    # oracle's ln replays the identical doubles; both engines round
+    # half-away-from-zero on doubles.
     lr = (df.sparkSession.createDataFrame(
             dist_pdf, schema="bucket long, c_raw long, c_t long")
           .select("bucket",
-                  (F.log(F.col("c_t") + F.lit(1.0))
-                   - F.log(F.lit(float(tot_t)) + F.lit(b))
-                   - F.log(F.col("c_raw") + F.lit(1.0))
-                   + F.log(F.lit(float(tot_r)) + F.lit(b))).alias("lr")))
-    per = (db.join(F.broadcast(lr), "bucket")
-           .select("id", "is_t", "bucket", "n",
-                   (F.col("n") * F.col("lr")).alias("c")))
-    folded = F.aggregate(
-        F.transform(F.sort_array(F.collect_list(F.struct("bucket", "c"))),
-                    lambda s: s["c"]),
-        F.lit(0.0), lambda acc, c: acc + c)
-    return (per.groupBy("id")
+                  F.round((F.log(F.col("c_t") + F.lit(1.0))
+                           - F.log(F.lit(float(tot_t)) + F.lit(b))
+                           - F.log(F.col("c_raw") + F.lit(1.0))
+                           + F.log(F.lit(float(tot_r)) + F.lit(b)))
+                          * F.lit(1e6)).cast("long").alias("w")))
+    return (db.join(F.broadcast(lr), "bucket")
+            .groupBy("id")
             .agg(F.max("is_t").alias("is_t"),
                  F.sum("n").cast("long").alias("n_grams"),
-                 F.round(folded, 9).alias("log_w")))
+                 (F.sum(F.col("n") * F.col("w")).cast("double")
+                  / F.lit(1e6)).alias("log_w")))
 
 
 def priority_sample(df: DataFrame, id_col: str, weight: Column, k: int,
