@@ -545,3 +545,74 @@ def test_warc_codec_roundtrip(bodies, gz):
     for (hdr, payload), body in zip(out, bodies):
         st_, _, got = w.parse_http_response(payload)
         assert st_ == 200 and got == body
+
+
+# ---------------------------------------------------------------------------
+# Round-8 surfaces: context_pairs / dictionary_tag vs brute-force models
+# ---------------------------------------------------------------------------
+
+_event_rows = st.lists(
+    st.tuples(st.integers(1, 3),            # user
+              st.integers(0, 20),           # ts (ties exercised)
+              st.one_of(st.none(), st.sampled_from("abcd"))),  # event type
+    min_size=1, max_size=25)
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows, k=st.integers(1, 4))
+def test_context_pairs_matches_python_model(spark, rows, k):
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        context_pairs,
+    )
+
+    data = [(f"u{u}", i, ts, et) for i, (u, ts, et) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts int, event_type string")
+    got = {r["event_id"]: (list(r["context"]), r["target"]) for r in
+           context_pairs(df, "user_id", "ts", "event_type",
+                         "event_id", k=k).collect()}
+    # brute force: nulls excluded from both roles, (ts, id) order,
+    # up-to-k preceding same-user events, first event dropped
+    want = {}
+    by_user: dict = {}
+    for uid, eid, ts, et in sorted(data, key=lambda t: (t[2], t[1])):
+        if et is None:
+            continue
+        hist = by_user.setdefault(uid, [])
+        if hist:
+            want[eid] = (hist[-k:], et)
+        hist.append(et)
+    assert got == want
+
+
+_dict_docs = st.lists(
+    st.text(alphabet="ab \t", max_size=16), min_size=1, max_size=8)
+_dict_phrases = st.lists(
+    st.text(alphabet="ab \t", min_size=1, max_size=8).filter(str.strip),
+    min_size=1, max_size=6)
+
+
+@settings(**_SETTINGS)
+@given(docs=_dict_docs, phrases=_dict_phrases)
+def test_dictionary_tag_matches_python_model(spark, docs, phrases):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        dictionary_tag,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id int, text string")
+    got = {(r["doc_id"], r["phrase"]): r["n_hits"] for r in
+           dictionary_tag(df, "text", "doc_id", phrases).collect()}
+    # brute force over the normalized dictionary: every alignment of
+    # the phrase's token sequence inside the doc's token sequence
+    norm = sorted({" ".join(p.split()) for p in phrases if p.strip()})
+    want = {}
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        for p in norm:
+            pt = p.split()
+            hits = sum(1 for s in range(len(toks) - len(pt) + 1)
+                       if toks[s:s + len(pt)] == pt)
+            if hits:
+                want[(i, p)] = hits
+    assert got == want
