@@ -3187,6 +3187,27 @@ def q_bucketed_join(spark, sf_dir):
             .transform(_fin, "o_orderpriority"))
 
 
+def q_salted_join_census(spark, sf_dir):
+    """Skew-salted big-big equi-join (operators.skew.salted_join — the
+    SURVEY §4.2 hot-key recipe AQE cannot express: AQE splits an
+    oversized PARTITION, salting splits a single hot KEY): lineitem's
+    join key gains a uniform salt in [0, 8), orders is replicated 8×
+    by literal explode, and the join runs on (key, salt) so one hot
+    order key spreads over 8 shuffle partitions.  The salt is pure
+    load-balancing — every orders row exists for every salt — so the
+    aggregated VALUES are salt-invariant and the plain-SQL oracle pins
+    them exactly; rand()'s nondeterminism never reaches the result."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    j = salted_join(li, orders, "l_orderkey", salt_factor=8)
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .transform(_fin, "o_orderstatus"))
+
+
 def q_bucketed_priority_census(spark, sf_dir):
     """A REAL headline TPC-H query (Q12 shape — q_line_priority_census's
     exact semantics) run against bucketed fact tables: lineitem and
@@ -3333,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         # -- new in round 8 -------------------------------------------
         "bucketed_priority_census": q_bucketed_priority_census,
+        "salted_join_census": q_salted_join_census,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
         "dictionary_tag": q_dictionary_tag,
@@ -6782,6 +6804,15 @@ FROM est_a, est_b, est_u, mt, ex_a, ex_b, ex_u, ex_i
         # the Q12 semantics over the bucketed staging (oracle runs the
         # same query on the plain views — bucketing must not change one
         # value); join_exchanges pinned to 0 = the elision contract
+        # salt is internal load-balancing; the aggregate is the plain
+        # join's result exactly
+        "salted_join_census": """
+SELECT o_orderstatus,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(l_quantity) as bigint) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
         "bucketed_priority_census": """
 SELECT l_returnflag AS line_class,
   cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
