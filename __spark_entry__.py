@@ -3187,6 +3187,48 @@ def q_bucketed_join(spark, sf_dir):
             .transform(_fin, "o_orderpriority"))
 
 
+def q_partition_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning over a date-partitioned staging
+    (plans/pruning.py — SURVEY §4.2's "partition pruning once staged to
+    Parquet" made concrete): orders is staged ONCE partitioned by order
+    month (the layout a 100 TB fact table actually has), then joined to
+    a dim of months derived from a selective lineitem filter (1996
+    returned lines).  No literal predicate mentions the fact's
+    partition column, so only DPP can skip partitions: Catalyst builds
+    the fact scan's PartitionFilters from the dim's rows at runtime.
+    As with the bucketed entries, the physical property IS part of the
+    contract: ``dpp_filters`` carries the executed plan's
+    dynamicpruning-filter count and the oracle pins it ≥1 (as exactly
+    1), so a planner regression that full-scans the fact table fails
+    the driver's hash gate.  revenue is exact decimal → double."""
+    from etl_excel_to_hyper_tableau_spark.plans.pruning import (
+        dpp_filter_count, stage_partitioned,
+    )
+    import re
+    orders = _t(spark, sf_dir, "orders")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    path = f"/tmp/spark_graft_dpp_orders_{tag}"
+    stage_partitioned(
+        orders.withColumn("o_month",
+                          F.date_format("o_orderdate", "yyyy-MM")),
+        path, ["o_month"])
+    fact = spark.read.parquet(path)
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (li.filter((F.col("l_returnflag") == "R")
+                     & (F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+           .select(F.date_format("l_shipdate", "yyyy-MM").alias("o_month"))
+           .distinct())
+    j = fact.join(dim, "o_month")
+    n_dpp = dpp_filter_count(j)
+    return (j.groupBy("o_month")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                 .cast("double").alias("revenue"))
+            .withColumn("dpp_filters", F.lit(n_dpp).cast("long"))
+            .transform(_fin, "o_month"))
+
+
 def q_salted_join_census(spark, sf_dir):
     """Skew-salted big-big equi-join (operators.skew.salted_join — the
     SURVEY §4.2 hot-key recipe AQE cannot express: AQE splits an
@@ -3355,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 8 -------------------------------------------
         "bucketed_priority_census": q_bucketed_priority_census,
         "salted_join_census": q_salted_join_census,
+        "partition_pruned_join": q_partition_pruned_join,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
         "dictionary_tag": q_dictionary_tag,
@@ -6804,6 +6847,23 @@ FROM est_a, est_b, est_u, mt, ex_a, ex_b, ex_u, ex_i
         # the Q12 semantics over the bucketed staging (oracle runs the
         # same query on the plain views — bucketing must not change one
         # value); join_exchanges pinned to 0 = the elision contract
+        # the staged month-partitioned layout must not change one value
+        # vs the plain tables; dpp_filters=1 pins that the fact scan's
+        # partition filter was built from the dim at runtime
+        "partition_pruned_join": """
+WITH dim AS (
+  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS o_month
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+    AND l_shipdate >= timestamp '1996-01-01'
+    AND l_shipdate < timestamp '1996-04-01')
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) AS revenue,
+       cast(1 as bigint) AS dpp_filters
+FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = dim.o_month
+GROUP BY 1 ORDER BY 1
+""",
         # salt is internal load-balancing; the aggregate is the plain
         # join's result exactly
         "salted_join_census": """

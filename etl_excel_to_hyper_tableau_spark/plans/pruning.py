@@ -1,0 +1,51 @@
+"""Partition-pruned layouts — the second physical-layout lever next to
+bucketing (plans/bucketing.py): a fact table written ``partitionBy``
+a coarse key (date/month at 100 TB) lets Catalyst prune whole
+directories at planning time (static pruning, from literal predicates)
+and at RUNTIME (dynamic partition pruning: the fact side's partition
+filter is built from the JOINED dim side's rows, so a selective dim
+filter skips fact partitions no literal predicate mentions).
+
+The reference has no physical layout at all (SQLite staging,
+query_iterator.py:101-107); SURVEY §4.2 lists partition pruning as a
+Catalyst freebie "once staged to Parquet" — this module is that
+staging made concrete, and :func:`dpp_filter_count` is the audit that
+the runtime pruning actually planned (the same
+physical-property-as-correctness idea as bucketing's
+``join_exchanges``: the entry carries the count and the oracle pins
+it, so a planner regression that silently full-scans the fact table
+fails the value gate, not just a latency chart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stage_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str],
+                      mode: str = "overwrite") -> str:
+    """Write ``df`` as a directory-partitioned parquet layout — the
+    one-time staging cost every pruned scan afterwards amortizes.
+    Partition columns should be COARSE (day/month/source): at 100 TB a
+    high-cardinality partition key degenerates into millions of tiny
+    directories and kills the listing, which is why the id-grained
+    co-location job belongs to bucketing, not partitioning."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def dpp_filter_count(df: DataFrame) -> int:
+    """Number of scans with DYNAMIC partition-pruning filters in
+    ``df``'s executed plan — 0 means every fact partition would be
+    scanned; ≥1 means a scan's ``PartitionFilters`` carry a
+    ``dynamicpruningexpression`` subquery fed by the dim side at
+    runtime.  (Counts ``PartitionFilters`` lines mentioning the
+    expression, not raw substring hits — one pruning filter prints the
+    ``dynamicpruning`` token several times in a plan string.)"""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines()
+               if "PartitionFilters" in line
+               and "dynamicpruningexpression" in line)
