@@ -3250,6 +3250,69 @@ def q_salted_join_census(spark, sf_dir):
             .transform(_fin, "o_orderstatus"))
 
 
+def q_bucket_pruned_lookup(spark, sf_dir):
+    """Bucket-PRUNED point lookup (plans/bucketing.py:selected_buckets
+    — the third physical-layout contract next to the bucketed joins'
+    exchange elision and the partitioned staging's DPP): orders is
+    staged ONCE ``bucketBy(8, o_custkey)`` and a single-customer
+    lookup then reads exactly the ONE bucket the key hashes to — at
+    100 TB, 1/n_buckets of the fact table instead of a full scan, with
+    no directory-per-key explosion (the reason a high-cardinality key
+    buckets rather than partitions).  The grouping keeps the bucket
+    key, so the planner retains the bucketed scan (autoBucketedScan
+    would otherwise drop it for a plain filter) AND elides the
+    aggregation exchange.  The physical property is part of the
+    CORRECTNESS contract: ``selected_buckets``/``total_buckets`` carry
+    the executed plan's ``SelectedBucketsCount: s out of n`` and the
+    oracle pins 1-of-8 — a planner regression that full-scans the
+    table fails the driver's hash gate.  total_spend is exact decimal
+    → double."""
+    from etl_excel_to_hyper_tableau_spark.plans.bucketing import (
+        selected_buckets, write_bucketed,
+    )
+    orders = _t(spark, sf_dir, "orders")
+    write_bucketed(orders.select("o_custkey", "o_orderstatus",
+                                 "o_totalprice"),
+                   "bucketed_orders_lookup", ["o_custkey"], 8,
+                   sort_cols=["o_custkey"])
+    agg = (spark.table("bucketed_orders_lookup")
+           .filter(F.col("o_custkey") == 1)
+           .groupBy("o_custkey", "o_orderstatus")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+                .cast("double").alias("total_spend")))
+    sel = selected_buckets(agg)
+    s, n = sel[0] if sel else (0, 0)
+    return (agg.withColumn("selected_buckets", F.lit(s).cast("long"))
+            .withColumn("total_buckets", F.lit(n).cast("long"))
+            .transform(_fin, "o_orderstatus"))
+
+
+def q_embedding_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→16 (operators.
+    similarity.random_project — Achlioptas 2003 ±1 planes): the
+    pre-indexing dimension cut a 100 TB ANN pipeline runs before
+    IVF/LSH, shrinking every later distance evaluation and shuffled
+    vector byte by in_dim/out_dim while the JL bound preserves
+    pairwise distances.  The Rademacher matrix is md5-derived from
+    (seed, i, k) — no RNG state, so executors, driver, and the oracle
+    materialize the identical matrix — and the apply is ONE map-only
+    Arrow pass whose per-row sum is a strict left fold (np.cumsum),
+    bit-identical to the oracle's DuckDB ``list_reduce`` replay of the
+    same literal planes.  Output serialized to scalar rows
+    (id, pos, v) per the all-scalar contract convention."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        random_project,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    out = random_project(emb, "emb", "id", out_dim=16, seed=0)
+    return out.select(
+        "id", F.posexplode(F.col("vec")).alias("pos", "v")) \
+        .select("id", F.col("pos").cast("long").alias("pos"),
+                F.round("v", 6).alias("v"))
+
+
 def q_bucketed_priority_census(spark, sf_dir):
     """A REAL headline TPC-H query (Q12 shape — q_line_priority_census's
     exact semantics) run against bucketed fact tables: lineitem and
@@ -3398,6 +3461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_priority_census": q_bucketed_priority_census,
         "salted_join_census": q_salted_join_census,
         "partition_pruned_join": q_partition_pruned_join,
+        "bucket_pruned_lookup": q_bucket_pruned_lookup,
+        "embedding_project": q_embedding_project,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
         "dictionary_tag": q_dictionary_tag,
@@ -3965,6 +4030,54 @@ FROM u ORDER BY doc_id
 
 
 _WHITEN_SQL_CACHE: dict[str, str] = {}
+_JL_SQL_CACHE: dict[str, str] = {}
+
+
+def _jl_sql(out_dim: int = 16, seed: int = 0) -> str:
+    """Value-exact oracle for ``embedding_project``: the Rademacher JL
+    matrix is hash-derived (operators.similarity.jl_matrix — md5 of
+    (seed, i, k), no RNG state), so the oracle builds the IDENTICAL
+    matrix here and emits it as SQL literals; the projection then
+    replays as the same strict left fold the engine runs
+    (``list_reduce`` ≡ the engine's np.cumsum — both add the d terms
+    left-to-right in IEEE doubles), rounded to 6 on both sides.  Only
+    the input dimension is data-dependent and it is read from the
+    parquet footer-cheap ``max(len(embedding))`` at oracle-build time
+    (the ``_whiten_sql`` pattern)."""
+    import os
+
+    import duckdb
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        jl_matrix,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    if sf in _JL_SQL_CACHE:
+        return _JL_SQL_CACHE[sf]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT max(len(embedding)) FROM "
+        f"read_parquet('{sf}/embeddings.parquet')").fetchone()[0]
+    r = jl_matrix(int(d), out_dim, seed)
+    # w[k][i] = R[i-1][k-1] — column-of-R per output dim, the same
+    # layout as _whiten_sql's wm so the fold expression is identical
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(r[i][kk])) for i in range(d)) + "]"
+        for kk in range(out_dim)) + "]"
+    sql = f"""
+WITH wm AS (SELECT {w_lit} AS w),
+ks AS (SELECT unnest(range(1, {out_dim + 1})) AS k)
+SELECT e.vec_id AS id, cast(ks.k - 1 as bigint) AS pos,
+  round(list_reduce(list_apply(range(1, {d + 1}),
+      i -> cast(e.embedding[i] as double) * wm.w[ks.k][i]),
+    (a, b) -> a + b), 6) AS v
+FROM embeddings e CROSS JOIN wm CROSS JOIN ks
+ORDER BY id, pos
+"""
+    _JL_SQL_CACHE[sf] = sql
+    return sql
 
 
 def _whiten_sql(eps: float = 1e-8) -> str:
@@ -6864,6 +6977,21 @@ SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
 FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = dim.o_month
 GROUP BY 1 ORDER BY 1
 """,
+        # selected/total buckets pinned 1-of-8: the point lookup must
+        # read exactly the one bucket o_custkey=1 hashes to — a
+        # full-scan planner regression fails the hash gate
+        "bucket_pruned_lookup": """
+SELECT cast(o_custkey as bigint) AS o_custkey, o_orderstatus,
+       cast(count(*) as bigint) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double)
+         AS total_spend,
+       cast(1 as bigint) AS selected_buckets,
+       cast(8 as bigint) AS total_buckets
+FROM orders WHERE o_custkey = 1
+GROUP BY 1, 2 ORDER BY 2
+""",
+        # --- round 8: JL random projection (literal md5 planes) -----------
+        "embedding_project": _jl_sql(),
         # salt is internal load-balancing; the aggregate is the plain
         # join's result exactly
         "salted_join_census": """

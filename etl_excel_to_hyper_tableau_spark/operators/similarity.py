@@ -1365,3 +1365,88 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("id", "nbr", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def _jl_sign(seed: int, i: int, k: int) -> float:
+    """Deterministic Rademacher sign for the (input-dim *i* → output-
+    dim *k*) plane of a Johnson–Lindenstrauss projection: bit 0 of
+    ``md5("jl:{seed}:{i}:{k}")``.  Hash-derived (no RNG state) so the
+    SAME matrix materializes on every executor, in the driver, and in
+    the value-exact oracle — the determinism doctrine the LSH planes
+    and the salting already follow."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{seed}:{i}:{k}".encode("utf-8")).digest()
+    return 1.0 if (h[0] & 1) else -1.0
+
+
+def jl_matrix(in_dim: int, out_dim: int, seed: int = 0) -> "list[list[float]]":
+    """The dense Rademacher JL matrix ``R[i][k] = ±1/√out_dim``
+    (Achlioptas 2003: database-friendly random projections — the ±1
+    variant needs no Gaussian sampling and preserves pairwise
+    distances within ε with the same JL guarantee).  Metadata-sized
+    (in_dim·out_dim floats) — rides to executors as a task-closure
+    literal, never a shuffle."""
+    import math
+
+    s = 1.0 / math.sqrt(float(out_dim))
+    return [[_jl_sign(seed, i, k) * s for k in range(out_dim)]
+            for i in range(in_dim)]
+
+
+def random_project(df: DataFrame, vec_col: str, id_col: str,
+                   out_dim: int, seed: int = 0) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to ``out_dim`` dimensions — the standard pre-indexing reduction a
+    100 TB ANN pipeline runs before IVF/LSH when the raw dimension
+    makes every distance evaluation (and every shuffled byte) d/k
+    times too expensive.  With the Rademacher matrix of
+    :func:`jl_matrix`, pairwise distances survive within the JL ε
+    bound while the vector payload shrinks by in_dim/out_dim.
+
+    Execution shape (the whiten doctrine, minus the statistics pass):
+    ONE map-only Arrow-batched pass — the corpus never shuffles, and
+    the matrix is rebuilt per task from the (seed, i, k) hashes, so
+    the closure ships only the scalars.  The per-row sum runs as
+    ``np.cumsum`` over the input-dim axis, NOT a GEMM: cumsum adds
+    strictly left-to-right, bit-identical to the seedless sequential
+    fold the DuckDB oracle replays with ``list_reduce`` (a matmul's
+    pairwise/SIMD accumulation order drifts in the last ulp).
+
+    Output: ``id, vec (array<double>, length out_dim)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType, True),
+        T.StructField("vec", T.ArrayType(T.DoubleType(), True), True),
+    ])
+
+    def run(batches):
+        r = None  # built once per task, from the first row's width
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["__v__"]])
+            if r is None:
+                r = np.asarray(jl_matrix(x.shape[1], out_dim, seed),
+                               dtype=np.float64)       # d×k
+            # ≤ ~32 MB of fold terms resident per step
+            out = np.empty((n, out_dim), dtype=np.float64)
+            step = max(1, (1 << 22) // (r.shape[0] * out_dim))
+            for lo in range(0, n, step):
+                terms = x[lo:lo + step, :, None] * r[None, :, :]
+                out[lo:lo + step] = np.cumsum(terms, axis=1)[:, -1, :]
+            yield pd.DataFrame({"id": pdf["__id__"],
+                                "vec": [row.tolist() for row in out]})
+
+    return (spread(df)
+            .select(F.col(id_col).alias("__id__"),
+                    F.col(vec_col).cast("array<double>").alias("__v__"))
+            .mapInPandas(run, schema=out_schema))

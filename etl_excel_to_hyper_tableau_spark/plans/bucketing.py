@@ -96,3 +96,23 @@ def join_exchanges(df: DataFrame) -> int:
     amortization target."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning")
+
+
+def selected_buckets(df: DataFrame) -> list[tuple[int, int]]:
+    """``(selected, total)`` per bucket-pruned scan in ``df``'s
+    executed plan — the point-lookup audit companion to
+    :func:`join_exchanges`.  A filter on the bucket key (equality /
+    IN) lets the planner read only the buckets the key hashes to:
+    the scan line carries ``SelectedBucketsCount: s out of n``.  At
+    100 TB this is the difference between touching 1/512th of a fact
+    table and scanning all of it for a point lookup.  Empty list ⇒
+    no scan was bucket-pruned (either the table isn't bucketed, the
+    predicate isn't on the bucket key, or the planner disabled the
+    bucketed read because nothing consumed its distribution —
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled``)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [(int(s), int(n)) for s, n in
+            re.findall(r"SelectedBucketsCount:\s*(\d+)\s+out of\s+(\d+)",
+                       plan)]
