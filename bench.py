@@ -155,6 +155,13 @@ HEADLINE = [
     # doesn't already time)
     "dictionary_tag",
     "context_pairs",
+    # round 8: JL projection is a corpus throughput gauge (one map-only
+    # Arrow pass over every embedding row).  salted_join_census /
+    # partition_pruned_join / bucket_pruned_lookup stay out with the
+    # bucketed demos: their wall is deliberate replication or a
+    # one-time staging write the layout amortizes — the physical
+    # property is pinned by their oracles, not a throughput ratio.
+    "embedding_project",
 ]
 
 
