@@ -28,6 +28,8 @@ SAMPLE = [
     "dictionary_tag",         # broadcast n-gram dictionary join (round 6b)
     "context_pairs",          # user-bounded window, array output (round 6b)
     "knn_graph",              # valved exact self-kNN, rounded-rank contract
+    "bucket_pruned_lookup",   # bucket-pruning plan contract (round 8)
+    "embedding_project",      # literal-plane JL fold (round 8)
 ]
 
 
