@@ -68,6 +68,8 @@ QUERIES = [
     "content_chunks",           # rolling-hash boundaries, map-only
     "minhash_quality",          # truth/pred pair plans + hit join
     "hll_distinct",             # fixed m-registers-per-partition exchange
+    # round 8
+    "embedding_project",        # literal-plane JL fold, map-only
 ]
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
