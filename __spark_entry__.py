@@ -3288,6 +3288,50 @@ def q_bucket_pruned_lookup(spark, sf_dir):
             .transform(_fin, "o_orderstatus"))
 
 
+def q_zorder_range_scan(spark, sf_dir):
+    """Z-order-clustered staging + multi-column range scan
+    (plans/zorder.py — Delta's OPTIMIZE ZORDER BY / the UB-tree layout
+    from Spark primitives, completing the physical-layout lever set:
+    bucketing co-locates a KEY, partitioning prunes a COARSE dimension,
+    z-order clusters 2+ RANGE dimensions at once): lineitem is staged
+    ONCE Morton-interleaved on (l_shipdate, l_partkey) — codegen
+    shift/or interleave, repartitionByRange on the z-value, in-file
+    sort — so every staged file/row-group has a compact bounding box
+    in BOTH dimensions and a 2-D range predicate skips most of them
+    (parquet row-group stats locally; file-level manifest stats in a
+    Delta/Iceberg deployment at 100 TB).  The clustering quality is
+    pinned by tests/test_zorder.py's pyarrow bounding-box audit; this
+    entry pins the VALUES (staging must not change one row) plus the
+    pushdown contract: ``pushed_filters`` carries the staged scan's
+    PushedFilters count and the oracle pins all 6 (2×IsNotNull +
+    the four range bounds) — a regression that keeps the predicate
+    out of the reader fails the hash gate.  revenue is the exact
+    decimal product → double."""
+    import re
+    from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+        pushed_filter_count, stage_zordered,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    path = f"/tmp/spark_graft_zorder_lineitem_{tag}"
+    stage_zordered(li, path, ["l_shipdate", "l_partkey"], n_files=16)
+    st = spark.read.parquet(path)
+    q = st.filter((F.col("l_shipdate") >= "1996-03-01")
+                  & (F.col("l_shipdate") < "1996-06-01")
+                  & (F.col("l_partkey") >= 100)
+                  & (F.col("l_partkey") <= 400))
+    n_push = pushed_filter_count(q)
+    return (q.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                       * (F.lit(1) - F.col("l_discount")
+                          .cast("decimal(12,2)")))
+                 .cast("double").alias("revenue"))
+            .withColumn("pushed_filters", F.lit(n_push).cast("long"))
+            .transform(_fin, "l_returnflag"))
+
+
 def q_embedding_project(spark, sf_dir):
     """Johnson–Lindenstrauss random projection 64→16 (operators.
     similarity.random_project — Achlioptas 2003 ±1 planes): the
@@ -3463,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruned_join": q_partition_pruned_join,
         "bucket_pruned_lookup": q_bucket_pruned_lookup,
         "embedding_project": q_embedding_project,
+        "zorder_range_scan": q_zorder_range_scan,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
         "dictionary_tag": q_dictionary_tag,
@@ -6992,6 +7037,23 @@ GROUP BY 1, 2 ORDER BY 2
 """,
         # --- round 8: JL random projection (literal md5 planes) -----------
         "embedding_project": _jl_sql(),
+        # z-order staging must not change one value; pushed_filters=6
+        # pins that all four range bounds (+2 IsNotNull) reached the
+        # parquet reader's row-group pruning
+        "zorder_range_scan": """
+SELECT l_returnflag,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(l_quantity) as bigint) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (1 - cast(l_discount as decimal(12,2)))) as double)
+         AS revenue,
+       cast(6 as bigint) AS pushed_filters
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-03-01'
+  AND l_shipdate < timestamp '1996-06-01'
+  AND l_partkey BETWEEN 100 AND 400
+GROUP BY 1 ORDER BY 1
+""",
         # salt is internal load-balancing; the aggregate is the plain
         # join's result exactly
         "salted_join_census": """

@@ -30,6 +30,7 @@ SAMPLE = [
     "knn_graph",              # valved exact self-kNN, rounded-rank contract
     "bucket_pruned_lookup",   # bucket-pruning plan contract (round 8)
     "embedding_project",      # literal-plane JL fold (round 8)
+    "zorder_range_scan",      # Morton-clustered staging + pushdown pin (round 8)
 ]
 
 

@@ -1,0 +1,130 @@
+"""Z-order clustered staging (plans/zorder.py): Morton interleave
+correctness vs a Python reference, per-file bounding-box quality via
+pyarrow row-group stats (the property a Delta/Iceberg manifest would
+use to skip whole files at 100 TB), pushdown audit, and staged-scan
+value parity."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+    normalize_to_bits, pushed_filter_count, stage_zordered, zvalue,
+)
+
+
+def _morton_ref(vals: tuple[int, ...], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * len(vals) + j)
+    return z
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zorder") / "lineitem")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stage_zordered(li, path, ["l_shipdate", "l_partkey"], n_files=16)
+    return path, li
+
+
+class TestZValue:
+    def test_matches_python_reference(self, spark):
+        pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 1), (7, 65535)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {(r["x"], r["y"]): r["z"] for r in
+               df.withColumn(
+                   "z", zvalue([F.col("x"), F.col("y")], 16)).collect()}
+        for p in pts:
+            assert got[p] == _morton_ref(p, 16)
+
+    def test_rejects_overflow_and_empty(self):
+        with pytest.raises(ValueError):
+            zvalue([F.lit(1), F.lit(2)], bits=32)   # 64 > 62
+        with pytest.raises(ValueError):
+            zvalue([], bits=8)
+
+    def test_normalize_clamps_and_degenerates(self, spark):
+        df = spark.range(1).select(
+            normalize_to_bits(F.lit(5.0), 0.0, 10.0, 4).alias("mid"),
+            normalize_to_bits(F.lit(-1.0), 0.0, 10.0, 4).alias("lo"),
+            normalize_to_bits(F.lit(99.0), 0.0, 10.0, 4).alias("hi"),
+            normalize_to_bits(F.lit(7.0), 3.0, 3.0, 4).alias("deg"),
+            normalize_to_bits(F.lit(None).cast("double"),
+                              0.0, 10.0, 4).alias("nul"))
+        r = df.collect()[0]
+        assert r["mid"] == 7 and r["lo"] == 0 and r["hi"] == 15
+        assert r["deg"] == 0 and r["nul"] == 0
+
+
+class TestStagedLayout:
+    def test_row_count_and_values_preserved(self, spark, staged):
+        path, li = staged
+        st = spark.read.parquet(path)
+        assert st.count() == li.count()
+        key = ["l_orderkey", "l_linenumber"]
+        assert st.select(*key).exceptAll(li.select(*key)).isEmpty()
+
+    def test_bounding_boxes_compact_in_both_dims(self, staged):
+        path, _ = staged
+        spans_d, spans_p = [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {row.column(i).path_in_schema:
+                      row.column(i).statistics
+                      for i in range(row.num_columns)}
+                spans_d.append((st["l_shipdate"].min,
+                                st["l_shipdate"].max))
+                spans_p.append((st["l_partkey"].min,
+                                st["l_partkey"].max))
+        full_d = (max(s[1] for s in spans_d)
+                  - min(s[0] for s in spans_d)).total_seconds()
+        full_p = (max(s[1] for s in spans_p)
+                  - min(s[0] for s in spans_p))
+        frac_d = [((s[1] - s[0]).total_seconds() / full_d)
+                  for s in spans_d]
+        frac_p = [(s[1] - s[0]) / full_p for s in spans_p]
+        # a 1-D sort gives ~1/n_files in its dimension and ~1.0 in the
+        # other; z-order must be compact in BOTH simultaneously
+        assert sum(frac_d) / len(frac_d) < 0.6
+        assert sum(frac_p) / len(frac_p) < 0.6
+
+    def test_range_box_skips_row_groups(self, staged):
+        import datetime
+
+        path, _ = staged
+        lo = datetime.datetime(1996, 3, 1)
+        hi = datetime.datetime(1996, 6, 1)
+        total, hit = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {row.column(i).path_in_schema:
+                      row.column(i).statistics
+                      for i in range(row.num_columns)}
+                total += 1
+                d, p = st["l_shipdate"], st["l_partkey"]
+                if (d.max >= lo and d.min < hi
+                        and p.max >= 100 and p.min <= 400):
+                    hit += 1
+        assert total >= 8
+        assert hit < 0.8 * total, (hit, total)
+
+    def test_pushdown_reaches_reader(self, spark, staged):
+        path, _ = staged
+        st = spark.read.parquet(path)
+        q = st.filter((F.col("l_shipdate") >= "1996-03-01")
+                      & (F.col("l_shipdate") < "1996-06-01")
+                      & (F.col("l_partkey") >= 100)
+                      & (F.col("l_partkey") <= 400))
+        assert pushed_filter_count(q) == 6
+        assert pushed_filter_count(st) == 0
