@@ -616,3 +616,55 @@ def test_dictionary_tag_matches_python_model(spark, docs, phrases):
             if hits:
                 want[(i, p)] = hits
     assert got == want
+
+
+def _morton_py(vals, bits):
+    z = 0
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * len(vals) + j)
+    return z
+
+
+@settings(**_SETTINGS)
+@given(pts=st.lists(st.tuples(st.integers(0, (1 << 16) - 1),
+                              st.integers(0, (1 << 16) - 1),
+                              st.integers(0, (1 << 16) - 1)),
+                    min_size=1, max_size=12))
+def test_zvalue_matches_reference_and_is_monotone(spark, pts):
+    from etl_excel_to_hyper_tableau_spark.plans.zorder import zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long, w long")
+    cols = [F.col("x"), F.col("y"), F.col("w")]
+    got = {(r["x"], r["y"], r["w"]): r["z"]
+           for r in df.withColumn("z", zvalue(cols, 16)).collect()}
+    for p in pts:
+        assert got[p] == _morton_py(p, 16)
+        # coordinate-wise monotone: clearing any set bit lowers z
+        for j, v in enumerate(p):
+            if v:
+                lower = list(p)
+                lower[j] = v >> 1
+                assert _morton_py(lower, 16) < got[p]
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 10**6),
+       dims=st.tuples(st.integers(1, 12), st.integers(1, 6)))
+def test_jl_matrix_portable_and_balanced(seed, dims):
+    import math
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        jl_matrix,
+    )
+
+    d, k = dims
+    a = jl_matrix(d, k, seed)
+    # deterministic (hash-derived, no RNG state) and exactly ±1/√k
+    assert a == jl_matrix(d, k, seed)
+    s = 1.0 / math.sqrt(float(k))
+    assert all(abs(v) == s for row in a for v in row)
+    # E[R_ik R_jk] = 0 sanity on a bigger draw: signs are not constant
+    flat = [v for row in jl_matrix(64, 8, seed) for v in row]
+    pos = sum(1 for v in flat if v > 0)
+    assert 0 < pos < len(flat)
