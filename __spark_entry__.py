@@ -3468,13 +3468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries in declaration order (CORRECTNESS_r01-r05 key
     # sets are exactly positions 1-50 of each round's registry).
     # Entries whose KERNEL OR ORACLE changed in the current round are
-    # pinned into the window via _R6_WINDOW below (the round-5 verdict
-    # process fix: a rewritten operator must never leave the window
-    # before the driver re-records its oracle diff); the rest of the
-    # window fills from the registry's standing order (round-5 window
-    # first, then archived-green rows).  Every registry entry also
-    # runs vs its oracle in `pytest -m full_oracle` regardless of
-    # window position.
+    # pinned into the window by their literal position in this dict
+    # (the round-5 verdict process fix: a rewritten operator must
+    # never leave the window before the driver re-records its oracle
+    # diff).  Round 8: all 17 round-8-changed/new entries sit in
+    # positions 0-49 (context_pairs, the finisher-split five,
+    # dictionary_tag, knn_graph, dsir_weights, quality_classifier,
+    # mmr_select, and the six layout/projection entries); the rest of
+    # the window fills from the standing order, archived-green rows
+    # after.  Every registry entry also runs vs its oracle in
+    # `pytest -m full_oracle` regardless of window position.
     reg = {
         # -- (1) first-ever oracle rows ------------------------------
         "embedding_whiten": q_embedding_whiten,
@@ -3500,14 +3503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "warc_extract": q_warc_extract,
         "kmv_set_ops": q_kmv_set_ops,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        # -- new in round 8 -------------------------------------------
+        # -- new OR kernel-changed in round 8 (mmr_select's driver-
+        # greedy rewrite keeps it in the 50-entry driver window) ------
         "bucketed_priority_census": q_bucketed_priority_census,
+        "mmr_select": q_mmr_select,
         "salted_join_census": q_salted_join_census,
         "partition_pruned_join": q_partition_pruned_join,
         "bucket_pruned_lookup": q_bucket_pruned_lookup,
         "embedding_project": q_embedding_project,
         "zorder_range_scan": q_zorder_range_scan,
+        # sorted_neighborhood: archived-green (r07), unchanged in r8 —
+        # yielded its window slot to the round-8 block above
+        "sorted_neighborhood": q_sorted_neighborhood,
         # -- new in round 6 -------------------------------------------
         "bucketed_join": q_bucketed_join,
         "dictionary_tag": q_dictionary_tag,
@@ -3516,7 +3523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         # -- (3) engine code changed in round 5 ----------------------
         "json_field_profile": q_json_field_profile,
-        "mmr_select": q_mmr_select,
         "label_noise": q_label_noise,
         "image_phash_dedup": q_image_phash_dedup,
         "audio_fp_dedup": q_audio_fp_dedup,
