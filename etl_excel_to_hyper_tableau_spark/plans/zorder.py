@@ -55,7 +55,9 @@ def normalize_to_bits(c: Column, lo: float, hi: float,
     Degenerate ranges (lo == hi) map to 0; NULLs map to 0 (they sort
     first, same as a parquet null-first stat)."""
     top = (1 << bits) - 1
-    if hi <= lo:
+    # None min/max (all-NULL column) degrades like a constant column:
+    # that dimension contributes nothing to the interleave
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     scaled = F.floor((c.cast("double") - F.lit(float(lo)))
                      / F.lit(float(hi - lo)) * F.lit(float(top)))

@@ -128,3 +128,15 @@ class TestStagedLayout:
                       & (F.col("l_partkey") <= 400))
         assert pushed_filter_count(q) == 6
         assert pushed_filter_count(st) == 0
+
+    def test_all_null_dimension_degrades_gracefully(self, spark,
+                                                    tmp_path):
+        df = spark.range(100).select(
+            F.col("id"),
+            F.lit(None).cast("double").alias("dead"),
+            (F.col("id") % 7).alias("live"))
+        path = str(tmp_path / "nulldim")
+        stage_zordered(df, path, ["dead", "live"], n_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 100
+        assert back.selectExpr("sum(id)").collect()[0][0] == 4950
