@@ -58,6 +58,26 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
     weakref.WeakKeyDictionary()
 
 
+_STAGED_ONCE: dict = {}
+
+
+def _stage_once(spark: SparkSession, name: str, sf_dir: str,
+                write) -> None:
+    """Run ``write()`` (a layout staging: bucketed table, partitioned
+    or z-ordered parquet) at most once per (session, staging, sf_dir).
+    The layout entries' docstrings say "staged ONCE" — this makes that
+    literal: repeated registry invocations in one session (bench warm
+    runs, parity sweeps) reuse the staging instead of re-paying the
+    write, and switching sf_dir re-stages because the content depends
+    on it.  Keyed by applicationId, not the session object: bucketed
+    TABLES live in the per-session in-memory catalog, so a new session
+    must re-create them even when the warehouse files survive."""
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    if key not in _STAGED_ONCE:
+        write()
+        _STAGED_ONCE[key] = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _TABLE_CACHE.get(spark)
     if per_session is None:
@@ -3169,13 +3189,15 @@ def q_bucketed_join(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    write_bucketed(li.select("l_orderkey", "l_quantity"),
-                   "bucketed_lineitem_demo", ["l_orderkey"], 8,
-                   sort_cols=["l_orderkey"])
-    write_bucketed(orders.select(F.col("o_orderkey").alias("l_orderkey"),
-                                 "o_orderpriority"),
-                   "bucketed_orders_demo", ["l_orderkey"], 8,
-                   sort_cols=["l_orderkey"])
+    _stage_once(spark, "bucketed_demo_pair", sf_dir, lambda: (
+        write_bucketed(li.select("l_orderkey", "l_quantity"),
+                       "bucketed_lineitem_demo", ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"]),
+        write_bucketed(orders.select(F.col("o_orderkey")
+                                     .alias("l_orderkey"),
+                                     "o_orderpriority"),
+                       "bucketed_orders_demo", ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"])))
     j = co_located_join(spark, "bucketed_lineitem_demo",
                         "bucketed_orders_demo", ["l_orderkey"],
                         force_sort_merge=True)
@@ -3208,10 +3230,12 @@ def q_partition_pruned_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     path = f"/tmp/spark_graft_dpp_orders_{tag}"
-    stage_partitioned(
-        orders.withColumn("o_month",
-                          F.date_format("o_orderdate", "yyyy-MM")),
-        path, ["o_month"])
+    _stage_once(spark, "dpp_orders", sf_dir, lambda:
+                stage_partitioned(
+                    orders.withColumn(
+                        "o_month",
+                        F.date_format("o_orderdate", "yyyy-MM")),
+                    path, ["o_month"]))
     fact = spark.read.parquet(path)
     li = _t(spark, sf_dir, "lineitem")
     dim = (li.filter((F.col("l_returnflag") == "R")
@@ -3271,10 +3295,11 @@ def q_bucket_pruned_lookup(spark, sf_dir):
         selected_buckets, write_bucketed,
     )
     orders = _t(spark, sf_dir, "orders")
-    write_bucketed(orders.select("o_custkey", "o_orderstatus",
-                                 "o_totalprice"),
-                   "bucketed_orders_lookup", ["o_custkey"], 8,
-                   sort_cols=["o_custkey"])
+    _stage_once(spark, "bucketed_orders_lookup", sf_dir, lambda:
+                write_bucketed(orders.select("o_custkey", "o_orderstatus",
+                                             "o_totalprice"),
+                               "bucketed_orders_lookup", ["o_custkey"], 8,
+                               sort_cols=["o_custkey"]))
     agg = (spark.table("bucketed_orders_lookup")
            .filter(F.col("o_custkey") == 1)
            .groupBy("o_custkey", "o_orderstatus")
@@ -3314,7 +3339,9 @@ def q_zorder_range_scan(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     path = f"/tmp/spark_graft_zorder_lineitem_{tag}"
-    stage_zordered(li, path, ["l_shipdate", "l_partkey"], n_files=16)
+    _stage_once(spark, "zorder_lineitem", sf_dir, lambda:
+                stage_zordered(li, path, ["l_shipdate", "l_partkey"],
+                               n_files=16))
     st = spark.read.parquet(path)
     q = st.filter((F.col("l_shipdate") >= "1996-03-01")
                   & (F.col("l_shipdate") < "1996-06-01")
@@ -3374,12 +3401,14 @@ def q_bucketed_priority_census(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    write_bucketed(li.select("l_orderkey", "l_shipdate", "l_returnflag"),
-                   "bucketed_lineitem_q12", ["l_orderkey"], 8,
-                   sort_cols=["l_orderkey"])
-    write_bucketed(orders.select("o_orderkey", "o_orderpriority"),
-                   "bucketed_orders_q12", ["o_orderkey"], 8,
-                   sort_cols=["o_orderkey"])
+    _stage_once(spark, "bucketed_q12_pair", sf_dir, lambda: (
+        write_bucketed(li.select("l_orderkey", "l_shipdate",
+                                 "l_returnflag"),
+                       "bucketed_lineitem_q12", ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"]),
+        write_bucketed(orders.select("o_orderkey", "o_orderpriority"),
+                       "bucketed_orders_q12", ["o_orderkey"], 8,
+                       sort_cols=["o_orderkey"])))
     bli = (spark.table("bucketed_lineitem_q12")
            .filter((F.col("l_shipdate") >= "1996-01-01")
                    & (F.col("l_shipdate") < "1997-01-01"))

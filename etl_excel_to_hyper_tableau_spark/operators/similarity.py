@@ -759,17 +759,25 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     scored = scored.persist()
     head = (scored.orderBy(F.desc("rel"), F.asc("id"))
             .limit(max_local + 1).collect())
+    # rel is NULL for a zero-norm vector (Spark's non-ANSI x/0.0 is
+    # NULL, not NaN; desc ordering puts the NULLs last, so dropping
+    # them cannot lose a genuine prefix row): exclude those rows HERE
+    # with the same semantics the distributed fallback's `rel >= thr`
+    # filter applies implicitly — cosine diversity to a zero vector is
+    # undefined, and a None rel would crash the Python prune/greedy
+    n_raw = len(head)
+    head = [r for r in head if r["rel"] is not None]
     top_rows = head[:k]
     thr = None
     if len(top_rows) == k:
         # same arithmetic (and the same doubles) as the oracle's
         # kr - 2(1-lam)/lam threshold CTE
         thr = top_rows[-1]["rel"] - 2.0 * (1.0 - float(lam)) / float(lam)
-    if len(head) <= max_local:
+    if n_raw <= max_local:
         # the whole corpus is in hand; the prune is a local filter
         surv = head if thr is None else [r for r in head
                                          if r["rel"] >= thr]
-    elif thr is not None and head[-1]["rel"] < thr:
+    elif thr is not None and (not head or head[-1]["rel"] < thr):
         # every row beyond the collected prefix has rel <= head[-1].rel
         # < thr — the survivor set is complete inside the prefix
         surv = [r for r in head if r["rel"] >= thr]
@@ -781,35 +789,45 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
         # floor; norms are cached per row (same doubles, the fold runs
         # once) so each round is one dot per (candidate × newest pick)
         lam_f, oml_f = float(lam), 1.0 - float(lam)
-        by_id = {int(r["id"]): ([float(x) for x in r["vec"]],
-                                float(r["rel"])) for r in surv}
-        norms = {i: _norm_py(v) for i, (v, _) in by_id.items()}
+        # POSITIONAL rows, not an id-keyed dict: duplicate ids must
+        # each stay a candidate (the distributed rounds score every
+        # row); id is only the tie-break key, position the last resort
+        rows = [(int(r["id"]), [float(x) for x in r["vec"]],
+                 float(r["rel"])) for r in surv]
+        norms = [_norm_py(v) for _, v, _ in rows]
+        # invariant: every survivor has non-NULL rel, which requires a
+        # nonzero vector norm (zero-norm rows were excluded with the
+        # distributed filter's NULL semantics above) — assert rather
+        # than let a violation surface as ZeroDivisionError
+        assert all(n != 0.0 for n in norms), \
+            "zero-norm survivor despite NULL-rel exclusion"
         picked: list[tuple] = []
         sel: list[tuple] = []          # (vec, norm) of selections
-        taken: set[int] = set()
-        maxsims: dict[int, float] = {}
+        taken: set[int] = set()        # positions
+        maxsims: dict[int, float] = {}  # position -> running max sim
         for r in range(1, k + 1):
             best = None
-            for i, (v, rel) in by_id.items():
-                if i in taken:
+            for p, (i, v, rel) in enumerate(rows):
+                if p in taken:
                     continue
                 if sel:
                     sv, sn = sel[-1]
-                    new = _dot_py(v, sv) / (norms[i] * sn)
-                    prev = maxsims.get(i)
+                    new = _dot_py(v, sv) / (norms[p] * sn)
+                    prev = maxsims.get(p)
                     maxsim = new if prev is None else max(prev, new)
-                    maxsims[i] = maxsim
+                    maxsims[p] = maxsim
                 else:
                     maxsim = 0.0
                 score = lam_f * rel - oml_f * maxsim
                 if (best is None or score > best[0]
-                        or (score == best[0] and i < best[1])):
-                    best = (score, i, rel, v)
+                        or (score == best[0]
+                            and (i, p) < (best[1], best[4]))):
+                    best = (score, i, rel, v, p)
             if best is None:
                 break
             picked.append((r, best[1], best[2], best[0]))
-            sel.append((best[3], norms[best[1]]))
-            taken.add(best[1])
+            sel.append((best[3], norms[best[4]]))
+            taken.add(best[4])
         scored.unpersist()
         return df.sparkSession.createDataFrame(
             picked, "rank long, id long, relevance double, mmr_score double")
@@ -1320,7 +1338,14 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
             import math
             n = c.count()
             planes = max(4, min(24, int(math.ceil(math.log2(max(n, 2) / 64.0)))))
-        left = c.withColumn("bucket", _sign_lsh_signature("vec", planes, dim))
+        # lazy localCheckpoint (the dsir_weights idiom): the valve's
+        # occupancy count below is the materializing action, so the
+        # signature projection runs ONCE and the candidate join's two
+        # sides read the checkpointed blocks instead of recomputing
+        # the plane folds over the corpus twice more
+        left = (c.withColumn("bucket",
+                             _sign_lsh_signature("vec", planes, dim))
+                .localCheckpoint(eager=False))
         # degenerate-corpus valve: identical-direction vectors share a
         # bucket at ANY plane count; candidate pairs are occupancy², so
         # an over-full bucket must refuse loudly, not run quadratic
@@ -1413,6 +1438,13 @@ def random_project(df: DataFrame, vec_col: str, id_col: str,
     fold the DuckDB oracle replays with ``list_reduce`` (a matmul's
     pairwise/SIMD accumulation order drifts in the last ulp).
 
+    Input contract: non-NULL, fixed-width vectors.  Violations are
+    refused loudly PER TASK (NULL rows always; ragged widths whenever
+    a batch mixes them — a map-only pass cannot see widths across
+    tasks, so a corpus ragged only across partition boundaries yields
+    per-task matrices of different widths instead of one global error;
+    validate width upstream if the source is untrusted).
+
     Output: ``id, vec (array<double>, length out_dim)``.
     """
     import numpy as np
@@ -1432,11 +1464,25 @@ def random_project(df: DataFrame, vec_col: str, id_col: str,
             n = len(pdf)
             if not n:
                 continue
+            # fail loudly on NULL or ragged vectors — an inhomogeneous
+            # np.asarray would otherwise surface as an opaque executor
+            # stack trace (the knn_graph valve doctrine)
+            has_null = any(v is None for v in pdf["__v__"])
+            widths = {len(v) for v in pdf["__v__"] if v is not None}
+            if has_null or len(widths) != 1:
+                raise ValueError(
+                    "random_project: NULL or ragged embedding rows "
+                    f"(widths seen: {sorted(widths)}); clean or filter "
+                    "the vector column first")
             x = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf["__v__"]])
             if r is None:
                 r = np.asarray(jl_matrix(x.shape[1], out_dim, seed),
                                dtype=np.float64)       # d×k
+            elif x.shape[1] != r.shape[0]:
+                raise ValueError(
+                    "random_project: embedding width changed mid-"
+                    f"stream ({r.shape[0]} → {x.shape[1]})")
             # ≤ ~32 MB of fold terms resident per step
             out = np.empty((n, out_dim), dtype=np.float64)
             step = max(1, (1 << 22) // (r.shape[0] * out_dim))

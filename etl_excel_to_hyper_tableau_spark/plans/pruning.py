@@ -44,8 +44,15 @@ def dpp_filter_count(df: DataFrame) -> int:
     ``dynamicpruningexpression`` subquery fed by the dim side at
     runtime.  (Counts ``PartitionFilters`` lines mentioning the
     expression, not raw substring hits — one pruning filter prints the
-    ``dynamicpruning`` token several times in a plan string.)"""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    ``dynamicpruning`` token several times in a plan string.)
+
+    Reads the plan with scan metadata un-truncated (plans/zorder.py's
+    ``_untruncated_plan``): the default 100-char metadata limit can cut
+    a multi-filter PartitionFilters list BEFORE the
+    dynamicpruningexpression token, under-counting real pruning."""
+    from .zorder import _untruncated_plan
+
+    plan = _untruncated_plan(df)
     return sum(1 for line in plan.splitlines()
                if "PartitionFilters" in line
                and "dynamicpruningexpression" in line)

@@ -100,6 +100,25 @@ def stage_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     return path
 
 
+def _untruncated_plan(df: DataFrame) -> str:
+    """Executed-plan string with scan metadata UN-truncated: the
+    default ``spark.sql.maxMetadataStringLength`` (100) cuts the
+    PushedFilters / PartitionFilters lists mid-entry, which silently
+    breaks any parser counting their contents.  The bare ``conf.get``
+    returns the EFFECTIVE value (set or built-in default), so the
+    restore is exact either way — ``conf.get(key, None)`` would return
+    None for an unset key and skip the restore, leaking the raised
+    limit into the session."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "100000")
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
+
+
 def pushed_filter_count(df: DataFrame) -> int:
     """Number of predicates pushed to ``df``'s (single-scan) parquet
     source — the audit that the filters actually reached the reader's
@@ -108,16 +127,7 @@ def pushed_filter_count(df: DataFrame) -> int:
     ``PushedFilters: [...]`` list of the executed plan."""
     import re
 
-    spark = df.sparkSession
-    key = "spark.sql.maxMetadataStringLength"
-    old = spark.conf.get(key, None)
-    try:
-        # the default (100) truncates the PushedFilters list mid-entry
-        spark.conf.set(key, "100000")
-        plan = df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        if old is not None:
-            spark.conf.set(key, old)
+    plan = _untruncated_plan(df)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if not m or not m.group(1).strip():
         return 0

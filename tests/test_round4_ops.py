@@ -831,3 +831,32 @@ def test_mmr_driver_greedy_equals_cluster_rounds(spark):
                        max_local=3).collect()
     assert [tuple(r) for r in local] == [tuple(r) for r in cluster]
     assert len(local) == 6
+
+
+def test_mmr_duplicate_ids_stay_distinct_candidates(spark):
+    """Two rows sharing an id must BOTH remain candidates in the
+    driver-side greedy (an id-keyed dict silently kept only one)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    rows = [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = mmr_topk(df, "emb", "id", [1.0, 0.0], k=3, lam=0.5).collect()
+    assert len(out) == 3                      # all three rows selected
+    assert sorted(r["id"] for r in out) == [1, 1, 2]
+
+
+def test_mmr_zero_norm_vector_excluded_like_distributed_filter(spark):
+    """A zero-norm vector's cosine is NULL (Spark non-ANSI x/0.0), and
+    the distributed rounds' `rel >= thr` filter drops NULLs silently —
+    the driver-side greedy must apply the SAME exclusion instead of
+    crashing on the Python division."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = mmr_topk(df, "emb", "id", [1.0, 0.0], k=3, lam=0.5).collect()
+    assert sorted(r["id"] for r in out) == [1, 3]   # id 2 excluded

@@ -120,3 +120,20 @@ class TestRandomProject:
         plan = (random_project(emb, "emb", "id", 16)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestRandomProjectValidation:
+    def test_null_embedding_refused_loudly(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None)], "id long, emb array<double>")
+        with pytest.raises(Exception, match="NULL or ragged"):
+            random_project(df, "emb", "id", 2).collect()
+
+    def test_ragged_embedding_refused_loudly(self, spark):
+        # enough interleaved widths that every Arrow batch sees both
+        # (the guard is per-task: a batch of homogeneous width passes)
+        rows = [(i, [1.0, 2.0] if i % 2 else [1.0, 2.0, 3.0])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, emb array<double>")
+        with pytest.raises(Exception, match="NULL or ragged"):
+            random_project(df, "emb", "id", 2).collect()
