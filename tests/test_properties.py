@@ -668,3 +668,51 @@ def test_jl_matrix_portable_and_balanced(seed, dims):
     flat = [v for row in jl_matrix(64, 8, seed) for v in row]
     pos = sum(1 for v in flat if v > 0)
     assert 0 < pos < len(flat)
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                      min_size=1, max_size=30))
+def test_connected_components_match_bruteforce(spark, edges):
+    from etl_excel_to_hyper_tableau_spark.operators.graph import (
+        connected_components,
+    )
+
+    # brute-force union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    ref = {}
+    for n in parent:
+        ref[n] = min(m for m in parent if find(m) == find(n))
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(keys=st.lists(st.integers(0, 5), min_size=0, max_size=25),
+       factor=st.integers(1, 5))
+def test_salted_join_equals_plain_join(spark, keys, factor):
+    from etl_excel_to_hyper_tableau_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)] or [(None, None)],
+        "k long, lv long").filter(F.col("k").isNotNull())
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, rv long")
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple,
+                        salted_join(left, right, "k",
+                                    salt_factor=factor).collect()))
+    assert salted == plain
