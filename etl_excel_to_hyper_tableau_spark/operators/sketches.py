@@ -376,16 +376,23 @@ def exact_quantiles(df: DataFrame, value_col: str,
     if n == 0:
         return df.sparkSession.createDataFrame(
             [], "q double, rank long, value double")
-    targets = {int(-(-q * n // 1)): q for q in sorted(qs)}  # ceil(q*n) -> q
+    # rank -> ALL quantiles that land on it: distinct q's collide on
+    # one rank whenever ceil(q1·n) == ceil(q2·n) (always at small n),
+    # and a plain rank->q dict silently dropped every colliding q but
+    # the last — the output contract is one row PER REQUESTED QUANTILE
+    targets: dict[int, list[float]] = {}
+    for q in sorted(set(qs)):
+        targets.setdefault(int(-(-q * n // 1)), []).append(float(q))
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("__pid__").orderBy(F.col("v").asc())
     rank = (off_map[F.col("__pid__")] + F.row_number().over(w)).cast("long")
     tgt = F.create_map(
-        *[F.lit(x) for k, q in targets.items() for x in (k, float(q))])
+        *[x for k, qlist in targets.items()
+          for x in (F.lit(k), F.array(*[F.lit(v) for v in qlist]))])
     return (vals.withColumn("rank", rank)
             .where(F.col("rank").isin(*targets.keys()))
-            .select(tgt[F.col("rank")].alias("q"), "rank",
+            .select(F.explode(tgt[F.col("rank")]).alias("q"), "rank",
                     F.col("v").cast("double").alias("value"))
             .orderBy("q"))
 

@@ -716,3 +716,43 @@ def test_salted_join_equals_plain_join(spark, keys, factor):
                         salted_join(left, right, "k",
                                     salt_factor=factor).collect()))
     assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.integers(-10**6, 10**6), min_size=1,
+                     max_size=60))
+def test_exact_quantiles_match_rank_definition(spark, vals):
+    import math
+
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles(df, "v", qs=(0.25, 0.5, 0.9)).collect()}
+    s = sorted(float(v) for v in vals)
+    for q in (0.25, 0.5, 0.9):
+        ref = s[max(1, math.ceil(q * len(s))) - 1]   # 1-based ceil rank
+        assert got[q] == ref
+
+
+@settings(**_SETTINGS)
+@given(keys=st.lists(st.sampled_from("abcdef"), min_size=1,
+                     max_size=50))
+def test_count_min_never_undercounts(spark, keys):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = count_min_build(df, "k", depth=3, width=16)
+    qdf = spark.createDataFrame([(k,) for k in set(keys)], "k string")
+    est = {r["key"]: r["est"]
+           for r in count_min_estimate(sk, qdf, "k",
+                                       depth=3, width=16).collect()}
+    truth = Counter(keys)
+    for k, n in truth.items():
+        assert est[k] >= n          # one-sided error guarantee
