@@ -756,3 +756,86 @@ def test_count_min_never_undercounts(spark, keys):
     truth = Counter(keys)
     for k, n in truth.items():
         assert est[k] >= n          # one-sided error guarantee
+
+
+_doc_text = st.text(alphabet="ab c.x\n", min_size=0, max_size=120)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_content_chunks_reconstruct_documents(spark, texts):
+    """Chunk spans must tile each document exactly: contiguous,
+    1-based, in order, covering every char — the invariant block-level
+    dedup relies on."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        content_chunks,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_chunks(df, "text", "doc_id", k=4, mask_bits=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, t in rows:
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not t:
+            assert chunks == []
+            continue
+        assert [c["chunk_idx"] for c in chunks] == list(
+            range(1, len(chunks) + 1))
+        pos = 1
+        for c in chunks:
+            assert c["start_char"] == pos
+            pos += c["length"]
+        assert pos - 1 == len(t)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="ab  c", min_size=0, max_size=30),
+                      min_size=1, max_size=10),
+       window=st.integers(1, 7))
+def test_pack_sequences_tile_the_token_stream(spark, texts, window):
+    """Laid end-to-end in id order, every document's window span must
+    match the running token offsets — no token lost or double-packed."""
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           pack_sequences(df, "text", "id",
+                          window_tokens=window).collect()}
+    offset = 0
+    for i, t in rows:
+        n = len(t.split())
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == offset
+        assert r["start_window"] == offset // window
+        assert r["offset_in_window"] == offset % window
+        if n:
+            assert r["end_window"] == (offset + n - 1) // window
+        offset += n
+
+
+@settings(**_SETTINGS)
+@given(pairs=st.lists(st.tuples(st.sampled_from(["a.com", "b.org", "c.io"]),
+                                st.integers(0, 10**6)),
+                      min_size=1, max_size=40, unique_by=lambda p: p[1]),
+       cap=st.integers(1, 6))
+def test_domain_cap_never_exceeds_cap_and_keeps_under_cap_domains_whole(
+        spark, pairs, cap):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.web import domain_cap
+
+    df = spark.createDataFrame(pairs, "domain string, id long")
+    kept = domain_cap(df, "domain", "id", cap=cap).collect()
+    truth = Counter(d for d, _ in pairs)
+    got = Counter(r["domain"] for r in kept)
+    for d, n in truth.items():
+        assert got[d] == min(n, cap)
+    for r in kept:
+        assert 1 <= r["domain_rank"] <= cap
