@@ -839,3 +839,89 @@ def test_domain_cap_never_exceeds_cap_and_keeps_under_cap_domains_whole(
         assert got[d] == min(n, cap)
     for r in kept:
         assert 1 <= r["domain_rank"] <= cap
+
+
+@settings(**_SETTINGS)
+@given(text=st.text(alphabet="abcab", min_size=0, max_size=80))
+def test_winnow_guarantee_one_fingerprint_per_window(spark, text):
+    """Winnowing's defining guarantee (SIGMOD'03): every window of w
+    consecutive k-gram hashes contributes at least one selected
+    fingerprint — verified against a brute-force rolling min."""
+    import hashlib
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    def md5_int64_py(s):
+        # Python replay of functions.hashing.md5_int64 (60-bit)
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    k, w = 4, 3
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    grams = [text[i:i + k] for i in range(max(0, len(text) - k + 1))]
+    hashes = [md5_int64_py(g) for g in grams]
+    if not hashes:
+        assert row == [] or row[0]["n_fps"] == 0
+        return
+    fps = set(row[0]["fingerprints"])
+    assert row[0]["n_grams"] == len(hashes)
+    if len(hashes) <= w:
+        assert fps == {min(hashes)}
+        return
+    for i in range(len(hashes) - w + 1):
+        assert fps & set(hashes[i:i + w]), f"window {i} unrepresented"
+    assert fps <= set(hashes)
+
+
+@settings(**_SETTINGS)
+@given(groups=st.lists(st.integers(0, 9), min_size=1, max_size=40))
+def test_group_split_is_leakage_free_and_total(spark, groups):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        group_split,
+    )
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "id long, grp long")
+    out = group_split(df, F.col("grp"),
+                      {"train": 0.8, "eval": 0.2}).collect()
+    assert len(out) == len(rows)                      # total
+    by_group = {}
+    for r in out:
+        assert r["split"] in ("train", "eval")
+        by_group.setdefault(r["group_key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # leakage-free
+
+
+@settings(**_SETTINGS)
+@given(log=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                              st.sampled_from("xyz")),
+                    min_size=1, max_size=30,
+                    unique_by=lambda r: (r[0], r[1])))
+def test_scd2_intervals_tile_each_key_history(spark, log):
+    """Per key: intervals are change-points only, contiguous
+    (valid_to == next valid_from), exactly one current row, and the
+    attribute actually changed at every boundary."""
+    from etl_excel_to_hyper_tableau_spark.operators.cdc import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(log, "k long, ts long, attr string")
+    out = scd2_intervals(df, "k", "ts", ["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    keys = {k for k, _, _ in log}
+    assert set(by_key) == keys
+    for k in keys:
+        hist = sorted(by_key[k], key=lambda r: r["valid_from"])
+        # reference: change points of the ts-ordered log
+        versions = sorted(((t, a) for kk, t, a in log if kk == k))
+        ref = [(t, a) for i, (t, a) in enumerate(versions)
+               if i == 0 or a != versions[i - 1][1]]
+        assert [(r["valid_from"], r["attr"]) for r in hist] == ref
+        for prev, nxt in zip(hist, hist[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+        assert hist[-1]["valid_to"] is None and hist[-1]["is_current"]
+        assert all(not r["is_current"] for r in hist[:-1])
