@@ -925,3 +925,76 @@ def test_scd2_intervals_tile_each_key_history(spark, log):
             assert prev["valid_to"] == nxt["valid_from"]
         assert hist[-1]["valid_to"] is None and hist[-1]["is_current"]
         assert all(not r["is_current"] for r in hist[:-1])
+
+
+@settings(**_SETTINGS)
+@given(ev=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10**5)),
+                   min_size=1, max_size=40,
+                   unique_by=lambda e: (e[0], e[1])))
+def test_sessionize_matches_gap_rule_bruteforce(spark, ev):
+    import datetime
+
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        sessionize_batch,
+    )
+
+    gap_min = 30
+    rows = [(u, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=s)) for u, s in ev]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted((r["user_id"], r["n_events"],
+                  r["session_start"], r["session_end"])
+                 for r in sessionize_batch(df, gap_minutes=gap_min)
+                 .collect())
+    # brute force: sort each user's events, split on gap > 30 min
+    ref = []
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        sess = [[ts[0]]]
+        for a, b in zip(ts, ts[1:]):
+            if (b - a).total_seconds() > gap_min * 60:
+                sess.append([b])
+            else:
+                sess[-1].append(b)
+        ref.extend((u, len(s), s[0], s[-1]) for s in sess)
+    assert got == sorted(ref)
+
+
+@settings(**_SETTINGS)
+@given(obs=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 72),
+                              st.integers(-100, 100)),
+                    min_size=1, max_size=25,
+                    unique_by=lambda o: (o[0], o[1])))
+def test_resample_ffill_matches_bruteforce_grid(spark, obs):
+    import datetime
+
+    from etl_excel_to_hyper_tableau_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(k, base + datetime.timedelta(minutes=17 * m), float(v))
+            for k, m, v in obs]
+    df = spark.createDataFrame(rows, "k long, t timestamp, v double")
+    got = {(r["k"], r["grid_ts"]): r["v"]
+           for r in resample_ffill(df, "k", "t", "v",
+                                   step="1 hour").collect()}
+    by_key = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    ref = {}
+    for k, pts in by_key.items():
+        pts.sort()
+        lo = pts[0][0].replace(minute=0, second=0, microsecond=0)
+        g = lo
+        while g <= pts[-1][0]:
+            last = None
+            for t, v in pts:
+                if t <= g:
+                    last = v
+            ref[(k, g)] = last
+            g += datetime.timedelta(hours=1)
+    assert got == ref
