@@ -998,3 +998,43 @@ def test_resample_ffill_matches_bruteforce_grid(spark, obs):
             ref[(k, g)] = last
             g += datetime.timedelta(hours=1)
     assert got == ref
+
+
+_span_word = st.sampled_from(["a", "b", "c", "d"])
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(_span_word, min_size=0, max_size=14),
+                     min_size=1, max_size=5),
+       span=st.integers(2, 4))
+def test_dup_span_removal_matches_bruteforce_excision(spark, docs, span):
+    """ExactSubstr reference semantics: every L-token window duplicated
+    anywhere in the corpus is excised from all occurrences except the
+    corpus-wide first (smallest (doc_id, start)); docs rebuild from
+    surviving tokens."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+           for r in dup_span_removal(df, "text", "doc_id",
+                                     span_tokens=span).collect()}
+
+    # brute force
+    occ = {}   # span text -> list[(doc, start)]
+    for i, toks in enumerate(docs):
+        for s in range(max(0, len(toks) - span + 1)):
+            occ.setdefault(" ".join(toks[s:s + span]),
+                           []).append((i, s))
+    removed = {i: set() for i in range(len(docs))}
+    for _, places in occ.items():
+        if len(places) > 1:
+            places.sort()
+            for d, s in places[1:]:            # losers only
+                removed[d].update(range(s, s + span))
+    for i, toks in enumerate(docs):
+        keep = [t for p, t in enumerate(toks) if p not in removed[i]]
+        assert got[i] == (len(toks), len(removed[i]), " ".join(keep)), \
+            (i, docs, span)
