@@ -1038,3 +1038,49 @@ def test_dup_span_removal_matches_bruteforce_excision(spark, docs, span):
         keep = [t for p, t in enumerate(toks) if p not in removed[i]]
         assert got[i] == (len(toks), len(removed[i]), " ".join(keep)), \
             (i, docs, span)
+
+
+@settings(**_SETTINGS)
+@given(text=st.text(alphabet="abcd", min_size=0, max_size=40))
+def test_minhash_and_simhash_match_python_replay(spark, text):
+    """Signature arithmetic replayed bit-for-bit in Python: distinct
+    3-gram md5s reduced to 31 bits, k permutation mins mod M61; simhash
+    as the 60-bit majority vote."""
+    import hashlib
+
+    from etl_excel_to_hyper_tableau_spark.functions.hashing import (
+        MERSENNE61, md5_int64, minhash_signature, perm_constants,
+        simhash_from_hashes,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        minhash_signature(F.col("t"), k=4, n=3).alias("mh"),
+        simhash_from_hashes(
+            F.transform(F.split(F.col("t"), " "),
+                        lambda w: md5_int64(w))).alias("sh")).collect()[0]
+
+    grams = []
+    for i in range(max(0, len(text) - 2)):
+        g = text[i:i + 3]
+        if g not in grams:
+            grams.append(g)
+    hs = [h60(g) % (1 << 31) for g in grams]
+    if hs:
+        ref_mh = [min((h * a + b) % MERSENNE61 for h in hs)
+                  for a, b in perm_constants(4)]
+        assert list(row["mh"]) == ref_mh
+    else:
+        assert row["mh"] is None or all(v is None for v in row["mh"])
+
+    toks = text.split(" ")
+    th = [h60(t) for t in toks]
+    ref_sh = 0
+    for j in range(60):
+        votes = sum(1 if (x >> j) & 1 else -1 for x in th)
+        if votes > 0:
+            ref_sh |= 1 << j
+    assert row["sh"] == ref_sh
