@@ -816,8 +816,11 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
     partial aggregation has nothing to combine for the df count
     either way).  The N scalar is a broadcast one-row cross join.
     Final per-doc top-k is a window bounded by the document's own
-    distinct-term count.  ``ln`` is IEEE libm on both engines —
-    bit-identical for the same double inputs.
+    distinct-term count.  ``ln`` is NOT bit-portable across engines
+    (JVM Math.log and glibc log differ in the last ulp for some
+    inputs — e.g. log(3.0); measured by the property test) — the
+    round-6 contract projection absorbs that, and integer (tf, df)
+    gaps dwarf one ulp so rankings cannot flip.
 
     Output: ``id, term, tf, df, score, rank`` (rank ≤ k; ties → term asc).
     """

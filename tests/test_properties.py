@@ -1172,3 +1172,90 @@ def test_event_transitions_match_bigram_counts(spark, ev):
         best = max(((n, b) for (x, b), n in ref.items() if x == a),
                    key=lambda t: (t[0], [-ord(c) for c in t[1]]))
         assert any(k[0] == a for k in got)
+
+
+@settings(**_SETTINGS)
+@given(ev=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500),
+                             st.sampled_from(["view", "click", "buy"])),
+                   min_size=1, max_size=40,
+                   unique_by=lambda e: (e[0], e[1])))
+def test_funnel_matches_earliest_chain_bruteforce(spark, ev):
+    import datetime
+
+    from etl_excel_to_hyper_tableau_spark.streaming.events import funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(minutes=m), typ, 10 * u + i)
+            for i, (u, m, typ) in enumerate(ev)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "event_id long")
+    steps = ["view", "click", "buy"]
+    within = 60
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"],
+                          r["steps_completed"])
+           for r in funnel(df, steps, within_minutes=within).collect()}
+
+    by_user = {}
+    for u, t, typ, _ in rows:
+        by_user.setdefault(u, []).append((t, typ))
+    ref = {}
+    for u, seq in by_user.items():
+        views = sorted(t for t, typ in seq if typ == "view")
+        if not views:
+            continue
+        t1 = views[0]
+        deadline = t1 + datetime.timedelta(minutes=within)
+        chain = [t1]
+        cur = t1
+        for s in steps[1:]:
+            nxt = sorted(t for t, typ in seq
+                         if typ == s and t > cur and t <= deadline)
+            if not nxt:
+                break
+            cur = nxt[0]
+            chain.append(cur)
+        ref[u] = (chain[0],
+                  chain[1] if len(chain) > 1 else None,
+                  chain[2] if len(chain) > 2 else None,
+                  len(chain))
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(st.sampled_from("uvwxy"),
+                              min_size=1, max_size=10),
+                     min_size=1, max_size=6))
+def test_tfidf_matches_formula_bruteforce(spark, docs):
+    import math
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import tfidf_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # k >= vocab so every (doc, term) row comes back and the ranking
+    # can be verified against the full candidate set
+    out = tfidf_topk(df, "text", "doc_id", k=10).collect()
+    n = len(docs)
+    dfreq = Counter()
+    for toks in docs:
+        for t in set(toks):
+            dfreq[t] += 1
+    by_doc = {}
+    for r in out:
+        toks = docs[r["id"]]
+        tf = Counter(toks)[r["term"]]
+        assert r["tf"] == tf and r["df"] == dfreq[r["term"]]
+        # JVM Math.log and glibc log can differ in the last ulp —
+        # tolerance compare (the oracle contract rounds to 6)
+        ref = tf * math.log((n + 1) / (dfreq[r["term"]] + 1))
+        assert abs(r["score"] - ref) < 1e-9
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, toks in enumerate(docs):
+        rs = sorted(by_doc[i], key=lambda r: r["rank"])
+        assert {r["term"] for r in rs} == set(toks)   # all terms ranked
+        # ranks ordered by (score desc, term asc) over the OPERATOR's
+        # own scores (ULP-exact internal consistency)
+        ordered = sorted(rs, key=lambda r: (-r["score"], r["term"]))
+        assert [r["term"] for r in ordered] == [r["term"] for r in rs]
