@@ -1259,3 +1259,78 @@ def test_tfidf_matches_formula_bruteforce(spark, docs):
         # own scores (ULP-exact internal consistency)
         ordered = sorted(rs, key=lambda r: (-r["score"], r["term"]))
         assert [r["term"] for r in ordered] == [r["term"] for r in rs]
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 2)),
+                     min_size=1, max_size=30),
+       k=st.integers(2, 5))
+def test_k_anonymity_report_flags_exactly_the_small_groups(spark, rows,
+                                                           k):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(rows, "zip string, age long")
+    got = {(r["zip"], r["age"]): r["group_size"]
+           for r in k_anonymity_report(df, ["zip", "age"], k=k).collect()}
+    truth = Counter(rows)
+    ref = {g: n for g, n in truth.items() if n < k}
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.sampled_from("pqrs"), min_size=1, max_size=40))
+def test_key_skew_report_matches_counter(spark, vals):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    out = key_skew_report(df, "k", topk=2).collect()
+    truth = Counter(vals)
+    total, nkeys = len(vals), len(truth)
+    ref = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:2]
+    assert [(r["key_value"], r["n_rows"]) for r in
+            sorted(out, key=lambda r: r["rank"])] == ref
+    for r in out:
+        n = truth[r["key_value"]]
+        assert abs(r["share"] - n / total) < 1e-12
+        assert abs(r["hot_factor"] - n * nkeys / total) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(ev=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                   min_size=1, max_size=40,
+                   unique_by=lambda e: (e[0], e[1])))
+def test_cohort_retention_matches_bruteforce(spark, ev):
+    import datetime
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        cohort_retention,
+    )
+
+    base = datetime.datetime(2024, 1, 1)   # a Monday
+    rows = [(u, base + datetime.timedelta(days=d)) for u, d in ev]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(df).collect()}
+
+    def week(t):
+        return (t - datetime.timedelta(days=t.weekday())) \
+            .replace(hour=0, minute=0, second=0, microsecond=0)
+
+    first = {}
+    for u, t in rows:
+        first[u] = min(first.get(u, t), t)
+    active = {(u, week(t)) for u, t in rows}
+    ref = Counter()
+    for u, w in active:
+        cw = week(first[u])
+        ref[(cw, (w - cw).days // 7)] += 1
+    assert got == dict(ref)
