@@ -1334,3 +1334,31 @@ def test_cohort_retention_matches_bruteforce(spark, ev):
         cw = week(first[u])
         ref[(cw, (w - cw).days // 7)] += 1
     assert got == dict(ref)
+
+
+_pii_atom = st.sampled_from([
+    "hello", "a.b@x.io", "JOHN_99@mail-srv.co.uk", "555-123-4567",
+    "+1 555 123 4567", "123456789", "12345678901", "12.5", "x@y",
+    "call 303.555.0100 now", "id:987654321x", "a@b.c", "...",
+])
+
+
+@settings(**_SETTINGS)
+@given(parts=st.lists(_pii_atom, min_size=0, max_size=6))
+def test_pii_redact_matches_python_re_replay(spark, parts):
+    """Same pattern list replayed through Python `re` in the same
+    order — guards the Java-regex vs PCRE divergence class (\\b, {m,},
+    character-class subtleties) on realistic composites."""
+    import re
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        PII_PATTERNS, pii_redact,
+    )
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(pii_redact(F.col("t")).alias("r")).collect()[0]["r"]
+    ref = text
+    for _, pat, token in PII_PATTERNS:
+        ref = re.sub(pat, token, ref)
+    assert got == ref, (text,)
