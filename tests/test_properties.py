@@ -1362,3 +1362,56 @@ def test_pii_redact_matches_python_re_replay(spark, parts):
     for _, pat, token in PII_PATTERNS:
         ref = re.sub(pat, token, ref)
     assert got == ref, (text,)
+
+
+def _bucket_py(salt, rid):
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{rid}".encode()).hexdigest()[:15], 16)
+    return h % 10000
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40,
+                    unique=True),
+       w=st.integers(1, 99))
+def test_split_assignment_matches_bucket_replay_and_is_stable(spark, ids,
+                                                              w):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        hash_split,
+    )
+
+    splits = {"train": w / 100.0, "test": 1.0 - w / 100.0}
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["split"]
+           for r in hash_split(df, "id", splits).collect()}
+    edge = round(splits["train"] * 10000)
+    for i in ids:
+        ref = "train" if _bucket_py("split", i) < edge else "test"
+        assert got[i] == ref
+    # stability: a second run (different partitioning) agrees exactly
+    got2 = {r["id"]: r["split"]
+            for r in hash_split(df.repartition(7), "id",
+                                splits).collect()}
+    assert got2 == got
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 10**6),
+                               st.sampled_from("AB")),
+                     min_size=1, max_size=40,
+                     unique_by=lambda r: r[0]),
+       fa=st.integers(0, 100))
+def test_stratified_sample_membership_replay(spark, rows, fa):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    fractions = {"A": fa / 100.0}          # B uses default 0.0
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = {r["id"] for r in
+            stratified_sample(df, "id", "s", fractions).collect()}
+    thr = round(fractions["A"] * 10000)
+    ref = {i for i, s in rows
+           if s == "A" and _bucket_py("sample", i) < thr}
+    assert kept == ref
