@@ -1415,3 +1415,60 @@ def test_stratified_sample_membership_replay(spark, rows, fa):
     ref = {i for i, s in rows
            if s == "A" and _bucket_py("sample", i) < thr}
     assert kept == ref
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 10**6),
+                               st.sampled_from("AB")),
+                     min_size=1, max_size=30,
+                     unique_by=lambda r: r[0]),
+       tenths=st.integers(0, 34))
+def test_upsample_epochs_copy_counts_replay(spark, rows, tenths):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    e = tenths / 10.0                        # epochs for stratum A
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = upsample_epochs(df, "id", "s", {"A": e},
+                          default=1.0).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], []).append(r["epoch"])
+    full, frac_buckets = int(e), int(round((e - int(e)) * 10000))
+    for i, s in rows:
+        if s == "B":
+            expect = 1
+        else:
+            expect = full + (1 if _bucket_py("epoch", i) < frac_buckets
+                             else 0)
+        copies = sorted(got.get(i, []))
+        assert len(copies) == expect, (i, s, e)
+        assert copies == list(range(expect))   # 0-based epoch index
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(st.sampled_from("mnop"),
+                              min_size=0, max_size=8),
+                     min_size=1, max_size=6))
+def test_bigram_lm_matches_bruteforce_counts(spark, docs):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        bigram_lm_topk,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_topk(df, "text", "doc_id", topk=10).collect()
+    ref = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            ref[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in ref.items():
+        totals[a] += n
+    got = {(r["w1"], r["w2"]): (r["cnt"], r["w1_total"]) for r in out}
+    assert got == {k: (n, totals[k[0]]) for k, n in ref.items()}
+    for r in out:
+        assert abs(r["p"] - r["cnt"] / r["w1_total"]) < 1e-12
