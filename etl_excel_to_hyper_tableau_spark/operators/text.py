@@ -217,6 +217,11 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     comparisons).  Bigrams are positional pairs from the same token
     array, counted the same way.  All ratios are int/int divisions in
     IEEE double — bit-identical in any engine.
+
+    Zero-token documents emit NO row (the token explode has nothing to
+    aggregate): a document with no tokens has no repetition to gate on
+    and fails any minimal-length filter upstream anyway — join this
+    profile back LEFT and treat missing as "no signal", not "clean".
     """
     base = spread(df).select(F.col(id_col).alias("id"),
                              tokens(F.col(text_col)).alias("__toks__"))

@@ -1472,3 +1472,36 @@ def test_bigram_lm_matches_bruteforce_counts(spark, docs):
     assert got == {k: (n, totals[k[0]]) for k, n in ref.items()}
     for r in out:
         assert abs(r["p"] - r["cnt"] / r["w1_total"]) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(st.sampled_from("gh"),
+                              min_size=0, max_size=12),
+                     min_size=1, max_size=6))
+def test_repetition_profile_matches_bruteforce_ratios(spark, docs):
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        repetition_profile,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           repetition_profile(df, "text", "doc_id").collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        if n == 0:
+            # contract: zero-token docs emit no row (see docstring)
+            assert i not in got
+            continue
+        r = got[i]
+        cnt = Counter(toks)
+        assert r["dup_token_frac"] == 1.0 - len(cnt) / n
+        assert r["top_token_frac"] == max(cnt.values()) / n
+        bigrams = list(zip(toks, toks[1:]))
+        if len(toks) < 2:
+            assert r["dup_bigram_frac"] == 0.0
+        else:
+            assert r["dup_bigram_frac"] == \
+                1.0 - len(set(bigrams)) / len(bigrams)
