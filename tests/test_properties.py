@@ -1505,3 +1505,74 @@ def test_repetition_profile_matches_bruteforce_ratios(spark, docs):
         else:
             assert r["dup_bigram_frac"] == \
                 1.0 - len(set(bigrams)) / len(bigrams)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.sampled_from("AB"),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=30))
+def test_robust_anomalies_match_median_mad_bruteforce(spark, rows):
+    import math
+
+    from etl_excel_to_hyper_tableau_spark.streaming.events import (
+        robust_value_anomalies,
+    )
+
+    data = [(k, i, float(v)) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key string, id long, v double")
+    got = {(r["key"], r["id"]): (r["med"], r["mad"], r["rscore"])
+           for r in robust_value_anomalies(df, "key", "v", "id",
+                                           z=1.0).collect()}
+
+    def disc_median(xs):  # rank-ceil(n/2) over (value, id) order
+        xs = sorted(xs)
+        return xs[math.ceil(len(xs) / 2) - 1]
+
+    ref = {}
+    by_key = {}
+    for k, i, v in data:
+        by_key.setdefault(k, []).append((i, v))
+    for k, pts in by_key.items():
+        med = disc_median([(v, i) for i, v in pts])[0]
+        mad = disc_median([(abs(v - med), i) for i, v in pts])[0]
+        if mad <= 0:
+            continue   # constant-majority keys flag nothing
+        for i, v in pts:
+            sc = 0.6745 * (v - med) / mad
+            if abs(sc) > 1.0:
+                ref[(k, i)] = (med, mad, sc)
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k][0] == ref[k][0] and got[k][1] == ref[k][1]
+        assert abs(got[k][2] - ref[k][2]) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.integers(-100, 100), min_size=0, max_size=40),
+       bins=st.integers(2, 8))
+def test_histogram_sketch_cells_match_bruteforce(spark, vals, bins):
+    import math
+
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals] or
+                               [(None,)], "v double")
+    cells = histogram_sketch(df.where(F.col("v").isNotNull()),
+                             "v", bins=bins).collect()
+    if not vals:
+        assert cells == []
+        return
+    lo, hi, n = min(vals), max(vals), len(vals)
+    ref = {}
+    for v in vals:
+        if hi > lo:
+            b = min(bins - 1, int(math.floor((v - lo) / (hi - lo) * bins)))
+        else:
+            b = 0
+        ref[b] = ref.get(b, 0) + 1
+    got = {r["bin"]: r["cnt"] for r in cells}
+    assert got == ref
+    for r in cells:
+        assert (r["lo"], r["hi"], r["n"]) == (float(lo), float(hi), n)
