@@ -138,7 +138,14 @@ def domain_cap(df: DataFrame, domain_col: str, id_col: str, cap: int,
 _TRACKING_PARAM_RE = (
     r"[?&](?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=[^&#]*")
 _SCHEME_HOST_RE = r"^[^/?#]*://[^/?#]*"
-_DEFAULT_PORT_RE = r"^(https?://[^/:?#]+):(?:80|443)([/?#].*)?$"
+# the default port is SCHEME-SPECIFIC: :80 is default only for http,
+# :443 only for https — http://host:443 is a DIFFERENT resource than
+# http://host and must not canonicalize onto it (an either-scheme
+# alternation here silently merged them; caught by the property test).
+# Java's regexp_replace substitutes unmatched groups as empty, so the
+# two-branch form rebuilds with $1$2$3.
+_DEFAULT_PORT_RE = (r"^(?:(http://[^/:?#]+):80|(https://[^/:?#]+):443)"
+                    r"([/?#].*)?$")
 
 
 def canonicalize_url(url_col: Column) -> Column:
@@ -163,7 +170,7 @@ def canonicalize_url(url_col: Column) -> Column:
     u = F.concat(
         F.lower(F.regexp_extract(u, "^(" + _SCHEME_HOST_RE[1:] + ")", 1)),
         F.regexp_replace(u, _SCHEME_HOST_RE, ""))
-    u = F.regexp_replace(u, _DEFAULT_PORT_RE, r"$1$2")       # 3
+    u = F.regexp_replace(u, _DEFAULT_PORT_RE, r"$1$2$3")     # 3
     # 4: each tracking param is stripped WITH its leading separator;
     #    if the first surviving param lost its '?', restore it, then
     #    drop a dangling trailing separator

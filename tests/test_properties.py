@@ -1576,3 +1576,106 @@ def test_histogram_sketch_cells_match_bruteforce(spark, vals, bins):
     assert got == ref
     for r in cells:
         assert (r["lo"], r["hi"], r["n"]) == (float(lo), float(hi), n)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.sampled_from("AB"),
+                               st.integers(0, 9),      # quality
+                               st.integers(1, 20)),    # size
+                     min_size=1, max_size=30),
+       budget=st.integers(1, 60))
+def test_budget_select_matches_greedy_prefix(spark, rows, budget):
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        budget_select,
+    )
+
+    data = [(i, s, float(q), n) for i, (s, q, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, s string, q double, n long")
+    got = {r["id"]: r["cum_size"]
+           for r in budget_select(df, "s", "q", "n", "id",
+                                  budget=budget).collect()}
+    ref = {}
+    for stratum in {s for _, s, _, _ in data}:
+        items = sorted(((q, i, n) for i, s, q, n in data if s == stratum),
+                       key=lambda t: (-t[0], t[1]))
+        cum = 0
+        for q, i, n in items:
+            cum += n
+            if cum > budget:
+                break
+            ref[i] = cum
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40,
+                    unique=True),
+       n_shards=st.integers(1, 4))
+def test_training_order_is_the_hash_permutation(spark, ids, n_shards):
+    import hashlib
+
+    from etl_excel_to_hyper_tableau_spark.operators.packing import (
+        training_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: (r["rank"], r["shard"], r["pos"]) for r in
+           training_order(df, "id", n_shards=n_shards).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"shuffle:{i}".encode())
+                   .hexdigest()[:15], 16)
+
+    order = sorted(ids, key=lambda i: (h(i), i))
+    for pos, i in enumerate(order):
+        rank = pos + 1
+        assert got[i] == (rank, pos % n_shards, pos // n_shards), \
+            (ids, n_shards)
+
+
+_url_parts = st.tuples(
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    st.sampled_from(["Example.COM", "a.b.io", "X-1.net"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/Path/One", "/p"]),
+    st.sampled_from(["", "?a=1", "?utm_source=x", "?a=1&utm_medium=y",
+                     "?utm_campaign=z&b=2", "?gclid=g&a=1&fbclid=f"]),
+    st.sampled_from(["", "#frag", "#a/b?c"]))
+
+
+@settings(**_SETTINGS)
+@given(parts=_url_parts)
+def test_canonicalize_url_matches_python_reference(spark, parts):
+    """RFC 3986 §6 normalization replayed in plain Python — guards the
+    regexp-chain semantics (fragment strip, case, default ports,
+    tracking-param strip with separator repair, bare-slash drop)."""
+    import re
+
+    from etl_excel_to_hyper_tableau_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    scheme, host, port, path, query, frag = parts
+    url = f"{scheme}://{host}{port}{path}{query}{frag}"
+    df = spark.createDataFrame([(url,)], "u string")
+    got = df.select(canonicalize_url(F.col("u")).alias("c")) \
+        .collect()[0]["c"]
+
+    # reference
+    u = url.split("#", 1)[0]
+    sch = scheme.lower()
+    h = host.lower()
+    p = port
+    if (sch == "http" and p == ":80") or (sch == "https" and p == ":443"):
+        p = ""
+    rest = path
+    q = query
+    if q:
+        params = q[1:].split("&")
+        keep = [x for x in params
+                if not re.match(r"^(utm_[a-z]+|gclid|fbclid)=", x)]
+        q = ("?" + "&".join(keep)) if keep else ""
+    ref = f"{sch}://{h}{p}{rest}{q}"
+    if rest == "/" and not q:
+        ref = f"{sch}://{h}{p}"
+    assert got == ref, (url,)
