@@ -1679,3 +1679,32 @@ def test_canonicalize_url_matches_python_reference(spark, parts):
     if rest == "/" and not q:
         ref = f"{sch}://{h}{p}"
     assert got == ref, (url,)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.sampled_from("ABC"),
+                               st.integers(1, 100)),
+                     min_size=1, max_size=25))
+def test_mixture_weights_alpha_half_formula(spark, rows):
+    import math
+
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(rows, "s string, n long")
+    out = {r["stratum"]: r for r in
+           mixture_weights(df, "s", F.col("n")).collect()}
+    totals = {}
+    for s, n in rows:
+        totals[s] = totals.get(s, 0) + n
+    tot = sum(totals.values())
+    tot_a = sum(math.sqrt(float(n)) for n in totals.values())
+    for s, n in totals.items():
+        r = out[s]
+        assert r["n_items"] == n
+        assert abs(r["share"] - n / tot) < 1e-12
+        assert abs(r["weight"] - math.sqrt(float(n)) / tot_a) < 1e-12
+        assert abs(r["boost"] - r["weight"] / r["share"]) < 1e-12
+    # weights are a distribution
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-9
