@@ -1708,3 +1708,40 @@ def test_mixture_weights_alpha_half_formula(spark, rows):
         assert abs(r["boost"] - r["weight"] / r["share"]) < 1e-12
     # weights are a distribution
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(corpus=st.lists(st.tuples(st.integers(1, 9), st.integers(1, 9),
+                                 st.integers(0, 1)),
+                       min_size=2, max_size=20),
+       q=st.tuples(st.integers(1, 9), st.integers(1, 9),
+                   st.integers(0, 1)))
+def test_hard_negatives_are_nearest_other_label(spark, corpus, q):
+    import numpy as np
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    crows = [(i, [float(x), float(y)], lbl)
+             for i, (x, y, lbl) in enumerate(corpus)]
+    cdf = spark.createDataFrame(
+        crows, "id long, vec array<double>, label long")
+    qdf = spark.createDataFrame(
+        [(100, [float(q[0]), float(q[1])], q[2])],
+        "qid long, qvec array<double>, qlabel long")
+    out = sorted(hard_negatives(cdf, qdf, "vec", "id", "label",
+                                "qvec", "qid", "qlabel", k=3).collect(),
+                 key=lambda r: r["rank"])
+    qv = np.array([float(q[0]), float(q[1])])
+    cands = []
+    for i, v, lbl in crows:
+        if lbl == q[2]:
+            continue
+        v = np.array(v)
+        cos = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        cands.append((round(cos, 12), i))
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    assert [r["id"] for r in out] == [i for _, i in cands[:3]]
+    assert all(r["label"] != q[2] for r in out)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
