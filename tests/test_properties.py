@@ -1745,3 +1745,35 @@ def test_hard_negatives_are_nearest_other_label(spark, corpus, q):
     assert [r["id"] for r in out] == [i for _, i in cands[:3]]
     assert all(r["label"] != q[2] for r in out)
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+@settings(**_SETTINGS)
+@given(cdocs=st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
+                      min_size=1, max_size=6),
+       bdocs=st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
+                      min_size=1, max_size=3))
+def test_contamination_pairs_match_shingle_intersection(spark, cdocs,
+                                                        bdocs):
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    n, min_common = 5, 2
+    cdf = spark.createDataFrame(list(enumerate(cdocs)),
+                                "doc_id long, text string")
+    bdf = spark.createDataFrame(list(enumerate(bdocs)),
+                                "doc_id long, text string")
+    got = {(r["corpus_id"], r["bench_id"]): r["n_common"] for r in
+           contamination_pairs(cdf, bdf, "text", "doc_id",
+                               n=n, min_common=min_common).collect()}
+
+    def grams(t):
+        return {t[i:i + n] for i in range(max(0, len(t) - n + 1))}
+
+    ref = {}
+    for ci, ct in enumerate(cdocs):
+        for bi, bt in enumerate(bdocs):
+            common = len(grams(ct) & grams(bt))
+            if common >= min_common:
+                ref[(ci, bi)] = common
+    assert got == ref, (cdocs, bdocs)
