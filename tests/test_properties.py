@@ -1777,3 +1777,30 @@ def test_contamination_pairs_match_shingle_intersection(spark, cdocs,
             if common >= min_common:
                 ref[(ci, bi)] = common
     assert got == ref, (cdocs, bdocs)
+
+
+@settings(**_SETTINGS)
+@given(base=st.text(alphabet="abcd", min_size=6, max_size=20),
+       n_dups=st.integers(2, 4),
+       n_unique=st.integers(0, 3))
+def test_soft_dedup_weights_sum_to_effective_docs(spark, base, n_dups,
+                                                  n_unique):
+    """A cluster of near-identical docs carries total weight ~1; every
+    unclustered doc weighs exactly 1 — so Σ weights ≈ effective
+    document count (the SoftDedup invariant)."""
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows = [(i, base) for i in range(n_dups)]
+    rows += [(100 + j, f"zz{j}qq{j}xx{j}ww") for j in range(n_unique)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["weight"] for r in
+           soft_dedup_weights(df, "text", "doc_id",
+                              threshold=0.5).collect()}
+    assert set(out) == {i for i, _ in rows}       # every doc keeps a row
+    # identical docs form one cluster: each weighs 1/n_dups
+    for i in range(n_dups):
+        assert abs(out[i] - 1.0 / n_dups) < 1e-12
+    for j in range(n_unique):
+        assert out[100 + j] == 1.0
