@@ -1804,3 +1804,55 @@ def test_soft_dedup_weights_sum_to_effective_docs(spark, base, n_dups,
         assert abs(out[i] - 1.0 / n_dups) < 1e-12
     for j in range(n_unique):
         assert out[100 + j] == 1.0
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(st.sampled_from("de"),
+                              min_size=0, max_size=8),
+                     min_size=1, max_size=6))
+def test_doc_novelty_matches_prefix_bruteforce(spark, docs):
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        doc_novelty,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_bigrams"], r["n_novel"], r["novelty"])
+           for r in doc_novelty(df, "text", "doc_id").collect()}
+    seen_first = {}
+    for i, toks in enumerate(docs):
+        for a, b in zip(toks, toks[1:]):
+            seen_first.setdefault(f"{a} {b}", i)
+    for i, toks in enumerate(docs):
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if not bgs:
+            assert got[i] == (0, 0, 1.0)
+            continue
+        novel = sum(1 for g in bgs if seen_first[g] == i)
+        assert got[i] == (len(bgs), novel, novel / len(bgs)), (docs, i)
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(1, 50), min_size=1, max_size=25,
+                    unique=True),
+       k=st.integers(1, 4))
+def test_negative_pairs_match_hash_candidates(spark, ids, k):
+    import hashlib
+
+    from etl_excel_to_hyper_tableau_spark.operators.sampling import (
+        negative_pairs,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {(r["id"], r["r"]): r["neg_id"]
+           for r in negative_pairs(df, "id", k=k).collect()}
+    mx = max(ids)
+    idset = set(ids)
+    ref = {}
+    for i in ids:
+        for r in range(k):                     # r is 0-based
+            cand = 1 + int(hashlib.md5(f"neg:{i}:{r}".encode())
+                           .hexdigest()[:15], 16) % mx
+            if cand != i and cand in idset:
+                ref[(i, r)] = cand
+    assert got == ref, (ids, k)
