@@ -1856,3 +1856,38 @@ def test_negative_pairs_match_hash_candidates(spark, ids, k):
             if cand != i and cand in idset:
                 ref[(i, r)] = cand
     assert got == ref, (ids, k)
+
+
+@settings(**_SETTINGS)
+@given(lrows=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 30)),
+                      min_size=1, max_size=20),
+       rrows=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 30),
+                                st.integers(0, 99)),
+                      min_size=1, max_size=20,
+                      unique_by=lambda r: (r[0], r[1])),
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_bruteforce(spark, lrows, rrows, direction):
+    from etl_excel_to_hyper_tableau_spark.operators.interval import (
+        asof_join,
+    )
+
+    ldf = spark.createDataFrame([(k, t, 1000 + i)
+                                 for i, (k, t) in enumerate(lrows)],
+                                "k long, ts long, lv long")
+    rdf = spark.createDataFrame(rrows, "k long, ts long, rv long")
+    got = sorted((r["k"], r["ts"], r["lv"], r["r_ts"], r["r_rv"])
+                 for r in asof_join(ldf, rdf, "k", "ts",
+                                    direction=direction).collect())
+    ref = []
+    for i, (k, t) in enumerate(lrows):
+        if direction == "backward":
+            cands = [(rt, rv) for rk, rt, rv in rrows
+                     if rk == k and rt <= t]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rt, rv) for rk, rt, rv in rrows
+                     if rk == k and rt >= t]
+            best = min(cands) if cands else None
+        if best is not None:
+            ref.append((k, t, 1000 + i, best[0], best[1]))
+    assert got == sorted(ref), (lrows, rrows, direction)
