@@ -1891,3 +1891,68 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows, direction):
         if best is not None:
             ref.append((k, t, 1000 + i, best[0], best[1]))
     assert got == sorted(ref), (lrows, rrows, direction)
+
+
+@settings(**_SETTINGS)
+@given(points=st.lists(st.integers(-40, 40), min_size=1, max_size=20),
+       ranges=st.lists(st.tuples(st.integers(-40, 40),
+                                 st.integers(0, 20)),
+                       min_size=1, max_size=15),
+       width=st.sampled_from([1.0, 2.5, 7.0]))
+def test_range_join_binned_matches_theta_semantics(spark, points,
+                                                   ranges, width):
+    from etl_excel_to_hyper_tableau_spark.operators.interval import (
+        range_join_binned,
+    )
+
+    pdf = spark.createDataFrame([(i, float(p))
+                                 for i, p in enumerate(points)],
+                                "pid long, x double")
+    rdf = spark.createDataFrame([(j, float(lo), float(lo + ln))
+                                 for j, (lo, ln) in enumerate(ranges)],
+                                "rid long, lo double, hi double")
+    got = sorted((r["pid"], r["rid"]) for r in
+                 range_join_binned(pdf, rdf, "x", "lo", "hi",
+                                   bin_width=width).collect())
+    ref = sorted((i, j)
+                 for i, p in enumerate(points)
+                 for j, (lo, ln) in enumerate(ranges)
+                 if lo <= p <= lo + ln)
+    assert got == ref, (points, ranges, width)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(st.sampled_from(["cat", "dog", "fox"]),
+                              min_size=1, max_size=8),
+                     min_size=1, max_size=6))
+def test_bm25_scores_match_formula(spark, docs):
+    import math
+    from collections import Counter
+
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        bm25_scores,
+    )
+
+    terms = ["cat", "fox"]
+    k1, b = 1.2, 0.75
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["score"] for r in
+           bm25_scores(df, "text", "doc_id", terms).collect()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    for i, toks in enumerate(docs):
+        cnt = Counter(toks)
+        ref = 0.0
+        for t in sorted(terms):      # sorted-token fold order
+            tf = cnt.get(t, 0)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            ref += idf * tf * (k1 + 1) / (tf + k1 * (1 - b
+                                                     + b * len(toks) / avgdl))
+        if i in got:
+            assert abs(got[i] - ref) < 1e-9, (docs, i)
+        else:
+            assert ref == 0.0
