@@ -1956,3 +1956,26 @@ def test_bm25_scores_match_formula(spark, docs):
             assert abs(got[i] - ref) < 1e-9, (docs, i)
         else:
             assert ref == 0.0
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="aB é́ .http://x.co m@y.de ",
+                              min_size=0, max_size=40),
+                      min_size=1, max_size=6))
+def test_normalize_text_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x): NFC, lowering, URL and
+    email strips, and whitespace collapse must all be fixpoints on
+    their own output."""
+    from etl_excel_to_hyper_tableau_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_text(df, "text", "doc_id") \
+        .select(F.col("id").alias("doc_id"), "text")
+    twice = normalize_text(once, "text", "doc_id") \
+        .select("id", "text")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["text"] for r in twice.collect()}
+    assert a == b, (texts,)
