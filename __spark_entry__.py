@@ -78,6 +78,18 @@ def _stage_once(spark: SparkSession, name: str, sf_dir: str,
         _STAGED_ONCE[key] = True
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem/identifier-safe tag for an sf_dir — appended to every
+    staged catalog TABLE name as well as the /tmp parquet paths.  The
+    staging cache is keyed on (app, name, sf_dir); if the catalog
+    tables carried fixed names, running sf A, then B (overwriting the
+    tables), then A again would hit the (app, name, A) cache entry and
+    silently read B's data.  Tagged names make each sf's staging a
+    distinct table, so the cache key and the physical object agree."""
+    import re
+    return re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _TABLE_CACHE.get(spark)
     if per_session is None:
@@ -2401,8 +2413,18 @@ def _json_profile_input(spark, sf_dir):
     character-identically in the oracle (no float formatting crosses
     engines) — with a conditionally-present key to make the presence
     counts discriminating (the testdata's ``props`` is a uniform
-    one-key object)."""
-    ev = _t(spark, sf_dir, "events")
+    one-key object).  The four source columns are spread BEFORE the
+    string build: the sf0.1 scan is one split, and deriving 100k JSON
+    strings (get_json_object + concat) single-threaded costs more than
+    shuffling the narrow source columns once — parallelizing the
+    derivation AND the downstream parse (median 1.28 s → 1.13 s with
+    the fused profile; no-op on a real multi-split corpus where
+    ``spread`` sees enough partitions already)."""
+    from etl_excel_to_hyper_tableau_spark.operators.parallelism import (
+        spread,
+    )
+    ev = spread(_t(spark, sf_dir, "events")
+                .select("props", "value", "event_type", "event_id"))
     j = F.concat(
         F.lit('{"k": '), F.get_json_object("props", "$.k"),
         F.lit(', "cents": '),
@@ -2424,13 +2446,21 @@ def q_json_field_profile(spark, sf_dir):
     configuration.  The md5-register estimate is bit-reproducible, so
     the oracle (same registers, exact integer register sums, same
     arithmetic order) matches value-exactly; the exact-NDV path stays
-    verified as json_field_profile_exact."""
+    verified as json_field_profile_exact.  ``fuse_final=True``: the
+    final register merge, the estimate, and the output sort fuse into
+    one task (SinglePartition satisfies every downstream clustering
+    requirement) — the plan drops from 5 AQE stages to 3, median
+    1.37 s → 1.14 s at sf0.1; safe here because the partial blocks are
+    ≤ partitions × keys × (2^p+1) rows (see the operator docstring for
+    the 100 TB configuration).  The output is already SinglePartition,
+    so ``_fin``'s repartition(1) exchange is replaced by a bare
+    in-partition sort — same total order."""
     from etl_excel_to_hyper_tableau_spark.operators.quality import (
         json_field_profile,
     )
     return (json_field_profile(_json_profile_input(spark, sf_dir), "j",
-                               approx_ndv=True)
-            .transform(_fin, "key"))
+                               approx_ndv=True, fuse_final=True)
+            .sortWithinPartitions("key"))
 
 
 def q_json_field_profile_exact(spark, sf_dir):
@@ -3189,17 +3219,18 @@ def q_bucketed_join(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    tag = _sf_tag(sf_dir)
     _stage_once(spark, "bucketed_demo_pair", sf_dir, lambda: (
         write_bucketed(li.select("l_orderkey", "l_quantity"),
-                       "bucketed_lineitem_demo", ["l_orderkey"], 8,
+                       f"bucketed_lineitem_demo_{tag}", ["l_orderkey"], 8,
                        sort_cols=["l_orderkey"]),
         write_bucketed(orders.select(F.col("o_orderkey")
                                      .alias("l_orderkey"),
                                      "o_orderpriority"),
-                       "bucketed_orders_demo", ["l_orderkey"], 8,
+                       f"bucketed_orders_demo_{tag}", ["l_orderkey"], 8,
                        sort_cols=["l_orderkey"])))
-    j = co_located_join(spark, "bucketed_lineitem_demo",
-                        "bucketed_orders_demo", ["l_orderkey"],
+    j = co_located_join(spark, f"bucketed_lineitem_demo_{tag}",
+                        f"bucketed_orders_demo_{tag}", ["l_orderkey"],
                         force_sort_merge=True)
     n_ex = join_exchanges(j)
     return (j.groupBy("o_orderpriority")
@@ -3226,9 +3257,8 @@ def q_partition_pruned_join(spark, sf_dir):
     from etl_excel_to_hyper_tableau_spark.plans.pruning import (
         dpp_filter_count, stage_partitioned,
     )
-    import re
     orders = _t(spark, sf_dir, "orders")
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    tag = _sf_tag(sf_dir)
     path = f"/tmp/spark_graft_dpp_orders_{tag}"
     _stage_once(spark, "dpp_orders", sf_dir, lambda:
                 stage_partitioned(
@@ -3295,12 +3325,14 @@ def q_bucket_pruned_lookup(spark, sf_dir):
         selected_buckets, write_bucketed,
     )
     orders = _t(spark, sf_dir, "orders")
+    tag = _sf_tag(sf_dir)
     _stage_once(spark, "bucketed_orders_lookup", sf_dir, lambda:
                 write_bucketed(orders.select("o_custkey", "o_orderstatus",
                                              "o_totalprice"),
-                               "bucketed_orders_lookup", ["o_custkey"], 8,
+                               f"bucketed_orders_lookup_{tag}",
+                               ["o_custkey"], 8,
                                sort_cols=["o_custkey"]))
-    agg = (spark.table("bucketed_orders_lookup")
+    agg = (spark.table(f"bucketed_orders_lookup_{tag}")
            .filter(F.col("o_custkey") == 1)
            .groupBy("o_custkey", "o_orderstatus")
            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -3332,12 +3364,11 @@ def q_zorder_range_scan(spark, sf_dir):
     the four range bounds) — a regression that keeps the predicate
     out of the reader fails the hash gate.  revenue is the exact
     decimal product → double."""
-    import re
     from etl_excel_to_hyper_tableau_spark.plans.zorder import (
         pushed_filter_count, stage_zordered,
     )
     li = _t(spark, sf_dir, "lineitem")
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    tag = _sf_tag(sf_dir)
     path = f"/tmp/spark_graft_zorder_lineitem_{tag}"
     _stage_once(spark, "zorder_lineitem", sf_dir, lambda:
                 stage_zordered(li, path, ["l_shipdate", "l_partkey"],
@@ -3401,19 +3432,20 @@ def q_bucketed_priority_census(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    tag = _sf_tag(sf_dir)
     _stage_once(spark, "bucketed_q12_pair", sf_dir, lambda: (
         write_bucketed(li.select("l_orderkey", "l_shipdate",
                                  "l_returnflag"),
-                       "bucketed_lineitem_q12", ["l_orderkey"], 8,
+                       f"bucketed_lineitem_q12_{tag}", ["l_orderkey"], 8,
                        sort_cols=["l_orderkey"]),
         write_bucketed(orders.select("o_orderkey", "o_orderpriority"),
-                       "bucketed_orders_q12", ["o_orderkey"], 8,
+                       f"bucketed_orders_q12_{tag}", ["o_orderkey"], 8,
                        sort_cols=["o_orderkey"])))
-    bli = (spark.table("bucketed_lineitem_q12")
+    bli = (spark.table(f"bucketed_lineitem_q12_{tag}")
            .filter((F.col("l_shipdate") >= "1996-01-01")
                    & (F.col("l_shipdate") < "1997-01-01"))
            .hint("merge"))
-    j = bli.join(spark.table("bucketed_orders_q12"),
+    j = bli.join(spark.table(f"bucketed_orders_q12_{tag}"),
                  F.col("l_orderkey") == F.col("o_orderkey"))
     n_ex = join_exchanges(j)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

@@ -93,3 +93,23 @@ def test_bucketed_priority_census_matches_plain_q12(spark, sf_dir):
     for k, (hi, lo, n_ex) in b.items():
         assert (hi, lo) == p[k]
         assert n_ex == 0
+
+
+def test_staging_cache_keyed_by_sf_dir(spark):
+    # regression (round-9 ADVICE): _stage_once keys on (app, name,
+    # sf_dir) but the catalog tables used to carry FIXED names, so
+    # running sf A, then B (overwrites the tables), then A again hit
+    # the (app, name, A) cache entry and silently read B's data.  The
+    # tagged table names make the cache key and the physical object
+    # agree: A after B must equal A, and A must differ from B.
+    import __spark_entry__ as e
+
+    a_dir, b_dir = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    for name in ("bucketed_join", "bucketed_priority_census",
+                 "bucket_pruned_lookup"):
+        fn = e.queries()[name]
+        a1 = fn(spark, a_dir).collect()
+        b = fn(spark, b_dir).collect()
+        a2 = fn(spark, a_dir).collect()
+        assert a1 == a2
+        assert a1 != b
