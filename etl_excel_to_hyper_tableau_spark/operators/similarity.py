@@ -702,7 +702,8 @@ def _norm_py(a: list) -> float:
 
 def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 5,
-             lam: float = 0.7, max_local: int = 5_000) -> DataFrame:
+             lam: float = 0.7, max_local: int = 5_000,
+             max_local_bytes: int = 64 << 20) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR'98) — the selection rule for "relevant but not
     redundant" sets: few-shot example pools, eval suites, dedup-aware
@@ -731,9 +732,29 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
 
     Output: ``rank (1-based), id, relevance, mmr_score`` (k rows, or
     fewer if the corpus is smaller).
+
+    ``max_local_bytes`` byte-bounds the prefix collect: ``max_local``
+    alone is a ROW valve, so a fat-vector corpus (dim is known from
+    ``query_vec`` — cosine requires corpus dim to match) could turn
+    5 001 rows into gigabytes on the driver.  The effective prefix is
+    ``min(max_local, max_local_bytes // row_bytes)`` — shrinking it
+    only changes WHICH path runs (local greedy vs cluster rounds; both
+    produce bit-identical output), never the values.  If even ``k``
+    rows exceed the budget the call refuses: the algorithm's own
+    output (k selected vectors) must live driver-side regardless.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # 8 bytes per double + ~48 bytes of Row/array overhead per row
+    row_bytes = len(query_vec) * 8 + 48
+    by_bytes = max_local_bytes // row_bytes
+    if by_bytes < k:
+        raise ValueError(
+            f"k={k} vectors of dim {len(query_vec)} (~{row_bytes} B/row) "
+            f"exceed max_local_bytes={max_local_bytes}: MMR keeps the k "
+            "selected vectors driver-side by construction — raise "
+            "max_local_bytes or reduce k/dim (random_project first)")
+    max_local = min(max_local, by_bytes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = (spread(df).select(F.col(id_col).cast("long").alias("id"),
                                 F.col(vec_col).cast("array<double>")
@@ -773,8 +794,15 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
         # same arithmetic (and the same doubles) as the oracle's
         # kr - 2(1-lam)/lam threshold CTE
         thr = top_rows[-1]["rel"] - 2.0 * (1.0 - float(lam)) / float(lam)
-    if n_raw <= max_local:
-        # the whole corpus is in hand; the prune is a local filter
+    if n_raw <= max_local or len(head) < n_raw:
+        # the whole corpus is in hand; the prune is a local filter.
+        # len(head) < n_raw means the collected prefix already reached
+        # NULL-rel rows — desc ordering puts NULLs last, so every row
+        # BEYOND the prefix is also NULL-rel: the non-NULL head is the
+        # complete usable corpus even when n_raw exceeded the valve
+        # (round-9 ADVICE: gating on the pre-filter count alone forced
+        # the distributed fallback for corpora padded with zero-norm
+        # vectors)
         surv = head if thr is None else [r for r in head
                                          if r["rel"] >= thr]
     elif thr is not None and (not head or head[-1]["rel"] < thr):
@@ -1304,6 +1332,16 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
     candidate join); a bucket above the valve raises with the remedies
     (dedup/canonicalize identical vectors first — exact dedup is the
     right operator for exact duplicates — or raise the valve knowingly).
+
+    Storage note: the LSH path's lazy ``localCheckpoint`` blocks live
+    until the SESSION ends — unpersisting a checkpointed plan truncates
+    its only lineage, so the function cannot evict them without
+    breaking a caller that materializes the returned (lazy) DataFrame
+    later.  One block set (~corpus × (vec + signature)) accumulates per
+    LSH-path call; a long-lived session building many graphs should
+    interleave ``spark.catalog.clearCache()`` between them or recycle
+    the session (the same lifetime the mmr persist/unpersist pairing
+    documents for its bounded relation).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -124,18 +124,36 @@ def pushed_filter_count(df: DataFrame) -> int:
     source — the audit that the filters actually reached the reader's
     row-group pruning (the ``dpp_filter_count`` idea applied to
     ordinary pushdown).  Counts entries inside the first
-    ``PushedFilters: [...]`` list of the executed plan."""
-    import re
-
+    ``PushedFilters: [...]`` list of the executed plan.  Both the
+    list-end scan and the top-level comma count track paren AND
+    square-bracket depth: a pushed ``In`` filter prints as
+    ``In(col, [1,2,3])``, so stopping at the first ``]`` (or counting
+    every comma) would truncate the capture mid-list and miscount."""
     plan = _untruncated_plan(df)
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    if not m or not m.group(1).strip():
+    start = plan.find("PushedFilters: [")
+    if start < 0:
         return 0
-    depth, n = 0, 1
-    for ch in m.group(1):
-        if ch == "(":
+    body_start = start + len("PushedFilters: [")
+    depth, end = 0, -1
+    for i in range(body_start, len(plan)):
+        ch = plan[i]
+        if ch in "([":
             depth += 1
         elif ch == ")":
+            depth -= 1
+        elif ch == "]":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+    body = plan[body_start:end] if end >= 0 else plan[body_start:]
+    if not body.strip():
+        return 0
+    depth, n = 0, 1
+    for ch in body:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             n += 1

@@ -860,3 +860,52 @@ def test_mmr_zero_norm_vector_excluded_like_distributed_filter(spark):
     df = spark.createDataFrame(rows, "id long, emb array<double>")
     out = mmr_topk(df, "emb", "id", [1.0, 0.0], k=3, lam=0.5).collect()
     assert sorted(r["id"] for r in out) == [1, 3]   # id 2 excluded
+
+
+def test_mmr_byte_budget_refuses_fat_vectors(spark):
+    """round 9: max_local is a ROW valve; the byte budget must refuse
+    when even the k selected vectors (dim known from query_vec) exceed
+    max_local_bytes — the output itself lives driver-side."""
+    import pytest
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    dim = 1000
+    rows = [(i, [float((i + d) % 7) for d in range(dim)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = [1.0] * dim
+    # 3 rows x (1000*8+48) B > 10_000 B budget -> refuse
+    with pytest.raises(ValueError, match="max_local_bytes"):
+        mmr_topk(df, "emb", "id", q, k=3, max_local_bytes=10_000)
+    # a budget that admits k rows but shrinks the prefix below the
+    # corpus only changes the PATH (cluster rounds), never the values
+    full = mmr_topk(df, "emb", "id", q, k=2).collect()
+    tight = mmr_topk(df, "emb", "id", q, k=2,
+                     max_local_bytes=3 * (dim * 8 + 48)).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in tight]
+
+
+def test_mmr_null_tail_prefix_takes_local_path(spark):
+    """round-9 ADVICE: when the collected max_local+1 prefix ends in
+    NULL-rel rows, every row beyond it is also NULL (desc ordering puts
+    NULLs last) — the non-NULL head IS the complete corpus, so the
+    local greedy must run and produce the distributed rounds' values."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    rows = [(i, [((i * 13 + d * 7) % 11) / 10.0 - 0.4 for d in range(4)])
+            for i in range(6)]
+    rows += [(100 + i, [0.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = [0.9, 0.1, -0.2, 0.4]
+    # n_raw = 16 > max_local = 8, but rows 7..16 of the prefix are
+    # NULL-rel: all 6 usable rows are in hand
+    tight = mmr_topk(df, "emb", "id", q, k=4, lam=0.6,
+                     max_local=8).collect()
+    full = mmr_topk(df, "emb", "id", q, k=4, lam=0.6).collect()
+    assert [tuple(r) for r in tight] == [tuple(r) for r in full]
+    assert len(tight) == 4

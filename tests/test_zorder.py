@@ -129,6 +129,20 @@ class TestStagedLayout:
         assert pushed_filter_count(q) == 6
         assert pushed_filter_count(st) == 0
 
+    def test_pushed_in_filter_counts_as_one(self, spark, staged):
+        # regression (round-9 ADVICE): a pushed In filter prints as
+        # In(col, [100,200,300]) — the old first-']' regex truncated
+        # the capture mid-list and the paren-only comma counter split
+        # it into three.  A bare In is ONE pushed filter (Catalyst
+        # emits no IsNotNull companion for In); adding a range bound
+        # adds IsNotNull + GreaterThanOrEqual on the other column.
+        path, _ = staged
+        st = spark.read.parquet(path)
+        q = st.filter(F.col("l_partkey").isin(100, 200, 300))
+        assert pushed_filter_count(q) == 1
+        q2 = q.filter(F.col("l_shipdate") >= "1996-03-01")
+        assert pushed_filter_count(q2) == 3
+
     def test_all_null_dimension_degrades_gracefully(self, spark,
                                                     tmp_path):
         df = spark.range(100).select(
