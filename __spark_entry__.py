@@ -3390,6 +3390,57 @@ def q_zorder_range_scan(spark, sf_dir):
             .transform(_fin, "l_returnflag"))
 
 
+def q_zorder_file_skip(spark, sf_dir):
+    """FILE-level skipping over the z-ordered staging (plans/zorder.py
+    read_file_pruned — the piece the module's honest-scope note always
+    pointed at): OSS Spark's parquet source prunes row groups inside a
+    task but still lists/opens every FILE; a 100 TB deployment skips
+    whole files via Delta/Iceberg manifest stats.  ``stage_zordered``
+    now emits that manifest (per-file min/max from the pyarrow footers,
+    underscore-named so the directory stays a plain parquet table) and
+    this entry reads THROUGH it: files whose 2-D bounding box misses
+    the predicate are never given to ``spark.read`` at all.  The
+    residual filter still runs — the manifest prunes files, the
+    predicate prunes rows, so correctness never depends on the
+    manifest, and the oracle's value match proves the pruned read lost
+    no rows.  The skip PROPERTY rides in the hash gate as a threshold
+    boolean (``skipped_half``: ≥ half the staged files pruned) rather
+    than an exact count because ``repartitionByRange``'s boundary
+    sampling reseeds per RDD, moving a boundary file between runs —
+    the property that matters (z-order makes MOST files skippable for
+    a small 2-D box) is stable, the exact count is not."""
+    import datetime
+
+    from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+        read_file_pruned, stage_zordered,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    tag = _sf_tag(sf_dir)
+    path = f"/tmp/spark_graft_zorder_lineitem_{tag}"
+    _stage_once(spark, "zorder_lineitem", sf_dir, lambda:
+                stage_zordered(li, path, ["l_shipdate", "l_partkey"],
+                               n_files=16))
+    st, n_read, n_total = read_file_pruned(spark, path, [
+        ("l_shipdate", ">=", datetime.datetime(1996, 3, 1)),
+        ("l_shipdate", "<", datetime.datetime(1996, 6, 1)),
+        ("l_partkey", ">=", 100),
+        ("l_partkey", "<=", 400)])
+    q = st.filter((F.col("l_shipdate") >= "1996-03-01")
+                  & (F.col("l_shipdate") < "1996-06-01")
+                  & (F.col("l_partkey") >= 100)
+                  & (F.col("l_partkey") <= 400))
+    return (q.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                       * (F.lit(1) - F.col("l_discount")
+                          .cast("decimal(12,2)")))
+                 .cast("double").alias("revenue"))
+            .withColumn("skipped_half",
+                        F.lit((n_total - n_read) * 2 >= n_total))
+            .transform(_fin, "l_returnflag"))
+
+
 def q_embedding_project(spark, sf_dir):
     """Johnson–Lindenstrauss random projection 64→16 (operators.
     similarity.random_project — Achlioptas 2003 ±1 planes): the
@@ -3573,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pruned_lookup": q_bucket_pruned_lookup,
         "embedding_project": q_embedding_project,
         "zorder_range_scan": q_zorder_range_scan,
+        "zorder_file_skip": q_zorder_file_skip,
         # sorted_neighborhood: archived-green (r07), unchanged in r8 —
         # yielded its window slot to the round-8 block above
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -7107,6 +7159,20 @@ GROUP BY 1, 2 ORDER BY 2
         # z-order staging must not change one value; pushed_filters=6
         # pins that all four range bounds (+2 IsNotNull) reached the
         # parquet reader's row-group pruning
+        "zorder_file_skip": """
+SELECT l_returnflag,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(l_quantity) as bigint) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (1 - cast(l_discount as decimal(12,2)))) as double)
+         AS revenue,
+       true AS skipped_half
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-03-01'
+  AND l_shipdate < timestamp '1996-06-01'
+  AND l_partkey BETWEEN 100 AND 400
+GROUP BY 1 ORDER BY 1
+""",
         "zorder_range_scan": """
 SELECT l_returnflag,
        cast(count(*) as bigint) AS n_lines,

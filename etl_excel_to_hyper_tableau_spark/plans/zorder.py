@@ -97,7 +97,130 @@ def stage_zordered(df: DataFrame, path: str, zorder_cols: list[str],
        .sortWithinPartitions("__z__")
        .drop("__z__")
        .write.mode(mode).parquet(path))
+    write_stats_manifest(path, zorder_cols)
     return path
+
+
+def _stat_encode(v):
+    """JSON-portable encoding of a pyarrow min/max statistic: datetimes
+    and dates go to ISO strings (fixed-width, so LEXICOGRAPHIC order is
+    chronological order — the comparison the pruner uses); numbers and
+    strings pass through."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):  # pragma: no cover - raw byte_array stats
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def write_stats_manifest(path: str, columns: list[str]) -> str:
+    """Emit ``<path>/_stats_manifest.json``: per-FILE min/max (merged
+    across row groups) for ``columns`` — the missing piece between
+    parquet's row-group stats (task-local skipping) and a Delta/Iceberg
+    manifest (file-level skipping).  The underscore prefix makes the
+    manifest invisible to Spark's parquet reader, so the staged
+    directory stays a plain readable table.  Driver-side pyarrow footer
+    reads, bounded by FILE count (16-ish per staging), never row count.
+    A column whose stats are absent in some file records null there and
+    the pruner keeps that file (conservative)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        ent: dict = {"file": os.path.basename(f),
+                     "rows": md.num_rows, "stats": {}}
+        for col in columns:
+            lo = hi = None
+            ok = col in idx
+            for rg in range(md.num_row_groups):
+                st = (md.row_group(rg).column(idx[col]).statistics
+                      if ok else None)
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ent["stats"][col] = (
+                {"min": _stat_encode(lo), "max": _stat_encode(hi)}
+                if ok and md.num_row_groups > 0 else None)
+        files.append(ent)
+    manifest = os.path.join(path, "_stats_manifest.json")
+    with open(manifest, "w") as fh:
+        json.dump({"columns": columns, "files": files}, fh, indent=1)
+    return manifest
+
+
+def prune_files(path: str, predicates: list[tuple]) -> tuple:
+    """Evaluate conjunctive range ``predicates`` — ``(col, op, value)``
+    with op in ``>= > <= < =`` — against the staging's file-level
+    min/max manifest and return ``(kept_paths, n_total)``.  A file is
+    kept iff EVERY predicate's satisfying range overlaps the file's
+    [min, max] bounding box; files with missing stats are kept
+    (conservative — pruning is an optimization, the residual filter is
+    the correctness boundary).  Values compare in the manifest's
+    encoding: numbers numerically, strings/ISO-datetimes
+    lexicographically (pass dates as ISO strings or datetime objects)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats_manifest.json")) as fh:
+        man = json.load(fh)
+
+    def overlaps(st: dict, op: str, value) -> bool:
+        lo, hi = st["min"], st["max"]
+        if lo is None or hi is None:
+            return True
+        v = _stat_encode(value)
+        if op == ">=":
+            return hi >= v
+        if op == ">":
+            return hi > v
+        if op == "<=":
+            return lo <= v
+        if op == "<":
+            return lo < v
+        if op == "=":
+            return lo <= v <= hi
+        raise ValueError(f"unsupported op {op!r}")
+
+    kept = []
+    for ent in man["files"]:
+        keep = True
+        for col, op, value in predicates:
+            st = ent["stats"].get(col)
+            if st is None:
+                continue  # no stats for this column: cannot prune on it
+            if not overlaps(st, op, value):
+                keep = False
+                break
+        if keep:
+            kept.append(os.path.join(path, ent["file"]))
+    return kept, len(man["files"])
+
+
+def read_file_pruned(spark, path: str, predicates: list[tuple]):
+    """The file-skipping read path: prune the staging's files against
+    ``predicates`` BEFORE ``spark.read`` — at 100 TB this is the
+    Delta/Iceberg manifest prune (the scan never lists, opens, or
+    schedules tasks for skipped files), built here from the staged
+    ``_stats_manifest.json``.  Returns ``(df, n_read, n_total)``; the
+    caller still applies the real filter (the manifest prunes FILES,
+    the residual predicate prunes ROWS — correctness never depends on
+    the manifest).  Zero surviving files returns the staging's empty
+    prefix (limit 0) so the schema is identical."""
+    kept, total = prune_files(path, predicates)
+    if not kept:
+        return spark.read.parquet(path).limit(0), 0, total
+    return spark.read.parquet(*kept), len(kept), total
 
 
 def _untruncated_plan(df: DataFrame) -> str:
