@@ -3304,6 +3304,37 @@ def q_salted_join_census(spark, sf_dir):
             .transform(_fin, "o_orderstatus"))
 
 
+def q_auto_salted_join_census(spark, sf_dir):
+    """ADAPTIVE skew-salted join (operators.skew.auto_salted_join —
+    round-9 deepening of the static recipe): the salt comes from the
+    key histogram the module already computes (key_skew_report), so
+    only keys measured above hot_threshold× uniform load are salted —
+    each by ceil(hot_factor), capped — while the cold tail joins
+    unsalted with ZERO dim replication (the static form replicates the
+    whole dim salt_factor×).  The fact is a deliberately skewed
+    derivation (~90% of lineitem lands on key 0, the rest spread over
+    ≤97 keys), so exactly one key crosses the threshold.  Values are
+    salt-invariant as in salted_join_census; the bounded-replication
+    and adaptivity properties are pinned by tests/test_skew.py."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        auto_salted_join,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+         .otherwise(F.col("l_orderkey") % 97 + 1)
+         .cast("long").alias("k"),
+        "l_quantity")
+    dim = (fact.select("k").distinct()
+           .withColumn("w", (F.col("k") * 3 + 1).cast("long")))
+    j = auto_salted_join(fact, dim, "k", hot_threshold=4.0)
+    return (j.groupBy((F.col("k") == 0).alias("is_hot"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.sum("w").cast("long").alias("sum_w"))
+            .transform(_fin, "is_hot"))
+
+
 def q_bucket_pruned_lookup(spark, sf_dir):
     """Bucket-PRUNED point lookup (plans/bucketing.py:selected_buckets
     — the third physical-layout contract next to the bucketed joins'
@@ -3620,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_priority_census": q_bucketed_priority_census,
         "mmr_select": q_mmr_select,
         "salted_join_census": q_salted_join_census,
+        "auto_salted_join_census": q_auto_salted_join_census,
         "partition_pruned_join": q_partition_pruned_join,
         "bucket_pruned_lookup": q_bucket_pruned_lookup,
         "embedding_project": q_embedding_project,
@@ -7189,6 +7221,20 @@ GROUP BY 1 ORDER BY 1
 """,
         # salt is internal load-balancing; the aggregate is the plain
         # join's result exactly
+        "auto_salted_join_census": """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN cast(0 as bigint)
+              ELSE cast(l_orderkey % 97 + 1 as bigint) END AS k,
+         l_quantity
+  FROM lineitem),
+dim AS (SELECT DISTINCT k, cast(k * 3 + 1 as bigint) AS w FROM fact)
+SELECT (k = 0) AS is_hot,
+       cast(count(*) as bigint) AS n_lines,
+       cast(sum(l_quantity) as bigint) AS sum_qty,
+       cast(sum(w) as bigint) AS sum_w
+FROM fact JOIN dim USING (k)
+GROUP BY 1 ORDER BY 1
+""",
         "salted_join_census": """
 SELECT o_orderstatus,
        cast(count(*) as bigint) AS n_lines,

@@ -41,12 +41,80 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     """
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
+    _check_salted_how(how)
     salted_l = skewed.withColumn(
         "__salt__", (F.rand() * salt_factor).cast("int"))
     salted_r = other.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])))
     out = salted_l.join(salted_r, [key, "__salt__"], how)
     return out.drop("__salt__")
+
+
+_SALTED_HOWS = {"inner", "left", "leftouter", "left_outer",
+                "semi", "leftsemi", "left_semi",
+                "anti", "leftanti", "left_anti"}
+
+
+def _check_salted_how(how: str) -> None:
+    """Salting replicates the OTHER side, so join types that preserve
+    unmatched OTHER rows (right/full outer) would emit each unmatched
+    row once per salt copy — refuse rather than silently duplicate."""
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in _SALTED_HOWS}:
+        raise ValueError(
+            f"how={how!r} preserves unmatched rows of the replicated "
+            "side and would duplicate them salt_factor times; salted "
+            "joins support inner/left/semi/anti — swap the sides or "
+            "use a plain join for right/full outer")
+
+
+def auto_salted_join(skewed: DataFrame, other: DataFrame, key: str,
+                     how: str = "inner", hot_threshold: float = 4.0,
+                     max_salt: int = 64, topk: int = 32) -> DataFrame:
+    """:func:`salted_join` with the salt derived from the key histogram
+    instead of a static factor — the adaptive form: only keys whose
+    measured load exceeds ``hot_threshold``× uniform are salted, each
+    by ``ceil(hot_factor)`` (capped at ``max_salt``), so a hot key's
+    (key, salt) buckets land back at ~uniform load while every COLD
+    key joins unsalted (salt 0 on the left, exactly one salt-0 copy on
+    the right — no replication for the long tail).
+
+    One bounded extra job: :func:`key_skew_report`'s top-``topk``
+    collect (≤ topk rows — the histogram the module already computes
+    for diagnostics, now feeding the plan).  Replication cost is
+    ``Σ_hot (salt_k − 1) × |other rows for that key|`` — bounded by
+    ``topk × max_salt`` dim-row copies, vs the static form's
+    ``salt_factor × |other|``.  With no key above the threshold the
+    join degenerates to the plain equi-join (zero replication).
+
+    Routing is a literal ``create_map`` over the ≤ topk hot keys
+    (string-cast key → salt factor), evaluated JVM-side on both
+    inputs; values are salt-invariant exactly as in
+    :func:`salted_join`.
+    """
+    import math
+
+    _check_salted_how(how)
+    if hot_threshold <= 1.0:
+        raise ValueError("hot_threshold must exceed 1.0 (uniform load)")
+    rep = key_skew_report(skewed, key, topk=topk).collect()
+    hot = {r["key_value"]: min(max_salt, int(math.ceil(r["hot_factor"])))
+           for r in rep
+           if r["key_value"] is not None
+           and r["hot_factor"] > hot_threshold}
+    if not hot:
+        return skewed.join(other, [key], how)
+    pairs: list = []
+    for kv in sorted(hot):
+        pairs += [F.lit(kv), F.lit(hot[kv])]
+    salt_of = F.create_map(*pairs)[F.col(key).cast("string")]
+    salted_l = skewed.withColumn(
+        "__salt__", (F.rand() * F.coalesce(salt_of, F.lit(1))).cast("int"))
+    salted_r = other.withColumn(
+        "__salt__",
+        F.explode(F.sequence(F.lit(0),
+                             F.coalesce(salt_of, F.lit(1)) - F.lit(1))))
+    return salted_l.join(salted_r, [key, "__salt__"], how).drop("__salt__")
 
 
 def stage_bucketed(df: DataFrame, table_name: str, key: str,
