@@ -1656,6 +1656,96 @@ def q_stream_budget_gate(spark, sf_dir):
             .transform(_fin, "source", "doc_id"))
 
 
+_PIPE_HEADER = "NAV: home | products | contact"
+_PIPE_FOOTER = "Copyright 2024 Example Corp"
+
+
+def _stage_pipe_landing(spark, sf_dir, landing):
+    """JSONL landing files for the e2e pipeline: 4 files (batch =
+    doc_id % 4) with strictly increasing mtimes so the file stream
+    source processes them oldest-first in a known order — the batch
+    sequencing the oracle's (batch, doc_id) ordering replays.  Each
+    document arrives wrapped in the nav/footer LINES a crawled page
+    carries (the boilerplate the strip stage exists to remove); the
+    oracle replays the same wrapping from the documents table."""
+    import json as _json
+    import os
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    os.makedirs(landing)
+    pdf = (_t(spark, sf_dir, "documents")
+           .select("doc_id", "text", "lang", "source")
+           .orderBy("doc_id").toPandas())
+    rows = [(int(r.doc_id), int(r.doc_id) % 4, r.text, r.lang, r.source)
+            for r in pdf.itertuples(index=False)]
+    # deliberate cross-batch exact duplicates (every 37th doc lands
+    # again, new id, NEXT batch): the digest-index stage must drop the
+    # later (batch, doc_id) copy — without these the testdata has zero
+    # exact dups and the cross-batch path would never fire
+    rows += [(1_000_000 + d, (d + 1) % 4, t, lg, s)
+             for d, _, t, lg, s in rows[:len(pdf)] if d % 37 == 0]
+    t0 = 1_600_000_000
+    for b in range(4):
+        path = f"{landing}/batch_{b}.jsonl"
+        with open(path, "w") as fh:
+            for d, bb, t, lg, s in rows:
+                if bb != b:
+                    continue
+                fh.write(_json.dumps(
+                    {"doc_id": d,
+                     "text": f"{_PIPE_HEADER}\n{t}\n{_PIPE_FOOTER}",
+                     "lang": lg, "source": s},
+                    ensure_ascii=False) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+
+def q_stream_pipeline_e2e(spark, sf_dir):
+    """The COMPOSED end-to-end streaming curation pipeline
+    (streaming/ingest.py::curation_pipeline) executed as ONE real
+    availableNow Structured Streaming query over 4 JSONL landing
+    files: boilerplate strip (batch-local line census) → exact dedup
+    (within batch + cross-batch digest index) → MinHash-LSH dedup
+    (within batch, linear election) → C4/Gopher quality gate →
+    per-source token-budget gate (state carried across micro-batches)
+    → WebDataset shards.  Every stage is individually oracle-verified
+    elsewhere; THIS entry verifies the composition, reading the final
+    shards back (read_webdataset) and emitting one row per shipped
+    sample with its exact payload md5 — the construction oracle
+    replays the whole cascade in SQL over the same documents (batch =
+    doc_id % 4, the landing split).  Cross-batch near-dup dedup is the
+    staged-band-index path verified by curated_ingest's tests; the
+    composed oracle keeps the minhash stage batch-local so the SQL
+    replay stays a single cascade rather than a 4-step recursion."""
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+    tag = _sf_tag(sf_dir)
+    base = f"/tmp/spark_graft_stream_pipe_{tag}"
+    landing = f"{base}/landing"
+    out = f"{base}/wds"
+    _stage_once(spark, "stream_pipe_landing", sf_dir, lambda:
+                _stage_pipe_landing(spark, sf_dir, landing))
+    curation_pipeline(spark, landing, out, budget_per_source=200)
+    wds = read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
+    pivoted = (wds.groupBy("key")
+               .agg(F.max(F.when(F.col("ext") == "txt",
+                                 F.decode("content", "UTF-8")))
+                    .alias("txt"),
+                    F.max(F.when(F.col("ext") == "src",
+                                 F.decode("content", "UTF-8")))
+                    .alias("source")))
+    return (pivoted.select(F.col("key").cast("long").alias("doc_id"),
+                           "source",
+                           F.length("txt").cast("long")
+                           .alias("payload_chars"),
+                           F.md5("txt").alias("payload_md5"))
+            .transform(_fin, "doc_id"))
+
+
 def q_epoch_upsample(spark, sf_dir):
     """Source-level epoch upsampling (operators.sampling.upsample_epochs
     — the data-recipe repetition step: high-quality sources sampled for
@@ -3693,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_quality": q_minhash_quality,
         "hll_distinct": q_hll_distinct,
         "stream_budget_gate": q_stream_budget_gate,
+        "stream_pipeline_e2e": q_stream_pipeline_e2e,
         "epoch_upsample": q_epoch_upsample,
         "dsir_weights": q_dsir_weights,
         "soft_dedup": q_soft_dedup,
@@ -4648,6 +4739,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, {', '.join(f's{i}' for i in range(16))}, "
             f"{band} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig")
     banded_union = "\nUNION ALL\n".join(band_arms)
+    # batch-aware banding for the e2e pipeline oracle (same digests,
+    # plus the batch column so the election is batch-local)
+    pipe_arms = []
+    for band in range(2):
+        cols = ", ".join(f"cast(s{band * 8 + j} as varchar)" for j in range(8))
+        pipe_arms.append(
+            f"SELECT id, batch, {band} AS band, "
+            f"md5(concat_ws(',', {cols})) AS bh FROM sig")
+    pipe_banded = "\nUNION ALL\n".join(pipe_arms)
 
     return {
         "pricing_summary": """
@@ -5443,6 +5543,83 @@ GROUP BY corpus_id, bench_id HAVING count(*) >= 3
 ORDER BY corpus_id, bench_id
 """,
         # --- C4-style cleaning gate ---------------------------------------
+        "stream_pipeline_e2e": f"""
+WITH raw AS (
+  SELECT doc_id, text, source, doc_id % 4 AS batch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, (doc_id + 1) % 4 AS batch
+  FROM documents WHERE doc_id % 37 = 0),
+src AS (
+  SELECT doc_id,
+         'NAV: home | products | contact' || chr(10) || text
+           || chr(10) || 'Copyright 2024 Example Corp' AS text,
+         source, batch
+  FROM raw),
+lists AS (SELECT doc_id, batch, string_split(text, chr(10)) AS ls
+          FROM src),
+lines AS (SELECT doc_id, batch, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS line FROM lists),
+hashed AS (SELECT doc_id, batch, pos, line,
+                  {_MD5I.format(x='line')} AS h FROM lines),
+census AS (
+  SELECT batch, h, count(*) AS cnt
+  FROM (SELECT DISTINCT doc_id, batch, h FROM hashed WHERE line <> '')
+  GROUP BY 1, 2),
+btot AS (SELECT batch, count(*) AS n_docs FROM src GROUP BY 1),
+bad AS (SELECT census.batch, h FROM census JOIN btot USING (batch)
+        WHERE cnt >= ceil(0.5 * n_docs)),
+kept AS (SELECT hashed.* FROM hashed
+         LEFT JOIN bad ON bad.batch = hashed.batch AND bad.h = hashed.h
+         WHERE bad.h IS NULL),
+clean AS (
+  SELECT s.doc_id, s.batch, s.source, coalesce(r.ct, '') AS clean_text
+  FROM src s LEFT JOIN (SELECT doc_id,
+                               string_agg(line, chr(10) ORDER BY pos) AS ct
+                        FROM kept GROUP BY doc_id) r USING (doc_id)),
+ex AS (SELECT *, row_number() OVER (PARTITION BY md5(clean_text)
+                                    ORDER BY batch, doc_id) AS rn
+       FROM clean),
+s2 AS (SELECT doc_id, batch, source, clean_text FROM ex WHERE rn = 1),
+hs AS (SELECT doc_id AS id, batch,
+    list_apply(list_distinct(case when length(clean_text) >= 3 then [substring(clean_text, i, 3) for i in range(1, length(clean_text) - 3 + 2)] else [] end),
+               g -> cast(('0x'||substr(md5(g),1,15)) as bigint) % 2147483648) AS hs
+  FROM s2),
+sig AS (
+  SELECT id, batch,
+         {', '.join(f'{t} AS s{i}' for i, t in enumerate(mh_terms))}
+  FROM hs WHERE len(hs) > 0),
+banded AS (
+{pipe_banded}),
+losers AS (
+  SELECT DISTINCT b.id FROM banded b
+  JOIN (SELECT batch, band, bh, min(id) AS min_id FROM banded
+        GROUP BY 1, 2, 3) m
+    ON b.batch = m.batch AND b.band = m.band AND b.bh = m.bh
+   AND b.id > m.min_id),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id FROM losers)),
+t AS (SELECT doc_id, batch, source, clean_text AS text,
+             list_filter(string_split_regex(trim(clean_text), '\\s+'), t -> t <> '') AS toks
+      FROM s3),
+tb AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1]) AS bgs FROM t),
+bf AS (SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM tb) GROUP BY 1, 2),
+ba AS (SELECT doc_id AS ba_id,
+  1.0 - (cast(count(*) as double) / cast(sum(c) as double)) AS dbf
+  FROM bf GROUP BY doc_id),
+s4 AS (SELECT t.doc_id, batch, source, text,
+              cast(len(toks) as bigint) AS n_tokens
+       FROM t LEFT JOIN ba ON t.doc_id = ba.ba_id
+       WHERE {quality} >= 0.4 AND len(toks) BETWEEN 20 AND 2000
+         AND coalesce(dbf, 0.0) <= 0.2),
+s5 AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         ORDER BY batch, doc_id ROWS UNBOUNDED PRECEDING) AS spent
+       FROM s4)
+SELECT doc_id, source, cast(length(text) as bigint) AS payload_chars,
+       md5(text) AS payload_md5
+FROM s5 WHERE spent <= 200
+ORDER BY doc_id
+""",
         "corpus_clean": f"""
 WITH t AS (SELECT doc_id, lang, text, {toks} AS toks FROM documents),
 tb AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),

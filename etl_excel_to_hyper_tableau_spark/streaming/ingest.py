@@ -683,3 +683,152 @@ def media_dedup_ingest(spark: SparkSession, input_dir: str, index_dir: str,
          .start())
     q.awaitTermination()
     return stats
+
+
+def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
+                      budget_per_source: int,
+                      schema: str = ("doc_id long, text string, "
+                                     "lang string, source string"),
+                      min_frac: float = 0.5, delimiter: str = "\n",
+                      minhash_k: int = 16, minhash_n: int = 3,
+                      minhash_bands: int = 2,
+                      min_quality: float = 0.4, min_tokens: int = 20,
+                      max_tokens: int = 2000, max_dup_bigram: float = 0.2,
+                      n_shards: int = 4,
+                      max_files_per_trigger: int = 1) -> dict:
+    """The END-TO-END curation pipeline a training-data run actually
+    executes, as ONE ``availableNow`` streaming query: JSONL landing
+    files → per-batch boilerplate strip → exact dedup (within batch +
+    against the accumulated digest index) → MinHash-LSH dedup (within
+    batch, linear election) → C4/Gopher quality gate → per-source
+    token-budget gate (state survives across micro-batches) →
+    WebDataset shards under ``{out}/batch={epoch}``.  The units are
+    individually verified elsewhere (boilerplate_lines, dedup_exact,
+    minhash_dedup, corpus_clean, stream_budget_gate, the loader sinks);
+    this is the COMPOSITION, which is what catches interface
+    mismatches units cannot.
+
+    Determinism contract (what makes the run SQL-oracle-checkable):
+    batches process in landing-file mtime order; within a batch,
+    admission order is doc_id; the cross-batch exact-dedup index means
+    "first (batch, doc_id) with a digest wins" — globally a
+    row_number() over (digest ORDER BY batch, doc_id); the budget is
+    the prefix cumsum over ALL quality survivors in (batch, doc_id)
+    order per source (rejected docs still consume —
+    :func:`budget_gate_stream`'s contract), admitted iff the running
+    total INCLUDING the doc stays within budget.
+
+    State: the digest index is STAGED parquet (``{out}__digests``,
+    batch-partitioned, dynamic overwrite — the :func:`curated_ingest`
+    idempotency recipe); the budget counters are a driver dict rebuilt
+    per run (this function owns one bounded availableNow run; the
+    unbounded deployment swaps in :func:`budget_gate_stream`'s keyed
+    state, same contract).  ``out_dir`` and the index are cleared at
+    start — the pipeline owns its output.
+
+    Returns ``{"batches", "admitted"}``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.dedup import exact_dedup, minhash_dedup
+    from ..operators.text import clean_corpus, remove_boilerplate_lines
+    from ..sinks.webdataset import write_webdataset
+
+    digest_dir = out_dir.rstrip("/") + "__digests"
+    for d in (out_dir, digest_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    spent: dict[str, int] = {}
+    stats = {"batches": 0, "admitted": 0}
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        # 1. boilerplate strip — batch-local corpus-frequency census
+        bp = remove_boilerplate_lines(batch, "text", "doc_id",
+                                      min_frac=min_frac,
+                                      delimiter=delimiter)
+        docs = (bp.select(F.col("id").alias("doc_id"), "clean_text")
+                .join(batch.select("doc_id", "source"), "doc_id"))
+        # 2a. exact dedup within the batch (smallest doc_id wins)
+        docs = exact_dedup(docs, ["clean_text"], "doc_id")
+        # 2b. exact dedup against every earlier batch's survivors.
+        # The index APPEND happens at the END of the batch: writing a
+        # path UNCACHES every plan that reads it (refreshByPath), so an
+        # early append would evict this persisted anti-join and any
+        # later stage re-executing the lineage would re-read an index
+        # that now contains the batch's OWN digests — annihilating the
+        # batch (found by the composed-pipeline oracle in round 9; the
+        # unit tests could not see it).
+        docs = docs.withColumn("__dg__", F.md5("clean_text"))
+        if has_parquet_files(digest_dir):
+            seen = spark.read.parquet(digest_dir).select("dg")
+            docs = docs.join(seen, docs["__dg__"] == seen["dg"],
+                             "left_anti")
+        docs = docs.persist()
+        n2 = docs.count()
+        # 3. MinHash-LSH dedup within the batch — the linear election
+        # (threshold=None): no pairwise join, O(m·bands) per cluster
+        s3 = minhash_dedup(docs.drop("__dg__"), "clean_text", "doc_id",
+                           k=minhash_k, n=minhash_n,
+                           bands=minhash_bands, threshold=None)
+        # 4. quality gate (adds n_tokens, quality, dup_bigram_frac)
+        s4 = clean_corpus(s3, "clean_text", "doc_id",
+                          min_quality=min_quality, min_tokens=min_tokens,
+                          max_tokens=max_tokens,
+                          max_dup_bigram=max_dup_bigram).persist()
+        # 5. budget gate: prefix cumsum per source in doc_id order,
+        # offset by the tokens already consumed in earlier batches
+        w = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum = s4.withColumn("__cum__", F.sum("n_tokens").over(w))
+        if spent:
+            pairs: list = []
+            for k in sorted(spent):
+                pairs += [F.lit(k), F.lit(spent[k])]
+            prev = F.coalesce(F.create_map(*pairs)[F.col("source")],
+                              F.lit(0))
+        else:
+            prev = F.lit(0)
+        admitted = (cum.withColumn("spent_after",
+                                   (prev + F.col("__cum__")).cast("long"))
+                    .filter(F.col("spent_after")
+                            <= F.lit(int(budget_per_source))))
+        # state update counts ALL survivors' tokens, admitted or not
+        for r in (s4.groupBy("source")
+                  .agg(F.sum("n_tokens").alias("t")).collect()):
+            spent[r["source"]] = spent.get(r["source"], 0) + int(r["t"])
+        # 6. WebDataset shards, one subdir per batch (replay-idempotent)
+        n = admitted.count()
+        if n:
+            write_webdataset(admitted, f"{out_dir}/batch={int(epoch_id)}",
+                             "doc_id",
+                             {"txt": "clean_text", "src": "source"},
+                             n_shards=n_shards)
+        # digest-index append LAST (see the stage-2b note): every
+        # consumer of `docs` has run, so the write's cache invalidation
+        # can no longer change this batch's results; the write itself
+        # still reads the intact cache
+        if n2:
+            (docs.select(F.col("__dg__").alias("dg"))
+             .withColumn("batch_id", F.lit(int(epoch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(digest_dir))
+        s4.unpersist()
+        docs.unpersist()
+        stats["batches"] += 1
+        stats["admitted"] += n
+
+    name = "pipe_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .json(input_dir)
+         .writeStream.foreachBatch(process).queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_pipe_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stats

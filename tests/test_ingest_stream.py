@@ -456,3 +456,64 @@ def test_media_dedup_ingest_within_and_cross_batch(spark, tmp_path):
     # signatures staged alongside content — later batches never re-decode
     assert "sig" in staged.columns
     assert staged.filter(staged.sig.isNull()).count() == 0
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """round 9: the composed pipeline (boilerplate -> exact+minhash
+    dedup -> quality -> budget -> WebDataset).  Regression for the
+    index-append cache invalidation: writing the digest index BEFORE
+    downstream stages consumed the batch uncached the anti-join plan
+    (refreshByPath), and re-execution saw the batch's own digests —
+    annihilating every batch after the first.  Multi-batch survivors
+    prove the ordering fix."""
+    import glob
+    import json
+
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+
+    inp = str(tmp_path / "land")
+    out = str(tmp_path / "wds")
+    os.makedirs(inp)
+    hdr, ftr = "NAV: home", "(c) example"
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "jumping until the dog finally wakes up and barks loudly "
+            "at the moon while owls watch from the old oak tree")
+    mk = {0: [(1, body + " v1"), (2, "exact duplicate payload here "
+                                     + body)],
+          1: [(10, body + " v2 totally"),          # fresh content
+              (11, "exact duplicate payload here " + body)]}  # dup of 2
+    t0 = time.time() - 100
+    for b, rows in mk.items():
+        path = f"{inp}/b{b}.jsonl"
+        with open(path, "w") as fh:
+            for d, t in rows:
+                fh.write(json.dumps({"doc_id": d,
+                                     "text": f"{hdr}\n{t}\n{ftr}",
+                                     "lang": "en", "source": "s"}) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+    # min_frac 0.9 -> ceil(0.9*2) = 2 of the 2 docs per batch: the
+    # shared header/footer strip, each unique payload line survives
+    # (0.5 would make ceil(0.5*2)=1 — every line boilerplate)
+    stats = curation_pipeline(spark, inp, out, budget_per_source=10_000,
+                              min_frac=0.9, min_tokens=5,
+                              minhash_bands=2, minhash_k=16)
+    assert stats["batches"] == 2
+    shards = glob.glob(f"{out}/batch=*/shard-*.tar")
+    assert shards
+    back = read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
+    keys = sorted({int(r["key"]) for r in back.collect()})
+    # doc 11 is the cross-batch exact dup of doc 2 -> dropped; batch 1's
+    # fresh doc 10 MUST survive (the cache-invalidation bug killed it);
+    # minhash may drop near-dups of doc 1 within a batch, never across
+    assert 11 not in keys
+    assert 10 in keys and 2 in keys
+    # boilerplate stripped: payloads carry neither header nor footer
+    for r in back.filter("ext = 'txt'").collect():
+        txt = bytes(r["content"]).decode("utf-8")
+        assert hdr not in txt and ftr not in txt
