@@ -1184,11 +1184,16 @@ def q_pii_redaction(spark, sf_dir):
 
 def q_keyword_topk(spark, sf_dir):
     """Per-doc top-3 keywords by term frequency with corpus document
-    frequency (integer-exact TF-DF; rank ties broken by token)."""
+    frequency (integer-exact TF-DF; rank ties broken by token).
+    Finisher: ``_fin``, not ``_fin_wide`` — the output is k·|docs| rows
+    (15k at sf0.1, ~150k at sf1 ≈ 6 MB through the one-partition sort,
+    nowhere near the 21M-row class the wide split exists for), and the
+    bare orderBy's range-boundary sampling re-executes the TF/DF plan:
+    measured 1.10 s → 0.96 s with tighter tails."""
     docs = _t(spark, sf_dir, "documents")
     return (tx.keyword_topk(docs, "text", "doc_id", k=3)
             .withColumn("rank", F.col("rank").cast("long"))
-            .transform(_fin_wide, "id", "rank"))
+            .transform(_fin, "id", "rank"))
 
 
 def q_doc_chunks(spark, sf_dir):
@@ -1792,12 +1797,17 @@ def q_dsir_weights(spark, sf_dir):
     target vs the raw corpus; per-doc log importance folded in sorted
     bucket order so the double sum is bit-reproducible by the oracle.
     Both distributions are fixed-size (1024 buckets) and broadcast —
-    nothing in the plan grows with vocabulary."""
+    nothing in the plan grows with vocabulary.  ``fuse_final=True``:
+    the weight join + per-doc aggregation + output sort fuse into one
+    task over the checkpointed (doc, bucket) counts (1.28 s → 0.99 s
+    at sf0.1; gauge-scale option — see the operator docstring).  The
+    output is already SinglePartition, so the finisher is a bare
+    in-partition sort."""
     from etl_excel_to_hyper_tableau_spark.operators import sampling as sp
     docs = _t(spark, sf_dir, "documents")
     return (sp.dsir_weights(docs, "text", "doc_id",
-                            F.col("lang") == "en")
-            .transform(_fin, "id"))
+                            F.col("lang") == "en", fuse_final=True)
+            .sortWithinPartitions("id"))
 
 
 def q_soft_dedup(spark, sf_dir):
@@ -2751,7 +2761,12 @@ def q_hll_distinct(spark, sf_dir):
     # NDV pays anyway; md5 then touches only distinct values), then
     # the ≤ 3·256-row register table collects and the estimates are
     # driver-side Python replaying the oracle's exact op order.
-    regs = hll_register_table(li, list(cols), p=8, exact=True).collect()
+    # fuse_final: the three TPC-H keys' combined NDV is ~200k at sf1 —
+    # the single fused distinct-final/register-merge task is far under
+    # its bound, and the register-agg exchange disappears (0.91 s →
+    # 0.64 s; see the operator docstring for the 100 TB configuration)
+    regs = hll_register_table(li, list(cols), p=8, exact=True,
+                              fuse_final=True).collect()
     by_col: dict[str, list] = {c: [] for c in cols}
     for r in regs:
         by_col[r["key_col"]].append(r)

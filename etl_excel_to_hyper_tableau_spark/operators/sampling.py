@@ -354,7 +354,7 @@ def upsample_epochs(df: DataFrame, id_col: str, strata_col: str,
 
 def dsir_weights(df: DataFrame, text_col: str, id_col: str,
                  is_target: Column, n_buckets: int = 1024,
-                 salt: str = "dsir") -> DataFrame:
+                 salt: str = "dsir", fuse_final: bool = False) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
     by how much more likely its hashed-bigram features are under a
@@ -382,6 +382,15 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
     Output: ``id, is_t, n_grams, log_w`` — one row per document with
     ≥ 1 bigram; higher ``log_w`` = more target-like (micro-nat
     precision: log_w is the exact integer micro-nat sum / 1e6).
+
+    ``fuse_final=True`` inserts ``coalesce(1)`` over the checkpointed
+    (doc, bucket) counts before the weight join: SinglePartition
+    satisfies the per-doc groupBy's clustering, so its exchange
+    disappears and the broadcast join + weight aggregation run as ONE
+    task (measured 1.28 s → 0.99 s at sf0.1; any trailing in-partition
+    sort fuses too).  The fused task streams every (doc, bucket) row —
+    corpus-linear, so this is a GAUGE-scale option: a 100 TB run keeps
+    the parallel default.
     """
     from .text import spread, tokens
 
@@ -458,6 +467,8 @@ def dsir_weights(df: DataFrame, text_col: str, id_col: str,
                            - F.log(F.col("c_raw") + F.lit(1.0))
                            + F.log(F.lit(float(tot_r)) + F.lit(b)))
                           * F.lit(1e6)).cast("long").alias("w")))
+    if fuse_final:
+        db = db.coalesce(1)
     return (db.join(F.broadcast(lr), "bucket")
             .groupBy("id")
             .agg(F.max("is_t").alias("is_t"),

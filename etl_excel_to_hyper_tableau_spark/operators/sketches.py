@@ -192,7 +192,8 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
 
 
 def hll_register_table(df: DataFrame, key_cols: list[str],
-                       p: int = 8, exact: bool = False) -> DataFrame:
+                       p: int = 8, exact: bool = False,
+                       fuse_final: bool = False) -> DataFrame:
     """Registers for SEVERAL columns in ONE pass — the fusion of
     per-column :func:`hll_build` calls (round-5 verdict: the profile
     entries ran one register scan per column; each extra scan is a
@@ -215,7 +216,18 @@ def hll_register_table(df: DataFrame, key_cols: list[str],
       ``countDistinct`` pass per column.
 
     Output: ``key_col, register, max_rank[, n_keys]`` —
-    ≤ ``|cols|·2^p`` rows (metadata-sized; safe to collect)."""
+    ≤ ``|cols|·2^p`` rows (metadata-sized; safe to collect).
+
+    ``fuse_final=True`` (exact path only) inserts ``coalesce(1)``
+    between the distinct and the register aggregation: SinglePartition
+    satisfies the register groupBy's clustering requirement, so its
+    exchange disappears and the distinct-final + md5 + register merge
+    run as ONE task (measured 0.91 s → 0.64 s at sf0.1).  That task
+    reads every partial-distinct block — bounded by Σ per-partition
+    NDV, which approaches corpus size on a high-NDV key at scale: fuse
+    only when the distinct value set of every column comfortably fits
+    one task (gauge entries over ≤ 10^6-NDV keys); a 100 TB
+    configuration keeps the parallel default."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
@@ -250,7 +262,10 @@ def hll_register_table(df: DataFrame, key_cols: list[str],
         for x in parts[1:]:
             u = u.unionByName(x)
         register, rank = reg_rank(F.col("__k__").cast("string"))
-        return (u.distinct()
+        d = u.distinct()
+        if fuse_final:
+            d = d.coalesce(1)
+        return (d
                 .select("__t__", register, rank)
                 .groupBy("__t__", "register")
                 .agg(F.max("rank").alias("max_rank"),

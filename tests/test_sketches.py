@@ -96,11 +96,11 @@ def test_hll_register_table_matches_per_column_builds(spark, sf_dir):
     for c in cols:
         for r in hll_build(li, c, p=8).collect():
             want[(c, r["register"])] = r["max_rank"]
-    for exact in (False, True):
+    for exact, fuse in ((False, False), (True, False), (True, True)):
         got = {(r["key_col"], r["register"]): r["max_rank"]
-               for r in hll_register_table(li, cols, p=8,
-                                           exact=exact).collect()}
-        assert got == want, f"exact={exact}"
+               for r in hll_register_table(li, cols, p=8, exact=exact,
+                                           fuse_final=fuse).collect()}
+        assert got == want, f"exact={exact} fuse={fuse}"
     # exact=True's n_keys sums to the true per-column NDV
     ndv = {r["key_col"]: 0
            for r in hll_register_table(li, cols, p=8, exact=True)
