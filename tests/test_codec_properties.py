@@ -178,3 +178,71 @@ def test_codecs_reject_garbage():
             dec(junk)
     with pytest.raises(ValueError):
         decode_wav(junk)
+
+
+# ---- WARC container properties (functions/warc.py) -----------------------
+
+from etl_excel_to_hyper_tableau_spark.functions.warc import (  # noqa: E402
+    build_http_response, build_warc, parse_http_response, parse_warc,
+)
+
+_payload = st.binary(min_size=0, max_size=400)
+_hval = st.text(alphabet="abcdefgh0123-/:._", min_size=1, max_size=30)
+
+
+@settings(**_SETTINGS)
+@given(payloads=st.lists(_payload, min_size=1, max_size=6),
+       gz=st.booleans())
+def test_warc_roundtrip_order_and_payloads(payloads, gz):
+    recs = [("response",
+             {"WARC-Record-ID": f"<urn:uuid:{i}>",
+              "WARC-Target-URI": f"https://ex.com/{i}"}, p)
+            for i, p in enumerate(payloads)]
+    back = parse_warc(build_warc(recs, per_record_gzip=gz))
+    assert len(back) == len(recs)
+    for i, (headers, payload) in enumerate(back):
+        assert payload == payloads[i]          # arbitrary bytes survive
+        assert headers["WARC-Type"] == "response"
+        assert headers["WARC-Target-URI"] == f"https://ex.com/{i}"
+
+
+@settings(**_SETTINGS)
+@given(payloads=st.lists(_payload, min_size=1, max_size=4))
+def test_warc_per_record_gzip_is_byte_deterministic(payloads):
+    recs = [("resource", {"WARC-Record-ID": f"<{i}>"}, p)
+            for i, p in enumerate(payloads)]
+    a = build_warc(recs, per_record_gzip=True)
+    b = build_warc(recs, per_record_gzip=True)
+    assert a == b                              # mtime pinned to 0
+    assert a[:2] == b"\x1f\x8b"
+
+
+@settings(**_SETTINGS)
+@given(body=_payload, status=st.sampled_from([200, 301, 404, 500]),
+       ctype=st.sampled_from(["text/html", "application/json",
+                              "text/plain; charset=utf-8"]))
+def test_http_response_roundtrip(body, status, ctype):
+    got_status, headers, got_body = parse_http_response(
+        build_http_response(body, status=status, content_type=ctype))
+    assert got_status == status
+    assert got_body == body
+    assert headers["Content-Type"] == ctype
+    assert int(headers["Content-Length"]) == len(body)
+
+
+@settings(**_SETTINGS)
+@given(payloads=st.lists(_payload, min_size=1, max_size=3),
+       junk=st.binary(min_size=1, max_size=20))
+def test_warc_truncation_raises_not_mangles(payloads, junk):
+    recs = [("resource", {"WARC-Record-ID": f"<{i}>"}, p)
+            for i, p in enumerate(payloads)]
+    data = build_warc(recs)
+    # cutting inside the LAST payload must raise, never return a
+    # silently-shortened record (callers quarantine on ValueError)
+    cut = len(data) - len(payloads[-1]) // 2 - 5
+    if payloads[-1]:
+        with pytest.raises(ValueError):
+            parse_warc(data[:cut])
+    # trailing non-WARC noise after intact records is skipped leniently
+    assert len(parse_warc(data + junk.replace(b"WARC/", b"warc_"))) \
+        == len(recs)

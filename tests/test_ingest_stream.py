@@ -517,3 +517,44 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     for r in back.filter("ext = 'txt'").collect():
         txt = bytes(r["content"]).decode("utf-8")
         assert hdr not in txt and ftr not in txt
+
+
+def test_curation_pipeline_replay_is_byte_identical(spark, tmp_path):
+    """Two full pipeline runs over the same landing dir must produce
+    byte-identical shards: every stage is deterministic and the
+    WebDataset writer pins tar metadata — the property that makes a
+    failure-recovery replay safe to serve."""
+    import glob
+    import hashlib
+    import json
+
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+
+    inp = str(tmp_path / "land")
+    os.makedirs(inp)
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    t0 = time.time() - 50
+    for b in range(2):
+        path = f"{inp}/b{b}.jsonl"
+        with open(path, "w") as fh:
+            for i in range(3):
+                d = b * 10 + i
+                fh.write(json.dumps(
+                    {"doc_id": d, "text": f"HDR\n{body} doc{d}\nFTR",
+                     "lang": "en", "source": f"s{i}"}) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+    def run(out):
+        curation_pipeline(spark, inp, out, budget_per_source=10_000,
+                          min_frac=0.9, min_tokens=5,
+                          minhash_bands=2, minhash_k=16)
+        return {os.path.relpath(p, out):
+                hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in glob.glob(f"{out}/batch=*/shard-*.tar")}
+
+    a = run(str(tmp_path / "wds_a"))
+    b = run(str(tmp_path / "wds_b"))
+    assert a and a == b
