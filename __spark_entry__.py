@@ -6066,9 +6066,11 @@ q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
 scored AS (
   SELECT q.query_id, c.id, c.label, {_cos_sql('c.e', 'q.qe')} AS cosine
   FROM corpus c JOIN q ON c.label <> q.qlabel)
-SELECT query_id, id, cast(label as bigint) AS label, cosine,
+SELECT query_id, id, cast(label as bigint) AS label,
+  round(cosine, 9) AS cosine,
   cast(row_number() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, id) as bigint) AS rank
+                          ORDER BY round(cosine, 9) DESC, id) as bigint)
+    AS rank
 FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
 """,
         # --- round 3b: BPE merge-candidate pair counts --------------------

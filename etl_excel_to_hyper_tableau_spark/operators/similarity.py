@@ -448,7 +448,13 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame,
     per-query window rank.  The corpus never shuffles; only
     (num_queries × k) rows survive the rank.
 
-    Output: ``query_id, id, label, cosine, rank`` (rank ≤ k).
+    Output: ``query_id, id, label, cosine, rank`` (rank ≤ k).  The rank
+    runs over the ROUNDED cosine (9 dp, id tiebreak — the knn_graph
+    ordering contract): ranking raw doubles let sub-9dp fold noise
+    order two parallel vectors differently across engines (a raw
+    cosine can exceed 1.0 by 1 ulp; the round-9 property campaign
+    caught exactly that — two query-parallel candidates ranked by the
+    noise instead of the id tiebreak).
     """
     c = spread(corpus).select(F.col(id_col).alias("id"),
                               F.col(label_col).alias("label"),
@@ -459,7 +465,8 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame,
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("label") != F.col("query_label"))
               .select("query_id", "id", "label",
-                      _cosine(F.col("vec"), F.col("qvec")).alias("cosine")))
+                      F.round(_cosine(F.col("vec"), F.col("qvec")), 9)
+                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
