@@ -2761,12 +2761,14 @@ def q_hll_distinct(spark, sf_dir):
     # NDV pays anyway; md5 then touches only distinct values), then
     # the ≤ 3·256-row register table collects and the estimates are
     # driver-side Python replaying the oracle's exact op order.
-    # fuse_final: the three TPC-H keys' combined NDV is ~200k at sf1 —
-    # the single fused distinct-final/register-merge task is far under
-    # its bound, and the register-agg exchange disappears (0.91 s →
-    # 0.64 s; see the operator docstring for the 100 TB configuration)
-    regs = hll_register_table(li, list(cols), p=8, exact=True,
-                              fuse_final=True).collect()
+    # fuse_final stays FALSE here — measured, not assumed: the fused
+    # single task reads the partial-DISTINCT blocks (Σ per-partition
+    # NDV, data-sized — l_orderkey repeats ~4× across partitions), and
+    # the sf1 run regressed 1.3 s → 6.9 s fused while sf0.1 only saved
+    # 0.3 s.  Contrast json_field_profile, whose fused merge reads
+    # register-BOUNDED partials and improves at every sf.  The
+    # parallel two-exchange shape is the one that survives 10×.
+    regs = hll_register_table(li, list(cols), p=8, exact=True).collect()
     by_col: dict[str, list] = {c: [] for c in cols}
     for r in regs:
         by_col[r["key_col"]].append(r)

@@ -223,11 +223,12 @@ def hll_register_table(df: DataFrame, key_cols: list[str],
     satisfies the register groupBy's clustering requirement, so its
     exchange disappears and the distinct-final + md5 + register merge
     run as ONE task (measured 0.91 s → 0.64 s at sf0.1).  That task
-    reads every partial-distinct block — bounded by Σ per-partition
-    NDV, which approaches corpus size on a high-NDV key at scale: fuse
-    only when the distinct value set of every column comfortably fits
-    one task (gauge entries over ≤ 10^6-NDV keys); a 100 TB
-    configuration keeps the parallel default."""
+    reads every partial-DISTINCT block — Σ per-partition NDV, which is
+    DATA-sized, not register-sized (a key repeating across partitions
+    contributes once per partition): at sf1 the fused hll_distinct
+    entry regressed 1.3 s → 6.9 s, so the default stays False, the
+    driver entry keeps the parallel shape, and fusing is only for
+    corpora whose whole tagged union fits one task."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
