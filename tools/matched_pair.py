@@ -111,8 +111,12 @@ def main() -> None:
     }
     out = dict(summary)
     out["queries"] = detail
+    # a subset run (explicit query names) must not clobber the full
+    # recorded artifact — it writes a side file instead
+    fname = "MATCHED_PAIR.json" if not args else "MATCHED_PAIR_subset.json"
+    summary["detail"] = out["detail"] = fname
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "MATCHED_PAIR.json"), "w") as f:
+            os.path.abspath(__file__))), fname), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
     spark.stop()
