@@ -558,3 +558,40 @@ def test_curation_pipeline_replay_is_byte_identical(spark, tmp_path):
     a = run(str(tmp_path / "wds_a"))
     b = run(str(tmp_path / "wds_b"))
     assert a and a == b
+
+
+def test_curation_pipeline_survives_fully_filtered_batch(spark,
+                                                         tmp_path):
+    """A batch whose every doc fails the quality gate must produce no
+    shards for that batch and leave later batches unaffected."""
+    import glob
+    import json
+
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+
+    inp = str(tmp_path / "land")
+    out = str(tmp_path / "wds")
+    os.makedirs(inp)
+    good_a = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen")
+    good_b = ("entirely different prose about compilers registers and "
+              "intermediate representations with many plain words here")
+    t0 = time.time() - 40
+    batches = {0: [(1, "tiny"), (2, "too short")],          # all fail
+               1: [(10, good_a), (11, good_b)]}
+    for b, rows in batches.items():
+        p = f"{inp}/b{b}.jsonl"
+        with open(p, "w") as fh:
+            for d, t in rows:
+                fh.write(json.dumps({"doc_id": d,
+                                     "text": f"H\n{t}\nF",
+                                     "lang": "en", "source": "s"}) + "\n")
+        os.utime(p, (t0 + b, t0 + b))
+    stats = curation_pipeline(spark, inp, out, budget_per_source=10_000,
+                              min_frac=0.9, min_tokens=5,
+                              minhash_bands=2, minhash_k=16)
+    assert stats["batches"] == 2 and stats["admitted"] == 2
+    assert not glob.glob(f"{out}/batch=0/*")
+    assert glob.glob(f"{out}/batch=1/shard-*.tar")

@@ -239,3 +239,23 @@ class TestFileSkipManifest:
                            (("id", ">=", 9), 2)):
             kept, total = prune_files(p, [pred])
             assert total == 2 and len(kept) == want, (pred, len(kept))
+
+    def test_file_skip_composes_with_rowgroup_pushdown(self, spark,
+                                                       staged):
+        # the two skipping levers stack: the manifest drops whole FILES
+        # before spark.read, and the residual predicate still reaches
+        # the surviving files' readers for row-group pruning
+        import datetime
+
+        from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+            read_file_pruned,
+        )
+
+        path, _ = staged
+        st, n_read, n_total = read_file_pruned(spark, path, [
+            ("l_shipdate", ">=", datetime.datetime(1996, 3, 1)),
+            ("l_shipdate", "<", datetime.datetime(1996, 6, 1))])
+        q = st.filter((F.col("l_shipdate") >= "1996-03-01")
+                      & (F.col("l_shipdate") < "1996-06-01"))
+        assert 0 < n_read < n_total
+        assert pushed_filter_count(q) == 3   # IsNotNull + two bounds
