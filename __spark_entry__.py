@@ -1334,6 +1334,37 @@ def q_semantic_dedup(spark, sf_dir):
             .transform(_fin, "id"))
 
 
+def q_maxsim_rerank(spark, sf_dir):
+    """Late-interaction MaxSim re-ranking (operators.similarity.
+    maxsim_topk — ColBERT §3.2): token-level embeddings derived
+    deterministically by slicing each 64-dim vector into 8 tokens × 8
+    dims (the testdata has no token-level column; the slicing is the
+    same on both engines, so the oracle replays the identical token
+    matrices).  Queries = vec_id < 3 broadcast against the corpus scan;
+    score = Σ_q max_d cos over one nested higher-order expression —
+    token math never leaves the row, the corpus never shuffles.  The
+    fold orders are pinned: per-token cosine is the engine's
+    sequential-left-fold _dot/_norm (the _cos_sql pairing), the
+    per-query sum is a left fold with 0.0 init (list_prepend in the
+    oracle), and max is order-independent — so the oracle's doubles are
+    bit-identical and the 9-dp rank boundary is shared."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        maxsim_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col("emb"), i * F.lit(8) + F.lit(1),
+                          F.lit(8)))
+    t = emb.select("vec_id", toks.alias("toks"))
+    queries = t.filter(F.col("vec_id") < 3)
+    corpus = t.filter(F.col("vec_id") >= 3)
+    return (maxsim_topk(corpus, queries, "toks", "vec_id",
+                        "toks", "vec_id", k=5)
+            .transform(_fin, "query_id", "rank"))
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (operators
     .similarity.hard_negatives): per query, top-5 most-similar corpus
@@ -3865,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_buckets": q_doc_length_buckets,
         "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
+        "maxsim_rerank": q_maxsim_rerank,
         "bpe_pairs": q_bpe_pairs,
         "tfidf_topk": q_tfidf_topk,
         "doc_novelty": q_doc_novelty,
@@ -6060,6 +6092,27 @@ SELECT s.id, cast(s.cell as bigint) AS cell, (d.id IS NULL) AS keep
 FROM assigned s LEFT JOIN dup d ON s.id = d.id ORDER BY s.id
 """,
         # --- round 3b: hard-negative mining ------------------------------
+        "maxsim_rerank": """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(range(0, 8), i ->
+           list_transform(range(1, 9), j ->
+             cast(embedding[i * 8 + j] as double))) AS toks
+  FROM embeddings),
+c AS (SELECT vec_id AS id, toks FROM t WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, toks AS qtoks FROM t WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.id,
+    round(list_reduce(list_prepend(cast(0.0 as double),
+      list_transform(q.qtoks, qt ->
+        list_max(list_transform(c.toks, dt ->
+          list_reduce(list_apply(range(1, 9), i -> qt[i] * dt[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_apply(dt, x -> x * x), (x, y) -> x + y)) * sqrt(list_reduce(list_apply(qt, x -> x * x), (x, y) -> x + y))))))), (acc, x) -> acc + x), 9) AS maxsim
+  FROM c CROSS JOIN q)
+SELECT query_id, id, maxsim,
+  cast(row_number() OVER (PARTITION BY query_id
+                          ORDER BY maxsim DESC, id) as bigint) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
         "hard_negatives": f"""
 WITH corpus AS (SELECT vec_id AS id, label, embedding AS e
                 FROM embeddings WHERE vec_id >= 3),

@@ -71,6 +71,57 @@ def topk_cosine_batch(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def maxsim_topk(corpus: DataFrame, queries: DataFrame,
+                vecs_col: str, id_col: str,
+                query_vecs_col: str, query_id_col: str,
+                k: int = 5) -> DataFrame:
+    """Late-interaction MaxSim retrieval (Khattab & Zaharia, SIGIR'20 —
+    ColBERT §3.2): documents and queries carry TOKEN-level embedding
+    arrays (``array<array<double>>``), and the relevance of doc *d* to
+    query *q* is ``Σ_{t∈q} max_{u∈d} cos(t, u)`` — every query token
+    matches its best document token, which is what lets one frozen
+    document index serve fine-grained term-level matching that a single
+    pooled vector flattens away.
+
+    Plan: broadcast the (small) tokenized query side against the corpus
+    scan — the corpus never shuffles; the whole MaxSim is ONE nested
+    higher-order expression (``aggregate`` over query tokens of
+    ``array_max`` over ``transform`` of doc tokens), so token math never
+    leaves the row and no explode multiplies the exchange.  Only
+    (num_queries × k) rows survive the per-query rank.  At 100 TB the
+    standard two-stage deployment applies: an ANN pass over pooled
+    vectors (``ann_topk``/``ivf_topk``) shortlists candidates, MaxSim
+    re-ranks the shortlist — this operator is that re-ranker run
+    exactly.
+
+    Rank runs over the ROUNDED score (9 dp, id tiebreak — the
+    hard_negatives/knn_graph ordering contract).  A zero-norm token
+    yields a NULL cosine, which nulls the whole score (the _cosine
+    convention); clean zero-norm tokens upstream.
+
+    Output: ``query_id, id, maxsim, rank`` (rank ≤ k).
+    """
+    c = spread(corpus).select(
+        F.col(id_col).alias("id"),
+        F.col(vecs_col).cast("array<array<double>>").alias("toks"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vecs_col).cast("array<array<double>>").alias("qtoks"))
+    score = F.aggregate(
+        F.col("qtoks"), F.lit(0.0),
+        lambda acc, qt: acc + F.array_max(
+            F.transform(F.col("toks"), lambda dt: _cosine(dt, qt))))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("query_id", "id",
+                      F.round(score, 9).alias("maxsim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"),
+                                               F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "maxsim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame,
                  vec_col: str, id_col: str,
                  query_vec_col: str, query_id_col: str,

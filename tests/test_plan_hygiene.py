@@ -27,6 +27,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # broadcast-free in tests/test_round6_ops.py)
                   "knn_graph",
                   "negative_samples", "hard_negatives",
+                  # maxsim_rerank: the ColBERT re-ranker scores the
+                  # corpus against the BROADCAST tokenized query set —
+                  # same shape as embedding_topk/hard_negatives (and at
+                  # scale it runs over an ANN shortlist, not the corpus)
+                  "maxsim_rerank",
                   "embedding_quantize", "tfidf_topk", "mixture_weights",
                   "ann_recall", "ann_mrr", "pq_topk", "key_skew",
                   # hll_distinct cross-joins its ONE-ROW estimate with

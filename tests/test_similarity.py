@@ -339,3 +339,64 @@ def test_label_noise_audit_distance_pass_is_map_only(spark):
     # the only exchange allowed is the final suspect-sized sort's
     # range partitioning; the corpus-side pass joins nothing
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_maxsim_topk_matches_numpy_brute_force(spark):
+    """round 9: late-interaction MaxSim vs a literal numpy replay —
+    Σ_q max_d cos over token-level vectors, rounded-9 rank, id ties."""
+    import numpy as np
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = [(i, [[float(x) for x in rng.integers(-3, 4, 4)]
+                 for _ in range(3)]) for i in range(12)]
+    qs = [(100 + j, [[float(x) for x in rng.integers(-3, 4, 4)]
+                     for _ in range(2)]) for j in range(2)]
+    # avoid zero-norm tokens (NULL-poisoning is a documented non-goal)
+    fix = lambda t: t if any(t) else [1.0, 0.0, 0.0, 0.0]
+    docs = [(i, [fix(t) for t in ts]) for i, ts in docs]
+    qs = [(j, [fix(t) for t in ts]) for j, ts in qs]
+    cdf = spark.createDataFrame(docs, "id long, toks array<array<double>>")
+    qdf = spark.createDataFrame(qs, "qid long, toks array<array<double>>")
+    out = maxsim_topk(cdf, qdf, "toks", "id", "toks", "qid", k=4).collect()
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid, qtoks in qs:
+        want = sorted(
+            ((round(sum(max(cos(dt, qt) for dt in ts) for qt in qtoks), 9),
+              i) for i, ts in docs),
+            key=lambda t: (-t[0], t[1]))[:4]
+        got = sorted([r for r in out if r["query_id"] == qid],
+                     key=lambda r: r["rank"])
+        assert [(r["maxsim"], r["id"]) for r in got] \
+            == [(pytest.approx(s, abs=2e-9), i) for s, i in want]
+
+
+def test_maxsim_prefers_token_match_over_pooled_average(spark):
+    """The point of late interaction: a doc with ONE exactly-matching
+    token per query token outranks a doc whose pooled average is close
+    but whose individual tokens all differ."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    q = [(1, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])]
+    docs = [
+        # doc 10: each query token has an exact counterpart (+ noise tok)
+        (10, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+        # doc 20: every token a diluted mixture — pooled mean similar,
+        # but no token matches either query token exactly
+        (20, [[0.6, 0.55, 0.0], [0.55, 0.6, 0.0], [0.5, 0.5, 0.1]]),
+    ]
+    cdf = spark.createDataFrame(docs, "id long, toks array<array<double>>")
+    qdf = spark.createDataFrame(q, "qid long, toks array<array<double>>")
+    out = {r["rank"]: r["id"] for r in
+           maxsim_topk(cdf, qdf, "toks", "id", "toks", "qid",
+                       k=2).collect()}
+    assert out[1] == 10 and out[2] == 20
