@@ -162,6 +162,10 @@ HEADLINE = [
     # one-time staging write the layout amortizes — the physical
     # property is pinned by their oracles, not a throughput ratio.
     "embedding_project",
+    # round 9: MaxSim late-interaction re-ranking — a corpus throughput
+    # gauge with a physical pattern the set doesn't have (nested
+    # higher-order token scoring over the broadcast query side)
+    "maxsim_rerank",
     # round 9: zorder_file_skip stays out with the other layout demos —
     # its wall is the one-time z-order staging write; the skip property
     # is pinned by its oracle's skipped_half column and
