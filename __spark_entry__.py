@@ -1334,6 +1334,32 @@ def q_semantic_dedup(spark, sf_dir):
             .transform(_fin, "id"))
 
 
+def q_rrf_hybrid(spark, sf_dir):
+    """Reciprocal Rank Fusion of two retrievers (operators.similarity.
+    rrf_fuse — Cormack et al. 2009, the production hybrid-search
+    combiner): system A is the exact full-vector cosine top-20, system
+    B the same queries over the TRUNCATED first-32-dims vectors (a
+    cheap-retriever stand-in with genuinely different rankings); fused
+    score = Σ 1/(60+rank) quantized to exact pico-units so the sum is
+    order-free and the oracle replays it as integer arithmetic.  Top-5
+    per query after fusion."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        rrf_fuse, topk_cosine_batch,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    sys_a = topk_cosine_batch(corpus, queries, "emb", "vec_id",
+                              "emb", "vec_id", k=20)
+    t32 = emb.select("vec_id", F.slice("emb", 1, 32).alias("emb"))
+    sys_b = topk_cosine_batch(t32.filter(F.col("vec_id") >= 3),
+                              t32.filter(F.col("vec_id") < 3),
+                              "emb", "vec_id", "emb", "vec_id", k=20)
+    return (rrf_fuse([sys_a, sys_b], k=5, c=60)
+            .transform(_fin, "query_id", "rank"))
+
+
 def q_maxsim_rerank(spark, sf_dir):
     """Late-interaction MaxSim re-ranking (operators.similarity.
     maxsim_topk — ColBERT §3.2): token-level embeddings derived
@@ -3897,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "hard_negatives": q_hard_negatives,
         "maxsim_rerank": q_maxsim_rerank,
+        "rrf_hybrid": q_rrf_hybrid,
         "bpe_pairs": q_bpe_pairs,
         "tfidf_topk": q_tfidf_topk,
         "doc_novelty": q_doc_novelty,
@@ -6092,6 +6119,39 @@ SELECT s.id, cast(s.cell as bigint) AS cell, (d.id IS NULL) AS keep
 FROM assigned s LEFT JOIN dup d ON s.id = d.id ORDER BY s.id
 """,
         # --- round 3b: hard-negative mining ------------------------------
+        "rrf_hybrid": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS e
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS id, embedding AS e
+      FROM embeddings WHERE vec_id >= 3),
+sys_a AS (
+  SELECT query_id, id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, id) AS rank
+  FROM (SELECT q.query_id, c.id, list_reduce(list_apply(range(1, 65), i -> cast(c.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y) / (sqrt(list_reduce(list_apply(range(1, 65), i -> cast(c.e[i] as double) * cast(c.e[i] as double)), (x, y) -> x + y)) * sqrt(list_reduce(list_apply(range(1, 65), i -> cast(q.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y))) AS cosine
+        FROM c CROSS JOIN q)
+  QUALIFY rank <= 20),
+sys_b AS (
+  SELECT query_id, id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, id) AS rank
+  FROM (SELECT q.query_id, c.id, list_reduce(list_apply(range(1, 33), i -> cast(c.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y) / (sqrt(list_reduce(list_apply(range(1, 33), i -> cast(c.e[i] as double) * cast(c.e[i] as double)), (x, y) -> x + y)) * sqrt(list_reduce(list_apply(range(1, 33), i -> cast(q.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y))) AS cosine
+        FROM c CROSS JOIN q)
+  QUALIFY rank <= 20),
+u AS (
+  SELECT query_id, id,
+         cast(round(1e12 / (60 + rank)) as bigint) AS pico FROM sys_a
+  UNION ALL
+  SELECT query_id, id,
+         cast(round(1e12 / (60 + rank)) as bigint) AS pico FROM sys_b),
+fused AS (
+  SELECT query_id, id, cast(sum(pico) as double) / 1e12 AS rrf_score
+  FROM u GROUP BY 1, 2)
+SELECT query_id, id, rrf_score,
+  cast(row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, id) as bigint) AS rank
+FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
         "maxsim_rerank": """
 WITH t AS (
   SELECT vec_id,

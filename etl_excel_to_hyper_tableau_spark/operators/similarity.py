@@ -71,6 +71,51 @@ def topk_cosine_batch(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def rrf_fuse(rankings: list, k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    the standard hybrid-retrieval combiner: each input ranking is a
+    ``(query_id, id, rank)`` DataFrame (dense ANN, BM25, a re-ranker …)
+    and the fused score of a document is ``Σ_systems 1/(c + rank)``,
+    with documents absent from a system's list contributing nothing.
+    RRF needs no score calibration across systems — only ranks — which
+    is why it is the default fusion in production hybrid search.
+
+    Plan: each system maps to its reciprocal term (no join — systems
+    are independent lists), one UNION, one partial-agg
+    ``groupBy(query_id, id)``, then the per-query window top-k; the
+    exchange carries at most Σ |system lists| rows.  The reciprocal is
+    quantized to PICO-units (``round(1e12 / (c + rank))`` as bigint —
+    the micro-nat convention), so the fused score is an exact integer
+    sum: order-independent, hence a plain map-side-combining hash agg
+    AND bit-reproducible by any replaying engine (a double sum's value
+    would depend on partition arrival order).
+
+    Output: ``query_id, id, rrf_score (= pico sum / 1e12), rank ≤ k``
+    (rank ties by id).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    parts = [df.select(F.col("query_id"), F.col("id"),
+                       F.round(F.lit(1e12) / (F.lit(int(c))
+                                              + F.col("rank")))
+                       .cast("long").alias("__pico__"))
+             for df in rankings]
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    fused = (u.groupBy("query_id", "id")
+             .agg((F.sum("__pico__").cast("double") / F.lit(1e12))
+                  .alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"),
+                                               F.asc("id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "rrf_score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def maxsim_topk(corpus: DataFrame, queries: DataFrame,
                 vecs_col: str, id_col: str,
                 query_vecs_col: str, query_id_col: str,

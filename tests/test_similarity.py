@@ -400,3 +400,41 @@ def test_maxsim_prefers_token_match_over_pooled_average(spark):
            maxsim_topk(cdf, qdf, "toks", "id", "toks", "qid",
                        k=2).collect()}
     assert out[1] == 10 and out[2] == 20
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """round 9: RRF = sum over systems of 1/(c+rank), absent items
+    contribute nothing, exact pico-unit integer sum, id ties."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)],
+        "query_id long, id long, rank long")
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        rrf_fuse,
+    )
+    out = {r["id"]: (r["rrf_score"], r["rank"]) for r in
+           rrf_fuse([a, b], k=4, c=60).collect()}
+    pico = lambda r: round(1e12 / (60 + r))
+    want = {20: (pico(2) + pico(1)) / 1e12,   # in both systems -> wins
+            10: pico(1) / 1e12,
+            40: pico(2) / 1e12,
+            30: pico(3) / 1e12}
+    assert {i: s for i, (s, _) in out.items()} == want
+    assert [i for i, (_, r) in sorted(out.items(), key=lambda t: t[1][1])] \
+        == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_validates(spark):
+    import pytest
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        rrf_fuse,
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], k=3)
+    df = spark.createDataFrame([(1, 1, 1)],
+                               "query_id long, id long, rank long")
+    with pytest.raises(ValueError, match="c must"):
+        rrf_fuse([df], c=0)
