@@ -166,6 +166,9 @@ HEADLINE = [
     # gauge with a physical pattern the set doesn't have (nested
     # higher-order token scoring over the broadcast query side)
     "maxsim_rerank",
+    # rrf_hybrid stays out: its wall is two embedding_topk-shaped scans
+    # (already timed) plus a 40-row fusion agg — no physical pattern
+    # the set doesn't time; values pinned by its three-sf oracle
     # round 9: zorder_file_skip stays out with the other layout demos —
     # its wall is the one-time z-order staging write; the skip property
     # is pinned by its oracle's skipped_half column and
