@@ -246,3 +246,42 @@ def test_warc_truncation_raises_not_mangles(payloads, junk):
     # trailing non-WARC noise after intact records is skipped leniently
     assert len(parse_warc(data + junk.replace(b"WARC/", b"warc_"))) \
         == len(recs)
+
+
+# ---- z-order manifest pruner soundness (plans/zorder.py) ------------------
+
+@settings(**_SETTINGS)
+@given(files=st.lists(st.lists(st.integers(-50, 50),
+                               min_size=1, max_size=8),
+                      min_size=1, max_size=6),
+       preds=st.lists(st.tuples(st.sampled_from([">=", ">", "<=", "<", "="]),
+                                st.integers(-55, 55)),
+                      min_size=1, max_size=3))
+def test_manifest_prune_never_drops_a_satisfying_file(tmp_path_factory,
+                                                      files, preds):
+    """SOUNDNESS of the file-level pruner: a file containing any row
+    that satisfies ALL predicates must be kept (bounding-box false
+    POSITIVES are fine — the residual filter removes them; a false
+    negative would silently lose data)."""
+    import json as _json
+
+    from etl_excel_to_hyper_tableau_spark.plans.zorder import prune_files
+
+    d = str(tmp_path_factory.mktemp("manifest"))
+    manifest = {"columns": ["v"], "files": []}
+    for i, rows in enumerate(files):
+        manifest["files"].append(
+            {"file": f"part-{i:05d}.parquet", "rows": len(rows),
+             "stats": {"v": {"min": min(rows), "max": max(rows)}}})
+    with open(f"{d}/_stats_manifest.json", "w") as fh:
+        _json.dump(manifest, fh)
+
+    ops = {">=": lambda a, b: a >= b, ">": lambda a, b: a > b,
+           "<=": lambda a, b: a <= b, "<": lambda a, b: a < b,
+           "=": lambda a, b: a == b}
+    kept, total = prune_files(d, [("v", op, val) for op, val in preds])
+    kept_names = {p.rsplit("/", 1)[-1] for p in kept}
+    assert total == len(files)
+    for i, rows in enumerate(files):
+        if any(all(ops[op](r, val) for op, val in preds) for r in rows):
+            assert f"part-{i:05d}.parquet" in kept_names, (i, rows, preds)
