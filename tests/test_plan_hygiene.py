@@ -32,6 +32,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # same shape as embedding_topk/hard_negatives (and at
                   # scale it runs over an ANN shortlist, not the corpus)
                   "maxsim_rerank",
+                  # rrf_hybrid: its two input systems are
+                  # topk_cosine_batch scans (broadcast query set —
+                  # embedding_topk's exact shape); the fusion itself is
+                  # a union + hash agg with no join at all
+                  "rrf_hybrid",
                   "embedding_quantize", "tfidf_topk", "mixture_weights",
                   "ann_recall", "ann_mrr", "pq_topk", "key_skew",
                   # hll_distinct cross-joins its ONE-ROW estimate with
