@@ -1341,8 +1341,11 @@ def q_rrf_hybrid(spark, sf_dir):
     B the same queries over the TRUNCATED first-32-dims vectors (a
     cheap-retriever stand-in with genuinely different rankings); fused
     score = Σ 1/(60+rank) quantized to exact pico-units so the sum is
-    order-free and the oracle replays it as integer arithmetic.  Top-5
-    per query after fusion."""
+    order-free and the oracle replays it as integer arithmetic.  Both
+    systems rank on round(cosine, 9) with id tiebreak (rank_round=9,
+    mirrored in the oracle) so a 1-ulp cross-engine fold difference
+    between near-tied candidates cannot swap the ranks that feed the
+    fusion.  Top-5 per query after fusion."""
     from etl_excel_to_hyper_tableau_spark.operators.similarity import (
         rrf_fuse, topk_cosine_batch,
     )
@@ -1351,11 +1354,12 @@ def q_rrf_hybrid(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3)
     corpus = emb.filter(F.col("vec_id") >= 3)
     sys_a = topk_cosine_batch(corpus, queries, "emb", "vec_id",
-                              "emb", "vec_id", k=20)
+                              "emb", "vec_id", k=20, rank_round=9)
     t32 = emb.select("vec_id", F.slice("emb", 1, 32).alias("emb"))
     sys_b = topk_cosine_batch(t32.filter(F.col("vec_id") >= 3),
                               t32.filter(F.col("vec_id") < 3),
-                              "emb", "vec_id", "emb", "vec_id", k=20)
+                              "emb", "vec_id", "emb", "vec_id", k=20,
+                              rank_round=9)
     return (rrf_fuse([sys_a, sys_b], k=5, c=60)
             .transform(_fin, "query_id", "rank"))
 
@@ -6127,14 +6131,14 @@ c AS (SELECT vec_id AS id, embedding AS e
 sys_a AS (
   SELECT query_id, id,
     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, id) AS rank
+                       ORDER BY round(cosine, 9) DESC, id) AS rank
   FROM (SELECT q.query_id, c.id, list_reduce(list_apply(range(1, 65), i -> cast(c.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y) / (sqrt(list_reduce(list_apply(range(1, 65), i -> cast(c.e[i] as double) * cast(c.e[i] as double)), (x, y) -> x + y)) * sqrt(list_reduce(list_apply(range(1, 65), i -> cast(q.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y))) AS cosine
         FROM c CROSS JOIN q)
   QUALIFY rank <= 20),
 sys_b AS (
   SELECT query_id, id,
     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, id) AS rank
+                       ORDER BY round(cosine, 9) DESC, id) AS rank
   FROM (SELECT q.query_id, c.id, list_reduce(list_apply(range(1, 33), i -> cast(c.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y) / (sqrt(list_reduce(list_apply(range(1, 33), i -> cast(c.e[i] as double) * cast(c.e[i] as double)), (x, y) -> x + y)) * sqrt(list_reduce(list_apply(range(1, 33), i -> cast(q.e[i] as double) * cast(q.e[i] as double)), (x, y) -> x + y))) AS cosine
         FROM c CROSS JOIN q)
   QUALIFY rank <= 20),

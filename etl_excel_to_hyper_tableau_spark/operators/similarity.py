@@ -52,12 +52,20 @@ def topk_cosine(df: DataFrame, vec_col: str, id_col: str,
 def topk_cosine_batch(corpus: DataFrame, queries: DataFrame,
                       vec_col: str, id_col: str,
                       query_vec_col: str, query_id_col: str,
-                      k: int = 10) -> DataFrame:
+                      k: int = 10,
+                      rank_round: int | None = None) -> DataFrame:
     """Exact top-k for a batch of query vectors.
 
     The query side is broadcast (it is small by assumption); the corpus
     is scanned once with no shuffle; only (num_queries × k) rows leave
     the scan stage via the window rank.
+
+    ``rank_round`` (e.g. 9) ranks on ``round(cosine, n)`` with id
+    tiebreak instead of the raw double — the hard_negatives ordering
+    contract — so a 1-ulp cross-engine fold difference between two
+    near-tied candidates cannot swap ranks (matters when the ranks feed
+    a fusion like :func:`rrf_fuse`, where a swap changes the fused
+    score).  The emitted ``cosine`` column stays unrounded.
     Output: ``query_id, id, cosine, rank``.
     """
     c = spread(corpus).select(F.col(id_col).alias("id"),
@@ -66,7 +74,9 @@ def topk_cosine_batch(corpus: DataFrame, queries: DataFrame,
                        F.col(query_vec_col).cast("array<double>").alias("qvec"))
     scored = (c.crossJoin(F.broadcast(q))
               .select("query_id", "id", _cosine(F.col("vec"), F.col("qvec")).alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    rank_key = (F.round(F.col("cosine"), rank_round)
+                if rank_round is not None else F.col("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(rank_key), F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -142,7 +152,11 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame,
     Rank runs over the ROUNDED score (9 dp, id tiebreak — the
     hard_negatives/knn_graph ordering contract).  A zero-norm token
     yields a NULL cosine, which nulls the whole score (the _cosine
-    convention); clean zero-norm tokens upstream.
+    convention); an EMPTY doc token array likewise nulls it
+    (``array_max`` over an empty array).  NULL-scored docs are dropped
+    BEFORE the rank — they are unscoreable, and letting them ride
+    NULLS-LAST ranks would surface NULL maxsim in the top-k whenever a
+    query has fewer than k scoreable candidates.
 
     Output: ``query_id, id, maxsim, rank`` (rank ≤ k).
     """
@@ -158,7 +172,8 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame,
             F.transform(F.col("toks"), lambda dt: _cosine(dt, qt))))
     scored = (c.crossJoin(F.broadcast(q))
               .select("query_id", "id",
-                      F.round(score, 9).alias("maxsim")))
+                      F.round(score, 9).alias("maxsim"))
+              .filter(F.col("maxsim").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"),
                                                F.asc("id"))
     return (scored.withColumn("rank", F.row_number().over(w))

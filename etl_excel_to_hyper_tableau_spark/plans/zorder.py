@@ -105,10 +105,20 @@ def _stat_encode(v):
     """JSON-portable encoding of a pyarrow min/max statistic: datetimes
     and dates go to ISO strings (fixed-width, so LEXICOGRAPHIC order is
     chronological order — the comparison the pruner uses); numbers and
-    strings pass through."""
+    strings pass through.  A tz-AWARE datetime (pyarrow emits these for
+    UTC-adjusted timestamp columns) is first normalized to UTC-naive —
+    otherwise its isoformat carries a ``+00:00`` suffix while a naive
+    caller predicate (``datetime(1996, 3, 1)``) does not, and the
+    lexicographic compare mis-evaluates boundary predicates: the pruner
+    could then DROP a file containing satisfying rows, a silent row
+    loss the residual filter cannot recover."""
     import datetime
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, bytes):  # pragma: no cover - raw byte_array stats
         return v.decode("utf-8", "replace")
@@ -204,7 +214,16 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple:
                 break
         if keep:
             kept.append(os.path.join(path, ent["file"]))
-    return kept, len(man["files"])
+    # A parquet file present in the directory but ABSENT from the
+    # manifest (an external append that never re-ran
+    # write_stats_manifest) must be kept unconditionally — a stale
+    # manifest may only lose pruning power, never rows.
+    import glob
+    listed = {ent["file"] for ent in man["files"]}
+    unlisted = [f for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+                if os.path.basename(f) not in listed]
+    kept.extend(unlisted)
+    return kept, len(man["files"]) + len(unlisted)
 
 
 def read_file_pruned(spark, path: str, predicates: list[tuple]):
