@@ -2430,99 +2430,86 @@ def q_sketch_profile(spark, sf_dir):
     ``percentile_approx``, whose internal state is engine-specific —
     that left this entry rows-only; the built-in sketches' error
     bounds stay pinned in tests/test_sketches.py): md5-register HLL
-    NDVs for the three join keys (operators.sketches.hll_build, m=256
-    registers each) and equi-width histogram-sketch price quantiles
-    (histogram_sketch / histogram_quantiles, 512 integer cells, linear
-    interpolation).
+    NDVs for the three join keys (operators.sketches.hll_build
+    register arithmetic, m=256 each) and FIXED-WIDTH histogram price
+    quantiles (operators.sketches.fixed_histogram_cells /
+    fixed_histogram_quantiles_py, width=$20 — bin = floor(v/20), one
+    double divide both engines compute identically).
 
-    Scan shape: the three NDV register builds fuse into ONE
-    tagged-union pass (sketches.hll_register_table — each branch scans
-    only its own pruned column; every task contributes ≤ |cols|·m rows
-    to the single exchange), the histogram keeps its two-pass
-    bounds+cells shape, and the row count rides the same job — the
-    scheduler runs the independent stages concurrently.  Per-row
-    explode fusion was tried and rejected (4.5× slower: the
-    array-of-struct generate drops the hot path out of whole-stage
-    codegen); tagged union keeps every branch codegen'd.  The collected
-    state is ≤ 1.3k rows and the estimate arithmetic runs driver-side
-    in the oracle's exact op order — the shape a 1000-executor
-    profiling job ships to the driver dashboard."""
-    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
-        histogram_quantiles_py, hll_estimate_py,
-    )
+    Scan shape (round-10 rework — ONE distributed action where round 9
+    ran two passes and five jobs):
+
+    * the register build DEDUPS FIRST — ``md5(k)`` is deterministic,
+      so registers over distinct values equal registers over all rows,
+      and the dedup runs on NATIVE longs (cheap partial-agg exchange)
+      while md5 touches only NDV-many values instead of every row
+      (round 9 md5'd all ~3·|lineitem| tagged rows);
+    * the histogram needs NO bounds pre-scan — the fixed grid removes
+      round 9's min/max pass entirely (the bounds pass was half the
+      entry's scans); absolute error ≤ $20 per quantile vs the
+      adaptive sketch's range/512 ≈ $200;
+    * both ride ONE ``groupBy(t, key)``: the tagged distinct feeds the
+      register branch, the price scan feeds the cell branch, every
+      task contributes ≤ |cols|·m + range/width + 1 rows to the single
+      exchange, and the row count is the cell-count total (nulls ride
+      the null bin) — no separate count job.
+
+    The collected state is ≤ ~6k rows and the estimate arithmetic runs
+    driver-side in the oracle's exact op order — the shape a
+    1000-executor profiling job ships to the driver dashboard."""
     from etl_excel_to_hyper_tableau_spark.functions.hashing import (
         md5_int64,
     )
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        fixed_histogram_quantiles_py, hll_estimate_py,
+    )
     li = _t(spark, sf_dir, "lineitem")
     cols = ("l_orderkey", "l_partkey", "l_suppkey")
-    p, m, nbits, bins = 8, 256, 52, 512
-    # TWO table passes total (round-6 verdict fix — the r05 form ran
-    # one register scan per column plus the histogram's bounds pass
-    # plus a count pass, ~6 passes / ~14 exchanges):
-    #   pass 1: tagged union of the three map-only register branches
-    #           PLUS a stats branch (min/max/count of the price column
-    #           and the exact row count) into one partial-agg
-    #           groupBy(tag, register) — every task contributes
-    #           ≤ |cols|·m + 1 rows to the single exchange;
-    #   pass 2: histogram cells against the pass-1 bounds, pinned via
-    #           histogram_sketch(lo=, hi=) (identical bin arithmetic —
-    #           with lo/hi equal to the true min/max the clamp is the
-    #           identity, so the auto-bounds oracle carries over).
-    # Estimates/interpolation run driver-side over ≤ 1.3k rows in the
-    # oracle's exact op order (the kmeans/whiten bounded-collect
-    # doctrine).
-    nl = F.lit(None)
-    branches = []
-    for i, c in enumerate(cols):
-        h = md5_int64(F.col(c).cast("string"))
-        w = F.floor(h / m)
-        rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
-            .otherwise(F.lit(nbits + 1))
-        branches.append(
-            li.where(F.col(c).isNotNull())
-            .select(F.lit(i).cast("int").alias("t"),
-                    (h % m).alias("register"),
-                    rank.cast("int").alias("rank"),
-                    nl.cast("double").alias("v")))
-    branches.append(li.select(
-        F.lit(len(cols)).cast("int").alias("t"),
-        nl.cast("bigint").alias("register"),
-        nl.cast("int").alias("rank"),
-        F.col("l_extendedprice").cast("double").alias("v")))
-    u = branches[0]
-    for x in branches[1:]:
+    p, m, nbits, width = 8, 256, 52, 20.0
+    # E1: tagged distinct of the native key longs (union beats a
+    # grouping-sets Expand here — measured 1.32 s vs 1.47 s at sf0.1:
+    # three narrow long branches partial-agg cheaper than one wide
+    # nullable struct)
+    parts = [li.where(F.col(c).isNotNull())
+             .select(F.lit(i).cast("int").alias("t"), F.col(c).alias("k"))
+             for i, c in enumerate(cols)]
+    u = parts[0]
+    for x in parts[1:]:
         u = u.unionByName(x)
-    pass1 = (u.groupBy("t", "register")
+    h = md5_int64(F.col("k").cast("string"))
+    w = F.floor(h / m)
+    rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
+        .otherwise(F.lit(nbits + 1))
+    reg_branch = u.distinct().select(
+        "t", (h % m).alias("key"), rank.cast("int").alias("rank"),
+        F.lit(None).cast("double").alias("v"))
+    price = F.col("l_extendedprice").cast("double")
+    hist_branch = li.select(
+        F.lit(len(cols)).cast("int").alias("t"),
+        F.when(price.isNotNull(),
+               F.floor(price / F.lit(width))).alias("key"),
+        F.lit(None).cast("int").alias("rank"),
+        price.alias("v"))
+    # E2: the single shared exchange — register partials are
+    # m-bounded, cell partials value-range-bounded, null prices ride
+    # the (t=3, key=null) row so n_rows needs no extra job
+    pass1 = (reg_branch.unionByName(hist_branch)
+             .groupBy("t", "key")
              .agg(F.max("rank").alias("max_rank"),
-                  F.min("v").alias("lo"), F.max("v").alias("hi"),
-                  F.count("v").alias("nv"),
-                  F.count(F.lit(1)).alias("nr"))).collect()
+                  F.count(F.lit(1)).cast("long").alias("cnt"))).collect()
     by_col: dict[str, list] = {c: [] for c in cols}
-    lo = hi = None
-    nv = n_rows = 0
+    cells = []
+    n_rows = 0
     for r in pass1:
         t = int(r["t"])
         if t < len(cols):
-            by_col[cols[t]].append((r["register"], r["max_rank"]))
+            by_col[cols[t]].append((r["key"], r["max_rank"]))
         else:
-            lo, hi = r["lo"], r["hi"]
-            nv, n_rows = int(r["nv"]), int(r["nr"])
-    # pass 2: one scan — bin ids against the pass-1 bounds as literals
-    # (same op order as histogram_sketch's auto-bounds mode: the
-    # values are in [lo, hi] by construction, so no clamp arm changes
-    # the result and the auto-bounds oracle carries over); n comes
-    # from pass 1's count(v)
-    vals = (li.select(F.col("l_extendedprice").cast("double").alias("v"))
-            .where(F.col("v").isNotNull()))
-    raw = F.floor((F.col("v") - F.lit(lo))
-                  / (F.lit(hi) - F.lit(lo)) * F.lit(bins))
-    bin_id = (F.lit(0) if hi == lo else
-              F.least(F.lit(bins - 1).cast("bigint"), raw)).cast("int")
-    cells = (vals.groupBy(bin_id.alias("bin"))
-             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))).collect()
-    hist_cells = [(r["bin"], r["cnt"], lo, hi, nv) for r in cells]
-    ndv = {c: hll_estimate_py(by_col[c], p=8)["estimate"] for c in cols}
-    qs = histogram_quantiles_py(hist_cells, bins=512, qs=(0.5, 0.95, 0.99))
+            n_rows += int(r["cnt"])
+            if r["key"] is not None:
+                cells.append((int(r["key"]), int(r["cnt"])))
+    ndv = {c: hll_estimate_py(by_col[c], p=p)["estimate"] for c in cols}
+    qs = fixed_histogram_quantiles_py(cells, width, qs=(0.5, 0.95, 0.99))
     import pandas as pd
     pdf = pd.DataFrame(
         [(ndv["l_orderkey"], ndv["l_partkey"], ndv["l_suppkey"],
@@ -4691,14 +4678,15 @@ def _hll_sql(cols: tuple[str, ...] = ("l_orderkey", "l_partkey",
             f"FROM ({union}) ORDER BY key_col")
 
 
-def _sketch_profile_sql(p: int = 8, bins: int = 512) -> str:
+def _sketch_profile_sql(p: int = 8, width: float = 20.0) -> str:
     """Portable-sketch data-card oracle: the same md5-register HLL
     arithmetic as :func:`_hll_sql` (estimate only) for the three NDV
-    columns, plus the equi-width histogram quantile estimator with the
-    engine's exact op order — bin ``least(bins-1, floor((v - lo) /
-    (hi - lo) * bins))``, cumulative integer counts, and the linear
-    interpolation ``lo + (bin + (t - cum_before)/cnt)*(hi - lo)/bins``
-    rounded to 6 decimals on both sides."""
+    columns (registers over all rows equal the engine's
+    dedup-first registers — md5 is deterministic), plus the
+    FIXED-WIDTH histogram quantile estimator with the engine's exact
+    op order — bin ``floor(v / width)``, cumulative integer counts,
+    and the linear interpolation ``(bin + (t - cum_before)/cnt) *
+    width`` rounded to 6 decimals on both sides."""
     from etl_excel_to_hyper_tableau_spark.operators.sketches import (
         _hll_alpha,
     )
@@ -4736,29 +4724,25 @@ def _sketch_profile_sql(p: int = 8, bins: int = 512) -> str:
          FROM (SELECT {h} AS h FROM lineitem WHERE {c} IS NOT NULL))
        GROUP BY register)))) AS t_{alias}""")
     hist = f"""
-vals AS (SELECT cast(l_extendedprice as double) v FROM lineitem
-         WHERE l_extendedprice IS NOT NULL),
-b AS (SELECT min(v) lo, max(v) hi, count(*) n FROM vals),
 cells AS (
-  SELECT CASE WHEN hi = lo THEN 0
-         ELSE cast(least({bins - 1},
-                         floor((v - lo) / (hi - lo) * {bins})) as int)
-         END AS bin, count(*) cnt
-  FROM vals, b GROUP BY 1),
+  SELECT cast(floor(cast(l_extendedprice as double)
+              / cast({width!r} as double)) as bigint) AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+b AS (SELECT cast(sum(cnt) as bigint) n FROM cells),
 cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) cum,
         sum(cnt) OVER (ORDER BY bin) - cnt cum_before FROM cells),
 tgt AS (SELECT cast(q as double) q,
-        cast(ceil(cast(q as double) * n) as bigint) target_rank, lo, hi
+        cast(ceil(cast(q as double) * n) as bigint) target_rank
         FROM (SELECT unnest([0.5, 0.95, 0.99]) q), b),
-hit AS (SELECT q, target_rank, lo, hi,
+hit AS (SELECT q, target_rank,
         min_by(bin, bin) bin, min_by(cnt, bin) cnt,
         min_by(cum_before, bin) cum_before
         FROM tgt JOIN cum ON cum >= target_rank
-        GROUP BY q, target_rank, lo, hi),
+        GROUP BY q, target_rank),
 est AS (SELECT q,
-        round(CASE WHEN hi = lo THEN lo ELSE
-          lo + (bin + (target_rank - cum_before) / cnt) * (hi - lo)
-          / cast({bins} as double) END, 6) estimate FROM hit),
+        round((bin + (target_rank - cum_before) / cnt)
+              * cast({width!r} as double), 6) estimate FROM hit),
 prices AS (SELECT
    max(CASE WHEN q = 0.5 THEN estimate END) AS price_p50,
    max(CASE WHEN q = 0.95 THEN estimate END) AS price_p95,

@@ -348,6 +348,58 @@ def histogram_quantiles_py(cells, bins: int,
     return out
 
 
+def fixed_histogram_cells(df: DataFrame, value_col: str,
+                          width: float) -> DataFrame:
+    """Fixed-width histogram cells in ONE pass — no bounds pre-scan:
+    ``bin = floor(v / width)`` over the value's native range, so the
+    sketch is buildable in the same aggregate as other sketches and
+    mergeable across partitions/batches with plain count addition (the
+    HdrHistogram/DDSketch fixed-grid idea, restricted to a linear grid
+    so the bin arithmetic is one double divide + floor — identical in
+    any IEEE engine, no libm ``log`` at a bin boundary to disagree
+    about).  Cell count is VALUE-RANGE-bounded (range/width), not
+    row-bounded: pick ``width`` so range/width stays metadata-sized
+    (e.g. ~5.2k cells for TPC-H extendedprice at width=20) and the
+    table is safe to collect at any row scale.  Versus the two-pass
+    :func:`histogram_sketch`: one fewer full scan, absolute error
+    ≤ width per quantile instead of range/bins.
+
+    Output: ``bin (bigint), cnt (long)`` — NULL values excluded."""
+    if width <= 0:
+        raise ValueError(f"width must be > 0, got {width}")
+    v = F.col(value_col).cast("double")
+    return (df.where(v.isNotNull())
+            .groupBy(F.floor(v / F.lit(float(width))).alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def fixed_histogram_quantiles_py(cells, width: float,
+                                 qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                                 round_to: int = 6) -> dict:
+    """Driver-side quantile estimates over collected
+    :func:`fixed_histogram_cells` rows (``(bin, cnt)`` pairs): first
+    bin whose cumulative count reaches ``ceil(q·n)``, linear
+    interpolation within it — pinned op order ``(bin + (target -
+    cum_before) / cnt) * width`` rounded at the boundary, so a SQL
+    oracle replays identical doubles.  Returns ``{q: estimate}``
+    (empty dict for an empty sketch)."""
+    if not cells:
+        return {}
+    rows = sorted((int(r[0]), int(r[1])) for r in cells)
+    n = sum(c for _, c in rows)
+    out = {}
+    for q in qs:
+        target = int(-(-q * n // 1))  # ceil(q*n), same float multiply as SQL
+        cum = 0
+        for b, cnt in rows:
+            if cum + cnt >= target:
+                out[q] = _round_half_up(
+                    (b + (target - cum) / cnt) * float(width), round_to)
+                break
+            cum += cnt
+    return out
+
+
 def exact_quantiles(df: DataFrame, value_col: str,
                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
                     ) -> DataFrame:

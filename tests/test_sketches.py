@@ -309,9 +309,10 @@ def test_histogram_sketch_degenerate_inputs(spark):
 def test_sketch_profile_entry_pins_operator_outputs(spark, sf_dir):
     """The entry's one-row card must equal the public operators'
     outputs column-for-column (guards the entry-level pivot/rename
-    plumbing around hll_estimate / histogram_quantiles)."""
+    plumbing around hll_estimate / fixed_histogram_quantiles_py)."""
     from etl_excel_to_hyper_tableau_spark.operators.sketches import (
-        histogram_quantiles, histogram_sketch, hll_build, hll_estimate,
+        fixed_histogram_cells, fixed_histogram_quantiles_py, hll_build,
+        hll_estimate,
     )
     li = entry._t(spark, sf_dir, "lineitem")
     ndvs = {alias: hll_estimate(hll_build(li, c, p=8), p=8)
@@ -319,9 +320,9 @@ def test_sketch_profile_entry_pins_operator_outputs(spark, sf_dir):
             for c, alias in (("l_orderkey", "ndv_orders"),
                              ("l_partkey", "ndv_parts"),
                              ("l_suppkey", "ndv_suppliers"))}
-    qs = {r["q"]: r["estimate"] for r in histogram_quantiles(
-        histogram_sketch(li, "l_extendedprice", bins=512), 512,
-        (0.5, 0.95, 0.99)).collect()}
+    cells = fixed_histogram_cells(li, "l_extendedprice", 20.0).collect()
+    qs = fixed_histogram_quantiles_py(
+        [(r["bin"], r["cnt"]) for r in cells], 20.0, (0.5, 0.95, 0.99))
     fused = entry.q_sketch_profile(spark, sf_dir).collect()[0]
     assert fused["ndv_orders"] == ndvs["ndv_orders"]
     assert fused["ndv_parts"] == ndvs["ndv_parts"]
@@ -422,3 +423,50 @@ def test_kmv_validation(spark):
     )
     with pytest.raises(ValueError):
         kmv_sketch(spark.range(3), "id", k=1)
+
+
+def test_fixed_histogram_quantiles_within_width(spark):
+    """Fixed-grid one-pass histogram: quantile estimates land within
+    one bin width of the exact order statistics."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        fixed_histogram_cells, fixed_histogram_quantiles_py,
+    )
+    df = spark.range(10_000).select(
+        (F.col("id") * 0.37 + 5.0).alias("v"))
+    cells = fixed_histogram_cells(df, "v", width=25.0).collect()
+    est = fixed_histogram_quantiles_py(
+        [(r["bin"], r["cnt"]) for r in cells], width=25.0,
+        qs=(0.5, 0.95))
+    exact = sorted(r["v"] for r in df.collect())
+    for q in (0.5, 0.95):
+        true = exact[int(q * len(exact)) - 1]
+        assert abs(est[q] - true) <= 25.0, (q, est[q], true)
+
+
+def test_fixed_histogram_cells_merge_and_bounds(spark):
+    """Cells merge across partitionings by plain count addition and
+    the state is value-range-bounded, not row-bounded."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        fixed_histogram_cells,
+    )
+    df = spark.range(50_000).select((F.col("id") % 1000).cast(
+        "double").alias("v"))
+    a = {(r["bin"], r["cnt"])
+         for r in fixed_histogram_cells(df, "v", 10.0).collect()}
+    b = {(r["bin"], r["cnt"]) for r in fixed_histogram_cells(
+        df.repartition(17), "v", 10.0).collect()}
+    assert a == b
+    assert len(a) == 100  # range/width cells despite 50k rows
+
+
+def test_fixed_histogram_null_and_validation(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        fixed_histogram_cells, fixed_histogram_quantiles_py,
+    )
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (99.0,)], "v double")
+    cells = fixed_histogram_cells(df, "v", 50.0).collect()
+    assert sum(r["cnt"] for r in cells) == 2  # NULL excluded
+    assert fixed_histogram_quantiles_py([], 50.0) == {}
+    with pytest.raises(ValueError):
+        fixed_histogram_cells(df, "v", 0)
