@@ -127,8 +127,17 @@ HEADLINE = [
     "supplier_variety",
     "dominant_part_suppliers",
     "url_dedup",
-    "pca_variance",
-    "embedding_whiten",
+    # pca_variance and embedding_whiten are re-classed OUT of the
+    # ratio set (round-9 verdict item 3, executed round 10): their
+    # oracles replay the non-SQL eigendecomposition at oracle-BUILD
+    # time — pca_variance's SQL is a literal VALUES scan (duck 0.004 s,
+    # ratio 356× by construction) and embedding_whiten's W/mu literals
+    # exclude the covariance pass the Spark side runs (2.5-3.0×
+    # forever) — so their duck walls never measure the computation
+    # being verified.  Correctness verification is unchanged (both
+    # stay in queries()/oracle_sql() and the driver value-hashes
+    # them); the family's FAIR ratio gauge is embedding_covariance
+    # below, whose oracle replays the same fixed-point GEMM inline.
     # round 5b additions (video_frame_dedup stays out with the other
     # media dedups: a construction-oracle demo whose PAIR output is
     # quadratic in duplicate-class size — not a corpus throughput gauge)
