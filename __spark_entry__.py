@@ -1642,6 +1642,50 @@ def q_ann_recall(spark, sf_dir):
             .transform(_fin, "query_id"))
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN serving composition (operators.similarity.ivfpq_topk
+    — Jégou et al. TPAMI'11 §IV / FAISS IVFADC, by_residual=false):
+    the coarse IVF quantizer (16 first-by-id cells, nprobe=2)
+    shortlists ~1/8 of the corpus, PQ-ADC (m=4 subspaces × 8 codes,
+    broadcast per-query LUTs) scores only the shortlisted cells' codes,
+    and exact cosine re-ranks the top-20 ADC candidates into the final
+    top-5.  The corpus is scanned once map-only (cell + codes on the
+    same pass) and never shuffles; only probed-cell rows reach the rank
+    exchange — the production 100 TB serving shape where neither the
+    full vectors nor the whole code table is touched per query.  Final
+    rank on round(cosine, 9) with id tiebreak (the hard_negatives
+    contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return (sim.ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                           "embedding", "vec_id", k=5, n_cells=16,
+                           nprobe=2, m=4, n_codes=8, refine=20)
+            .select("query_id", "id", "adc_dist", "cosine",
+                    F.col("rank").cast("long").alias("rank"))
+            .transform(_fin, "query_id", "rank"))
+
+
+def q_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the IVF-PQ composition against the exact top-5
+    (operators.similarity.recall_vs_exact — the ann_recall gauge
+    extended to the IVFADC path): per query, how many of the refined
+    top-5 are true top-5 members.  On this corpus of i.i.d. random
+    vectors recall is structurally low (cosines concentrate, so coarse
+    cells carry little signal) — which is exactly what the gauge is
+    for: it is the number you watch while trading nprobe/refine against
+    scan fraction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    cand = sim.ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                          "embedding", "vec_id", k=5, n_cells=16,
+                          nprobe=2, m=4, n_codes=8, refine=20)
+    return (sim.recall_vs_exact(corpus, queries, "embedding", "vec_id",
+                                "embedding", "vec_id", cand, k=5)
+            .transform(_fin, "query_id"))
+
+
 # ===========================================================================
 # Streaming (no SQL oracle — structured-streaming execution)
 # ===========================================================================
@@ -3830,6 +3874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "group_split": q_group_split,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_recall": q_ivfpq_recall,
         # -- (4) r04-green fill (window re-verification) -------------
         "sketch_profile": q_sketch_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4580,6 +4626,109 @@ FROM s ORDER BY component
 """
     _PCA_SQL_CACHE[sf] = sql
     return sql
+
+
+def _ivfpq_sql(final: str, n_cells: int = 16, nprobe: int = 2,
+               m: int = 4, n_codes: int = 8, refine: int = 20,
+               k: int = 5, dim: int = 64) -> str:
+    """Oracle for the IVF-PQ composition (``final`` = ``"topk"`` or
+    ``"recall"``): coarse assignment and probe replay the ivf_topk
+    CTEs, codes/LUT replay the pq_topk CTEs (subspace squared-L2 as a
+    0.0-seeded left fold — identical doubles to the engine's
+    ``_pq_sub_dist`` / driver LUT), the ADC join is restricted to
+    probed cells, the top-``refine`` shortlist re-ranks by exact
+    cosine over round(cosine, 9) with id tiebreak, and the recall form
+    joins the refined top-k against the exact top-k (the ann_recall
+    tail)."""
+    dsub = dim // m
+    sq = (f"list_reduce(list_prepend(0.0, list_apply(range(1, {dsub + 1}),"
+          " i -> ({a}[sub.s * %d + i] - cb.ce[sub.s * %d + i])"
+          " * ({a}[sub.s * %d + i] - cb.ce[sub.s * %d + i]))),"
+          " (x, y) -> x + y)" % (dsub, dsub, dsub, dsub))
+    body = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, list_apply(embedding, x -> cast(x as double)) AS e
+  FROM embeddings WHERE vec_id >= 3),
+cents AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, e AS ce
+  FROM (SELECT id, e FROM corpus ORDER BY id LIMIT {n_cells})),
+assigned AS (
+  SELECT id, cell FROM (
+    SELECT c.id, ct.cell,
+      row_number() OVER (PARTITION BY c.id
+                         ORDER BY {_cos_sql('c.e', 'ct.ce')} DESC, ct.cell ASC) AS rn
+    FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+cb AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS j, e AS ce
+  FROM (SELECT id, e FROM corpus ORDER BY id LIMIT {n_codes})),
+sub AS (SELECT unnest(range({m})) AS s),
+cdist AS (
+  SELECT c.id, sub.s, cb.j, {sq.format(a='c.e')} AS d
+  FROM corpus c CROSS JOIN sub CROSS JOIN cb),
+codes AS (
+  SELECT id, s, j AS code FROM (
+    SELECT id, s, j,
+      row_number() OVER (PARTITION BY id, s ORDER BY d ASC, j ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id,
+             list_apply(embedding, x -> cast(x as double)) AS qe
+      FROM embeddings WHERE vec_id < 3),
+qp AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, ct.cell,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos_sql('q.qe', 'ct.ce')} DESC, ct.cell ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= {nprobe}),
+qdist AS (
+  SELECT q.query_id, sub.s, cb.j, {sq.format(a='q.qe')} AS d
+  FROM q CROSS JOIN sub CROSS JOIN cb),
+adc AS (
+  SELECT qd.query_id, codes.id,
+    list_reduce(list_prepend(0.0, list(qd.d ORDER BY qd.s)),
+                (x, y) -> x + y) AS adc_dist
+  FROM codes
+  JOIN assigned a ON a.id = codes.id
+  JOIN qp ON qp.cell = a.cell
+  JOIN qdist qd ON qd.query_id = qp.query_id
+               AND qd.s = codes.s AND qd.j = codes.code
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, id, adc_dist FROM (
+    SELECT query_id, id, adc_dist,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, id ASC) AS rn
+    FROM adc) WHERE rn <= {refine}),
+fin AS (
+  SELECT query_id, id, adc_dist, cosine,
+    cast(row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, id ASC)
+         as bigint) AS rank
+  FROM (SELECT s.query_id, s.id, s.adc_dist,
+               {_cos_sql('c.e', 'q.qe')} AS cosine
+        FROM short s JOIN corpus c ON c.id = s.id
+        JOIN q ON q.query_id = s.query_id)
+  QUALIFY rank <= {k})"""
+    if final == "topk":
+        return (body + "\nSELECT query_id, id, adc_dist, cosine, rank "
+                       "FROM fin ORDER BY query_id, rank")
+    return body + f""",
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT q.query_id, c.id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos_sql('c.e', 'q.qe')} DESC, c.id) AS rn
+    FROM corpus c CROSS JOIN q) WHERE rn <= {k}),
+hits AS (
+  SELECT f.query_id, count(*) AS n_ann,
+         sum(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM fin f LEFT JOIN exact e ON f.query_id = e.query_id AND f.id = e.id
+  GROUP BY f.query_id)
+SELECT qq.query_id,
+  cast(coalesce(n_ann, 0) as bigint) AS n_ann,
+  cast(coalesce(n_hits, 0) as bigint) AS n_hits,
+  coalesce(n_hits, 0) / {float(k)!r} AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3) qq
+LEFT JOIN hits ON qq.query_id = hits.query_id ORDER BY qq.query_id"""
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -6484,6 +6633,8 @@ SELECT query_id, id, adc_dist,
                           ORDER BY adc_dist ASC, id ASC) as bigint) AS rank
 FROM adc QUALIFY rank <= 5 ORDER BY query_id, rank
 """,
+        "ivfpq_topk": _ivfpq_sql("topk"),
+        "ivfpq_recall": _ivfpq_sql("recall"),
         # --- round 3b: join-key skew diagnostics --------------------------
         "key_skew": """
 WITH c AS (SELECT cast(l_orderkey as varchar) AS key_value,

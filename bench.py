@@ -182,6 +182,12 @@ HEADLINE = [
     # its wall is the one-time z-order staging write; the skip property
     # is pinned by its oracle's skipped_half column and
     # tests/test_zorder.py::TestFileSkipManifest
+    # round 10: the IVF-PQ serving composition (coarse probe → ADC on
+    # codes → exact refine) — a corpus throughput gauge whose physical
+    # pattern (probe-restricted ADC + candidate re-rank) the set
+    # doesn't time; ivfpq_recall stays out with ann_recall (an
+    # evaluation join over queries×k rows, not a throughput pattern)
+    "ivfpq_topk",
 ]
 
 

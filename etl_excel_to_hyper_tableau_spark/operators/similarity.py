@@ -603,15 +603,32 @@ def ann_recall_report(corpus: DataFrame, queries: DataFrame,
 
     Output: ``query_id, n_ann, n_hits, recall``.
     """
+    ann = ann_topk_lsh(corpus, queries, vec_col, id_col,
+                       query_vec_col, query_id_col, k=k, planes=planes,
+                       multiprobe=multiprobe)
+    return recall_vs_exact(corpus, queries, vec_col, id_col,
+                           query_vec_col, query_id_col, ann, k=k)
+
+
+def recall_vs_exact(corpus: DataFrame, queries: DataFrame,
+                    vec_col: str, id_col: str,
+                    query_vec_col: str, query_id_col: str,
+                    candidates: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of an arbitrary candidate list (``query_id, id`` — any
+    ANN path's output) against the exact cosine top-k — the shared
+    evaluation tail of :func:`ann_recall_report`, factored out so every
+    retrieval composition (LSH, IVF, IVF-PQ) plugs into the same gauge.
+    The exact operand broadcasts the query set against one corpus scan;
+    the evaluation join touches only (queries × k) rows.
+
+    Output: ``query_id, n_ann, n_hits, recall`` (one row per query,
+    zeros when the candidate list is empty for it)."""
     exact = topk_cosine_batch(corpus, queries, vec_col, id_col,
                               query_vec_col, query_id_col, k=k) \
         .select("query_id", "id")
-    ann = ann_topk_lsh(corpus, queries, vec_col, id_col,
-                       query_vec_col, query_id_col, k=k, planes=planes,
-                       multiprobe=multiprobe) \
-        .select("query_id", "id")
-    hits = (ann.join(exact.withColumn("__hit__", F.lit(1)),
-                     ["query_id", "id"], "left")
+    cand = candidates.select("query_id", "id")
+    hits = (cand.join(exact.withColumn("__hit__", F.lit(1)),
+                      ["query_id", "id"], "left")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_ann"),
                  F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_hits")))
@@ -738,6 +755,22 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             f"pq_topk collects the query side to build per-query ADC "
             f"LUTs; got > max_queries={max_queries} queries — batch "
             f"the query set or raise max_queries explicitly")
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(_adc_lut_rows(qrows, codebooks),
+                                 "query_id long, lut array<double>")
+    scored = (enc.crossJoin(F.broadcast(luts))
+              .select("query_id", "id",
+                      _adc_score(m, n_codes).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _adc_lut_rows(qrows, codebooks: list[list[list[float]]]) -> list:
+    """Per-query ADC lookup tables: ``lut[s·n_codes + j]`` is the
+    squared L2 distance between query subspace ``s`` and centroid
+    ``j`` — driver-computed in the same sequential fold order as
+    :func:`_pq_sub_dist`, so the SQL oracle's doubles are identical."""
     dsub = len(codebooks[0][0])
     lut_rows = []
     for r in qrows:
@@ -751,8 +784,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
                     acc += (x - y) * (x - y)
                 lut.append(acc)
         lut_rows.append((r["query_id"], lut))
-    spark = corpus.sparkSession
-    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    return lut_rows
+
+
+def _adc_score(m: int, n_codes: int) -> Column:
+    """ADC distance of a coded vector to a query LUT: the sum of ``m``
+    array lookups ``lut[s·n_codes + codes[s]]`` — subspace-ascending
+    term order with no extra init, matching the oracle's
+    ``list_prepend(0.0, …)`` left fold (0.0 + t == t for IEEE
+    doubles)."""
     score = None
     for s in range(m):
         term = F.element_at(
@@ -760,11 +800,104 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             (F.lit(s * n_codes) + F.element_at(F.col("codes"), s + 1) + 1)
             .cast("int"))
         score = term if score is None else score + term
-    scored = (enc.crossJoin(F.broadcast(luts))
-              .select("query_id", "id", score.alias("adc_dist")))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return score
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               vec_col: str, id_col: str,
+               query_vec_col: str, query_id_col: str,
+               k: int = 5, n_cells: int = 16, nprobe: int = 2,
+               m: int = 4, n_codes: int = 8, refine: int = 0,
+               max_queries: int = 1024) -> DataFrame:
+    """IVF-PQ composition (Jégou et al. TPAMI'11 §IV, the FAISS
+    ``IVFADC`` index — here the ``by_residual=false`` variant: PQ codes
+    encode the raw vectors, not cell residuals, so the codebook is
+    cell-independent and one SQL oracle replays it): the coarse IVF
+    quantizer shortlists ``nprobe`` cells per query, PQ-ADC scores ONLY
+    the shortlisted cells' codes, and (``refine > 0``) the top
+    ``refine`` ADC candidates are re-ranked by exact cosine — the
+    production 100 TB serving shape, where neither the full-precision
+    vectors nor the whole code table is ever scanned per query.
+
+    Stage shapes (each inherited from its verified component):
+
+    * coarse: first-``n_cells``-by-id centroids (the iters=0 seeding
+      contract of :func:`ivf_topk`); corpus cell assignment is a
+      map-only argmax over literal centroids; queries probe their
+      ``nprobe`` nearest cells.
+    * ADC: :func:`train_pq_codebooks` + :func:`pq_encode` (map-only,
+      codebook literals); per-query LUTs are driver-built
+      (``max_queries`` valve, the :func:`pq_topk` contract) and
+      broadcast with the probe rows — the probe join touches
+      ~``nprobe/n_cells`` of the corpus and only (shortlist) rows
+      reach the rank exchange.
+    * refine: the top-``refine`` ADC rows per query (already ≤
+      queries×refine after the first rank) score exact cosine against
+      the full-precision vector carried on the candidate row; final
+      rank runs over ``round(cosine, 9)`` with id tiebreak (the
+      hard_negatives contract — rrf/fusion-safe).
+
+    Output: ``query_id, id, adc_dist, cosine, rank`` with ``refine``
+    (cosine NULL, rank by adc asc when ``refine=0``); rank ≤ k.
+    """
+    if refine and refine < k:
+        raise ValueError(f"refine={refine} must be 0 or >= k={k}")
+    c = (spread(corpus).select(F.col(id_col).alias("id"),
+                               F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("__nrm__", _norm(F.col("vec"))))
+    seed = c.orderBy("id").limit(n_cells).collect()
+    if not seed:
+        raise ValueError("ivfpq_topk on an empty corpus")
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
+    codebooks = train_pq_codebooks(corpus, vec_col, id_col, m=m, k=n_codes)
+    n_codes = len(codebooks[0])
+    # pq_encode keeps (id, vec, codes); the cell assignment rides the
+    # same map-only pass — the corpus is scanned once and never shuffled
+    enc = (pq_encode(c, "vec", "id", codebooks)
+           .withColumn("__nrm__", _norm(F.col("vec")))
+           .withColumn("cell",
+                       _nearest_cells("vec", "__nrm__", centroids, 1)[0])
+           .drop("__nrm__"))
+    qrows = (queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(query_vec_col).cast("array<double>")
+                             .alias("qvec"))
+             .orderBy("query_id").limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collects the query side to build per-query ADC "
+            f"LUTs; got > max_queries={max_queries} queries — batch "
+            f"the query set or raise max_queries explicitly")
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(_adc_lut_rows(qrows, codebooks),
+                                 "query_id long, lut array<double>")
+    q = (spark.createDataFrame([(r["query_id"], list(r["qvec"]))
+                                for r in qrows],
+                               "query_id long, qvec array<double>")
+         .withColumn("__qnrm__", _norm(F.col("qvec"))))
+    q_probes = (q.select("query_id", "qvec",
+                         F.explode(_nearest_cells("qvec", "__qnrm__",
+                                                  centroids, nprobe))
+                         .alias("cell"))
+                .join(luts, "query_id"))
+    shortlist = max(k, refine)
+    scored = (enc.join(F.broadcast(q_probes), "cell")
+              .select("query_id", "id", "vec", "qvec",
+                      _adc_score(m, n_codes).alias("adc_dist")))
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                                   F.asc("id"))
+    cand = (scored.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= shortlist))
+    if not refine:
+        return cand.select("query_id", "id", "adc_dist",
+                           F.lit(None).cast("double").alias("cosine"),
+                           "rank")
+    rers = cand.select("query_id", "id", "adc_dist",
+                       _cosine(F.col("vec"), F.col("qvec")).alias("cosine"))
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("id"))
+    return (rers.withColumn("rank", F.row_number().over(w_fin))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "id", "adc_dist", "cosine", "rank"))
 
 
 def ann_mrr_report(corpus: DataFrame, queries: DataFrame,

@@ -145,3 +145,83 @@ def test_ivf_train_iters_runs_and_keeps_contract(spark, sf_dir):
     assert {r["query_id"] for r in rows} == {0, 1}
     for r in rows:
         assert 1 <= r["rank"] <= 3
+
+
+def test_ivfpq_full_probe_full_refine_equals_exact(spark, sf_dir):
+    """With every cell probed and the refine shortlist covering the
+    whole probed set, the exact re-rank must reproduce the exact top-k
+    (the ADC stage then only orders the shortlist, never drops a true
+    neighbor)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    n = corpus.count()
+    exact = topk_cosine_batch(corpus, queries, "embedding", "vec_id",
+                              "embedding", "vec_id", k=5)
+    got = ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                     "embedding", "vec_id", k=5, n_cells=4, nprobe=4,
+                     m=4, n_codes=8, refine=n)
+    ex = {(r["query_id"], r["id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["id"]) for r in got.collect()}
+    assert ex == ap
+
+
+def test_ivfpq_adc_only_matches_pq_when_all_cells_probed(spark, sf_dir):
+    """refine=0 with nprobe=n_cells degenerates to pq_topk (same
+    codebooks, same ADC, no cell restriction)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk, pq_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    pq = {(r["query_id"], r["id"], r["adc_dist"])
+          for r in pq_topk(corpus, queries, "embedding", "vec_id",
+                           "embedding", "vec_id", k=5, m=4,
+                           n_codes=8).collect()}
+    comp = {(r["query_id"], r["id"], r["adc_dist"])
+            for r in ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                                "embedding", "vec_id", k=5, n_cells=4,
+                                nprobe=4, m=4, n_codes=8,
+                                refine=0).collect()}
+    assert pq == comp
+
+
+def test_ivfpq_validation_and_candidate_bound(spark, sf_dir):
+    import pytest as _pytest
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    with _pytest.raises(ValueError):
+        ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                   "embedding", "vec_id", k=5, refine=3)
+    with _pytest.raises(ValueError):
+        ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                   "embedding", "vec_id", max_queries=1)
+    got = ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                     "embedding", "vec_id", k=5, refine=20)
+    assert got.groupBy("query_id").count().filter("count > 5").count() == 0
+
+
+def test_recall_vs_exact_perfect_candidates(spark, sf_dir):
+    """Feeding the exact top-k back as candidates must report
+    recall 1.0 for every query (gauge self-consistency)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        recall_vs_exact,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = topk_cosine_batch(corpus, queries, "embedding", "vec_id",
+                              "embedding", "vec_id", k=5)
+    rep = recall_vs_exact(corpus, queries, "embedding", "vec_id",
+                          "embedding", "vec_id", exact, k=5).collect()
+    assert len(rep) == 3
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in rep)

@@ -39,6 +39,11 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   "rrf_hybrid",
                   "embedding_quantize", "tfidf_topk", "mixture_weights",
                   "ann_recall", "ann_mrr", "pq_topk", "key_skew",
+                  # ivfpq_recall: the gauge's EXACT operand is a
+                  # topk_cosine_batch scan (broadcast query set —
+                  # ann_recall's shape); the IVF-PQ candidate side
+                  # itself is equi-joins only (cell probe + LUT)
+                  "ivfpq_recall",
                   # hll_distinct cross-joins its ONE-ROW estimate with
                   # the ONE-ROW exact-NDV aggregate per key column
                   "hll_distinct",
@@ -50,11 +55,9 @@ NESTED_LOOP_OK = {"embedding_topk", "doc_lm_surprisal", "bm25_search",
                   # aggregates (stats × n_edges × triangles) the same way
                   "dsir_weights", "vocab_drift", "corpus_summary",
                   "dup_graph_stats",
-                  # sketch_profile assembles ONE-ROW sketch estimates
-                  # by broadcast cross join, and histogram_quantiles
-                  # theta-joins the ≤ |qs|-row target table against the
-                  # BROADCAST ≤ bins-row cumulative sketch
-                  "sketch_profile",
+                  # (sketch_profile left this list in round 10: its
+                  # fused single-action shape is union + hash agg with
+                  # no join at all)
                   # Q22 shape: scalar-subquery average = ONE-ROW
                   # broadcast cross join ahead of the anti-join
                   "idle_customer_balance",
