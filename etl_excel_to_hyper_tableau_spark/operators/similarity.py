@@ -1545,6 +1545,53 @@ def label_noise_audit(df: DataFrame, vec_col: str, id_col: str,
 # Corpus self-kNN graph
 # ---------------------------------------------------------------------------
 
+_KNN_CHECKPOINTS: "weakref.WeakKeyDictionary" = None  # built on first use
+
+
+def _track_knn_checkpoint(spark, chk: DataFrame) -> None:
+    """Register the checkpointed RDD behind ``chk`` (a
+    ``localCheckpoint`` result — its analyzed plan is a LogicalRDD)
+    under the owning session, so :func:`release_knn_checkpoints` can
+    reclaim the blocks later.  Registration is best-effort: if the
+    internal plan shape ever changes, the graph still works and the
+    blocks simply keep the documented session lifetime."""
+    global _KNN_CHECKPOINTS
+    import weakref
+
+    if _KNN_CHECKPOINTS is None:
+        _KNN_CHECKPOINTS = weakref.WeakKeyDictionary()
+    try:
+        rdd = chk._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # pragma: no cover - internal-plan drift guard
+        return
+    _KNN_CHECKPOINTS.setdefault(spark, []).append(rdd)
+
+
+def release_knn_checkpoints(spark) -> int:
+    """Unpersist every ``localCheckpoint`` block :func:`knn_graph`'s
+    LSH path registered in this session — the lifecycle valve for a
+    long-lived session building many graphs, without the collateral of
+    ``spark.catalog.clearCache()`` on unrelated cached relations.
+
+    Call AFTER consuming the returned graph DataFrames: unpersisting a
+    checkpointed plan truncates its only lineage, so a graph
+    materialized later would fail (by design — the checkpoint IS the
+    data).  Returns the number of block sets released."""
+    if _KNN_CHECKPOINTS is None:
+        return 0
+    rdds = _KNN_CHECKPOINTS.pop(spark, [])
+    n = 0
+    for rdd in rdds:
+        try:
+            # blocking: the caller's next line may assert/measure
+            # storage, and an async unpersist races that read
+            rdd.unpersist(True)
+            n += 1
+        except Exception:  # pragma: no cover - already-freed blocks
+            pass
+    return n
+
+
 def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
               planes: int | None = 0, multiprobe: bool = True,
               max_exact: int = 100_000,
@@ -1589,10 +1636,12 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
     its only lineage, so the function cannot evict them without
     breaking a caller that materializes the returned (lazy) DataFrame
     later.  One block set (~corpus × (vec + signature)) accumulates per
-    LSH-path call; a long-lived session building many graphs should
-    interleave ``spark.catalog.clearCache()`` between them or recycle
-    the session (the same lifetime the mmr persist/unpersist pairing
-    documents for its bounded relation).
+    LSH-path call; each is REGISTERED per session, and a long-lived
+    session reclaims them all with :func:`release_knn_checkpoints`
+    AFTER consuming the returned graphs (no ``clearCache()`` collateral
+    on unrelated cached relations; a graph not yet materialized when
+    released can no longer be computed — the lineage is gone by
+    design).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1635,6 +1684,7 @@ def knn_graph(df: DataFrame, vec_col: str, id_col: str, k: int = 5,
         left = (c.withColumn("bucket",
                              _sign_lsh_signature("vec", planes, dim))
                 .localCheckpoint(eager=False))
+        _track_knn_checkpoint(df.sparkSession, left)
         # degenerate-corpus valve: identical-direction vectors share a
         # bucket at ANY plane count; candidate pairs are occupancy², so
         # an over-full bucket must refuse loudly, not run quadratic

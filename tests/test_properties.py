@@ -1982,3 +1982,237 @@ def test_normalize_text_is_idempotent(spark, texts):
     a = {r["doc_id"]: r["text"] for r in once.collect()}
     b = {r["id"]: r["text"] for r in twice.collect()}
     assert a == b, (texts,)
+
+
+# ---------------------------------------------------------------------------
+# round-10 property campaign: rrf_fuse / maxsim_topk / auto_salted_join
+# ---------------------------------------------------------------------------
+
+def _rrf_python_model(rankings, k, c):
+    """Driver replay of rrf_fuse's exact arithmetic: pico terms are
+    HALF-UP-rounded doubles (floor(x+0.5) ≡ Spark's F.round for
+    positive x), absent documents contribute nothing, final score is
+    the exact integer sum / 1e12."""
+    import math
+
+    pico: dict = {}
+    for system in rankings:
+        for qid, did, rank in system:
+            key = (qid, did)
+            pico[key] = pico.get(key, 0) + int(
+                math.floor(1e12 / (c + rank) + 0.5))
+    per_q: dict = {}
+    for (qid, did), p in pico.items():
+        per_q.setdefault(qid, []).append((p / 1e12, did))
+    out = {}
+    for qid, lst in per_q.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = lst[:k]
+    return out
+
+
+_ranking = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 9)),
+    min_size=1, max_size=12, unique=True)
+
+
+@settings(**_SETTINGS)
+@given(sys_a=_ranking, sys_b=_ranking, k=st.integers(1, 4))
+def test_rrf_fuse_matches_python_model(spark, sys_a, sys_b, k):
+    """Fused top-k equals the exact-integer Python replay for random
+    rankings — including documents absent from one system (they score
+    only the present system's reciprocal)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    def ranked(pairs):
+        # per-query dense ranks in list order (unique (qid,id) pairs)
+        seen: dict = {}
+        out = []
+        for qid, did in pairs:
+            seen[qid] = seen.get(qid, 0) + 1
+            out.append((qid, did, seen[qid]))
+        return out
+
+    ra, rb = ranked(sys_a), ranked(sys_b)
+    dfa = spark.createDataFrame(ra, "query_id long, id long, rank long")
+    dfb = spark.createDataFrame(rb, "query_id long, id long, rank long")
+    got: dict = {}
+    for r in rrf_fuse([dfa, dfb], k=k, c=60).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rrf_score"], r["id"], r["rank"]))
+    model = _rrf_python_model([ra, rb], k, 60)
+    assert set(got) == set(model)
+    for qid in model:
+        got[qid].sort(key=lambda t: t[2])
+        assert [(s, i) for s, i, _ in got[qid]] == model[qid]
+
+
+@settings(**_SETTINGS)
+@given(sys_a=_ranking, sys_b=_ranking)
+def test_rrf_fuse_system_order_invariant(spark, sys_a, sys_b):
+    """RRF is a sum over systems: fusing [A, B] must equal [B, A]
+    exactly (the pico-integer quantization makes the sum
+    order-independent — the property a double sum would not have)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    def _dense_ranks(pairs):
+        seen: dict = {}
+        out = []
+        for q, _ in pairs:
+            seen[q] = seen.get(q, 0) + 1
+            out.append(seen[q])
+        return out
+
+    ra = [(q, d, r) for (q, d), r in zip(sys_a, _dense_ranks(sys_a))]
+    rb = [(q, d, r) for (q, d), r in zip(sys_b, _dense_ranks(sys_b))]
+    dfa = spark.createDataFrame(ra, "query_id long, id long, rank long")
+    dfb = spark.createDataFrame(rb, "query_id long, id long, rank long")
+    ab = sorted(map(tuple, rrf_fuse([dfa, dfb], k=5).collect()))
+    ba = sorted(map(tuple, rrf_fuse([dfb, dfa], k=5).collect()))
+    assert ab == ba
+
+
+def _maxsim_python_model(corpus, queries, k):
+    """Sequential-left-fold replay of maxsim_topk: cos as dot/(na·nb)
+    with 0.0-seeded folds (the engine's _cosine order), per-query sum
+    over tokens in order, round half-up at 9, NULL (zero-norm / empty
+    doc) dropped before the rank."""
+    import math
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        if den == 0.0:
+            return None
+        return dot / den
+
+    out = {}
+    for qid, qtoks in queries:
+        scored = []
+        for did, dtoks in corpus:
+            acc = 0.0
+            dead = False
+            for qt in qtoks:
+                best = None
+                for dt in dtoks:
+                    cv = cos(qt, dt)
+                    if cv is not None and (best is None or cv > best):
+                        best = cv
+                if best is None:
+                    dead = True
+                    break
+                acc += best
+            if dead:
+                continue
+            q = math.floor(abs(acc) * 1e9 + 0.5) / 1e9
+            scored.append((math.copysign(q, acc), did))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = scored[:k]
+    return out
+
+
+_tok_vec = st.lists(st.floats(-2, 2, allow_nan=False, width=32),
+                    min_size=3, max_size=3)
+_toks = st.lists(_tok_vec, min_size=1, max_size=3)
+
+
+@settings(**_SETTINGS)
+@given(corpus=st.lists(_toks, min_size=1, max_size=5),
+       queries=st.lists(_toks, min_size=1, max_size=2))
+def test_maxsim_matches_python_model(spark, corpus, queries):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        maxsim_topk,
+    )
+    crows = [(i, t) for i, t in enumerate(corpus)]
+    qrows = [(100 + i, t) for i, t in enumerate(queries)]
+    cdf = spark.createDataFrame(
+        crows, "id long, toks array<array<double>>")
+    qdf = spark.createDataFrame(
+        qrows, "qid long, qtoks array<array<double>>")
+    got: dict = {}
+    for r in maxsim_topk(cdf, qdf, "toks", "id", "qtoks", "qid",
+                         k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["maxsim"], r["id"]))
+    model = _maxsim_python_model(crows, qrows, 3)
+    for qid, lst in model.items():
+        mine = sorted(got.get(qid, []))
+        assert [(s, i) for _, s, i in mine] == lst, (qid, mine, lst)
+
+
+def test_maxsim_zero_norm_and_empty_doc_drop(spark):
+    """A zero-norm QUERY token nulls every doc's score (no rows for
+    that query); an empty / all-zero doc token array drops only that
+    doc — never a NULL maxsim in the top-k (the round-10 fix)."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        maxsim_topk,
+    )
+    cdf = spark.createDataFrame(
+        [(1, [[1.0, 0.0]]), (2, []), (3, [[0.0, 0.0]])],
+        "id long, toks array<array<double>>")
+    qdf = spark.createDataFrame(
+        [(10, [[1.0, 1.0]]), (11, [[0.0, 0.0]])],
+        "qid long, qtoks array<array<double>>")
+    rows = maxsim_topk(cdf, qdf, "toks", "id", "qtoks", "qid",
+                       k=3).collect()
+    assert all(r["maxsim"] is not None for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["id"])
+    assert by_q.get(10) == {1}      # empty + zero-norm docs dropped
+    assert 11 not in by_q           # zero-norm query token nulls all
+
+
+@settings(**_SETTINGS)
+@given(hot=st.integers(0, 5), n_hot=st.integers(6, 40),
+       tail=st.lists(st.integers(0, 5), max_size=15))
+def test_auto_salted_join_equals_plain_join(spark, hot, n_hot, tail):
+    """auto_salted_join values == the plain equi-join for random skews
+    (extends the static salted property to the histogram-derived
+    form): one measured-hot key, an unsalted cold tail."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        auto_salted_join,
+    )
+    keys = [hot] * n_hot + tail
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, lv long")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, rv long")
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    auto = sorted(map(tuple,
+                      auto_salted_join(left, right, "k",
+                                       hot_threshold=2.0,
+                                       topk=8).collect()))
+    assert auto == plain
+
+
+@settings(**_SETTINGS)
+@given(keys=st.lists(st.integers(0, 8), min_size=1, max_size=30))
+def test_auto_salted_left_join_preserves_unmatched(spark, keys):
+    """how='left' keeps every left row exactly once when unmatched —
+    salting must not duplicate or drop the NULL-extended rows."""
+    from etl_excel_to_hyper_tableau_spark.operators.skew import (
+        auto_salted_join,
+    )
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, lv long")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(4)], "k long, rv long")  # 5-8 unmatched
+    plain = sorted(map(tuple,
+                       left.join(right, "k", "left").collect()))
+    auto = sorted(map(tuple,
+                      auto_salted_join(left, right, "k", how="left",
+                                       hot_threshold=1.5,
+                                       topk=4).collect()))
+    assert auto == plain

@@ -375,3 +375,29 @@ def test_table_cache_releases_stopped_sessions():
     gc.collect()
     assert len([k for k in e._TABLE_CACHE
                 if type(k).__name__ == "FakeSession"]) == 0
+
+
+def test_knn_graph_checkpoint_release(spark):
+    """The LSH path's localCheckpoint blocks are session-registered:
+    the graph's values are unaffected while registered, and
+    release_knn_checkpoints frees the persistent blocks afterwards
+    (the clearCache-free lifecycle valve)."""
+    import random
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        knn_graph, release_knn_checkpoints,
+    )
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    release_knn_checkpoints(spark)  # clean slate
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = knn_graph(df, "emb", "vec_id", k=3, planes=2,
+                    multiprobe=True).collect()
+    assert len(got) > 0  # values consumed while registered
+    assert jsc.getPersistentRDDs().size() > before  # blocks held
+    assert release_knn_checkpoints(spark) >= 1
+    assert jsc.getPersistentRDDs().size() == before  # storage freed
+    assert release_knn_checkpoints(spark) == 0  # idempotent
