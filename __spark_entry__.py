@@ -1810,6 +1810,138 @@ def _stage_pipe_landing(spark, sf_dir, landing):
         os.utime(path, (t0 + b, t0 + b))
 
 
+# Planted corpus for the cross-batch near-dup entry (sf-INDEPENDENT
+# literals — the oracle replays them as a VALUES relation).  batch =
+# doc_id % 4.  Construction, pinned by
+# tests/test_ingest_stream.py::test_crossdup_corpus_margins against the
+# real band tables (k=16, n=3, bands=2):
+#   * doc 2 (batch 2) is doc 0 (batch 0) with one trailing character
+#     changed — a cross-batch NEAR duplicate (different md5, so the
+#     digest index cannot catch it; 16/16 signature agreement, far
+#     above the 0.7 threshold);
+#   * doc 5 is doc 1 with one character changed, SAME batch (both
+#     ≡ 1 mod 4) — the batch-local election's duplicate;
+#   * every other pair shares ZERO bands and est_jaccard < 0.2.
+_CROSSDUP_DOCS = {
+    0: ("quick brown foxes jump over lazy dogs while seven green "
+        "turtles paddle across quiet rivers at dawn carrying maps of "
+        "forgotten coastal cities"),
+    1: ("violet storms gather beyond jagged mountain ridges as weary "
+        "travelers light copper lanterns inside wooden huts and "
+        "recount legends about buried silver mines"),
+    3: ("mellow jazz drifts through crowded harbor taverns where "
+        "sailors trade spices ivory and silk beneath flickering oil "
+        "lamps long after midnight bells ring"),
+    4: ("ancient libraries hold brittle scrolls describing celestial "
+        "navigation techniques that desert caravans used when crossing "
+        "endless dunes guided only by polar constellations overhead"),
+    6: ("industrious beavers construct elaborate dams along winding "
+        "forest streams creating tranquil ponds where herons fish and "
+        "dragonflies hover during humid summer afternoons"),
+    7: ("orchestras rehearse thunderous symphonies inside marble "
+        "concert halls while apprentice composers scribble hurried "
+        "notations onto parchment hoping patrons admire their daring "
+        "harmonic inventions"),
+    8: ("geologists examine layered sediment cores extracted from "
+        "glacial valleys to reconstruct prehistoric climate "
+        "fluctuations spanning hundreds of millennia across southern "
+        "continental plates"),
+    9: ("bustling night markets overflow with sizzling dumplings "
+        "fragrant lemongrass broth and hand woven baskets as vendors "
+        "shout cheerful bargains beneath paper dragon kites"),
+    10: ("patient horologists assemble intricate brass escapements "
+         "beneath magnifying lenses restoring antique tower clocks "
+         "whose chimes once coordinated entire medieval trading "
+         "villages precisely"),
+    11: ("migrating shorebirds navigate immense oceanic distances "
+         "using magnetic fields stellar cues and coastal landmarks "
+         "arriving annually at identical estuaries despite violent "
+         "storms"),
+}
+_CROSSDUP_DOCS[2] = _CROSSDUP_DOCS[0].replace("coastal cities",
+                                              "coastal citees")
+_CROSSDUP_DOCS[5] = _CROSSDUP_DOCS[1].replace("silver mines",
+                                              "silver minez")
+# survivors by construction: 5 loses the batch-1 local election to 1,
+# 2 is dropped by the STAGED band index (batch 0's survivor 0 wins)
+_CROSSDUP_SURVIVORS = sorted(set(_CROSSDUP_DOCS) - {2, 5})
+
+
+def _stage_crossdup_landing(landing: str) -> None:
+    """4 JSONL landing files of the planted corpus (batch = doc_id %
+    4), mtime-ordered so the file stream processes batch 0 first — doc
+    0 must be INDEXED before its batch-2 near-duplicate arrives."""
+    import json as _json
+    import os
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    os.makedirs(landing)
+    t0 = 1_600_000_000
+    for b in range(4):
+        path = f"{landing}/batch_{b}.jsonl"
+        with open(path, "w") as fh:
+            for d in sorted(_CROSSDUP_DOCS):
+                if d % 4 != b:
+                    continue
+                fh.write(_json.dumps(
+                    {"doc_id": d, "text": _CROSSDUP_DOCS[d],
+                     "lang": "en", "source": "s0"},
+                    ensure_ascii=False) + "\n")
+        os.utime(path, (t0 + b, t0 + b))
+
+
+def q_stream_pipeline_crossdup(spark, sf_dir):
+    """Cross-batch near-duplicate dedup INSIDE the composed streaming
+    pipeline (streaming/ingest.py::curation_pipeline,
+    cross_batch_minhash=True — round-9 verdict item 6): a planted
+    near-duplicate (doc 2, batch 2 — one character off doc 0, batch 0,
+    so the exact-digest index cannot catch it) must be dropped by the
+    STAGED minhash band index during the availableNow run, and the
+    planted batch-LOCAL duplicate (doc 5 vs doc 1) by the in-batch
+    election.  Every other stage is parameterized permissive
+    (min_quality=0, huge budget, unique single-line texts so the
+    boilerplate census strips nothing), so the output isolates the
+    dedup cascade: exactly the 10 construction survivors ship, each
+    with its byte-exact payload.  The construction oracle replays the
+    survivor set from the same literals (the image_phash_dedup
+    doctrine); the margins that make the construction airtight —
+    planted pairs collide with 16/16 signature agreement, all other
+    pairs share zero bands — are pinned against the real band tables
+    in tests/test_ingest_stream.py::test_crossdup_corpus_margins."""
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+    tag = _sf_tag(sf_dir)
+    base = f"/tmp/spark_graft_crossdup_{tag}"
+    landing = f"{base}/landing"
+    out = f"{base}/wds"
+    _stage_once(spark, "crossdup_landing", sf_dir, lambda:
+                _stage_crossdup_landing(landing))
+    curation_pipeline(spark, landing, out, budget_per_source=10**9,
+                      min_frac=0.9, min_quality=0.0, min_tokens=2,
+                      max_tokens=10_000, max_dup_bigram=1.0,
+                      n_shards=2, cross_batch_minhash=True,
+                      cross_batch_threshold=0.7)
+    wds = read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
+    pivoted = (wds.groupBy("key")
+               .agg(F.max(F.when(F.col("ext") == "txt",
+                                 F.decode("content", "UTF-8")))
+                    .alias("txt"),
+                    F.max(F.when(F.col("ext") == "src",
+                                 F.decode("content", "UTF-8")))
+                    .alias("source")))
+    return (pivoted.select(F.col("key").cast("long").alias("doc_id"),
+                           "source",
+                           F.length("txt").cast("long")
+                           .alias("payload_chars"),
+                           F.md5("txt").alias("payload_md5"))
+            .transform(_fin, "doc_id"))
+
+
 def q_stream_pipeline_e2e(spark, sf_dir):
     """The COMPOSED end-to-end streaming curation pipeline
     (streaming/ingest.py::curation_pipeline) executed as ONE real
@@ -1823,10 +1955,12 @@ def q_stream_pipeline_e2e(spark, sf_dir):
     shards back (read_webdataset) and emitting one row per shipped
     sample with its exact payload md5 — the construction oracle
     replays the whole cascade in SQL over the same documents (batch =
-    doc_id % 4, the landing split).  Cross-batch near-dup dedup is the
-    staged-band-index path verified by curated_ingest's tests; the
-    composed oracle keeps the minhash stage batch-local so the SQL
-    replay stays a single cascade rather than a 4-step recursion."""
+    doc_id % 4, the landing split).  ``cross_batch_minhash=False``
+    here: this entry's oracle replays the minhash stage batch-local so
+    the SQL stays a single cascade rather than a 4-step recursion; the
+    STAGED cross-batch band index running inside the same composed
+    query is the sibling entry ``stream_pipeline_crossdup`` (planted
+    near-duplicate construction oracle)."""
     from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
         read_webdataset,
     )
@@ -1839,7 +1973,8 @@ def q_stream_pipeline_e2e(spark, sf_dir):
     out = f"{base}/wds"
     _stage_once(spark, "stream_pipe_landing", sf_dir, lambda:
                 _stage_pipe_landing(spark, sf_dir, landing))
-    curation_pipeline(spark, landing, out, budget_per_source=200)
+    curation_pipeline(spark, landing, out, budget_per_source=200,
+                      cross_batch_minhash=False)
     wds = read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
     pivoted = (wds.groupBy("key")
                .agg(F.max(F.when(F.col("ext") == "txt",
@@ -3895,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "stream_budget_gate": q_stream_budget_gate,
         "stream_pipeline_e2e": q_stream_pipeline_e2e,
+        "stream_pipeline_crossdup": q_stream_pipeline_crossdup,
         "epoch_upsample": q_epoch_upsample,
         "dsir_weights": q_dsir_weights,
         "soft_dedup": q_soft_dedup,
@@ -5756,6 +5892,21 @@ GROUP BY corpus_id, bench_id HAVING count(*) >= 3
 ORDER BY corpus_id, bench_id
 """,
         # --- C4-style cleaning gate ---------------------------------------
+        # construction oracle (the image_phash_dedup doctrine): the
+        # planted corpus makes the survivor set exact by construction
+        # — batch-local loser 5 and cross-batch near-dup 2 drop, every
+        # other stage is parameterized permissive — and the margins
+        # that justify it are pinned against the real band tables in
+        # tests/test_ingest_stream.py::test_crossdup_corpus_margins
+        "stream_pipeline_crossdup": """
+WITH s(doc_id, text) AS (VALUES """ + ", ".join(
+            "({d}, '{t}')".format(d=d, t=_CROSSDUP_DOCS[d])
+            for d in _CROSSDUP_SURVIVORS) + """)
+SELECT cast(doc_id as bigint) AS doc_id, 's0' AS source,
+  cast(length(text) as bigint) AS payload_chars,
+  md5(text) AS payload_md5
+FROM s ORDER BY doc_id
+""",
         "stream_pipeline_e2e": f"""
 WITH raw AS (
   SELECT doc_id, text, source, doc_id % 4 AS batch FROM documents

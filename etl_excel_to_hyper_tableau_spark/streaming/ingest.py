@@ -695,18 +695,32 @@ def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
                       min_quality: float = 0.4, min_tokens: int = 20,
                       max_tokens: int = 2000, max_dup_bigram: float = 0.2,
                       n_shards: int = 4,
-                      max_files_per_trigger: int = 1) -> dict:
+                      max_files_per_trigger: int = 1,
+                      cross_batch_minhash: bool = True,
+                      cross_batch_threshold: float = 0.7) -> dict:
     """The END-TO-END curation pipeline a training-data run actually
     executes, as ONE ``availableNow`` streaming query: JSONL landing
     files → per-batch boilerplate strip → exact dedup (within batch +
     against the accumulated digest index) → MinHash-LSH dedup (within
-    batch, linear election) → C4/Gopher quality gate → per-source
-    token-budget gate (state survives across micro-batches) →
-    WebDataset shards under ``{out}/batch={epoch}``.  The units are
-    individually verified elsewhere (boilerplate_lines, dedup_exact,
-    minhash_dedup, corpus_clean, stream_budget_gate, the loader sinks);
-    this is the COMPOSITION, which is what catches interface
-    mismatches units cannot.
+    batch, linear election; with ``cross_batch_minhash`` also against
+    the accumulated STAGED band index — the :func:`curated_ingest`
+    recipe, so a near-duplicate of content seen in ANY earlier batch is
+    dropped too) → C4/Gopher quality gate → per-source token-budget
+    gate (state survives across micro-batches) → WebDataset shards
+    under ``{out}/batch={epoch}``.  The units are individually verified
+    elsewhere (boilerplate_lines, dedup_exact, minhash_dedup,
+    minhash_incremental_candidates, corpus_clean, stream_budget_gate,
+    the loader sinks); this is the COMPOSITION, which is what catches
+    interface mismatches units cannot.
+
+    Cross-batch near-dup contract: the band index accumulates every
+    DEDUP-STAGE survivor (batch-local election + cross-batch anti-join
+    winners), not only budget-admitted docs — a near-duplicate of SEEN
+    content is redundant even when the original later failed quality or
+    budget (dedup measures redundancy, not admission;
+    :func:`curated_ingest`'s index-of-accepted is the admission-keyed
+    alternative).  A candidate is dropped iff its estimated signature
+    jaccard against any indexed doc reaches ``cross_batch_threshold``.
 
     Determinism contract (what makes the run SQL-oracle-checkable):
     batches process in landing-file mtime order; within a batch,
@@ -733,13 +747,17 @@ def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
 
     from pyspark.sql import Window
 
-    from ..operators.dedup import exact_dedup, minhash_dedup
+    from ..operators.dedup import (
+        exact_dedup, minhash_band_table, minhash_dedup,
+        minhash_incremental_candidates,
+    )
     from ..operators.text import clean_corpus, remove_boilerplate_lines
     from ..sinks.webdataset import write_webdataset
 
     digest_dir = out_dir.rstrip("/") + "__digests"
+    bands_dir = out_dir.rstrip("/") + "__bands"
     ckpt_dir = out_dir.rstrip("/") + "__ckpt"
-    for d in (out_dir, digest_dir, ckpt_dir):
+    for d in (out_dir, digest_dir, bands_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
     spent: dict[str, int] = {}
     stats = {"batches": 0, "admitted": 0}
@@ -773,6 +791,41 @@ def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
         s3 = minhash_dedup(docs.drop("__dg__"), "clean_text", "doc_id",
                            k=minhash_k, n=minhash_n,
                            bands=minhash_bands, threshold=None)
+        # 3b. cross-batch near-dup: the batch's band table joins the
+        # STAGED index of every earlier batch's dedup survivors (the
+        # curated_ingest recipe — per-batch cost never re-reads or
+        # re-hashes earlier text); est_jaccard >= threshold drops the
+        # newcomer.  bt is persisted: it serves both the probe and the
+        # end-of-batch index append (which, like the digest append,
+        # runs LAST — see the stage-2b note).
+        bt = bt_p = None
+        if cross_batch_minhash:
+            bt = bt_p = minhash_band_table(s3, "clean_text", "doc_id",
+                                           k=minhash_k, n=minhash_n,
+                                           bands=minhash_bands).persist()
+            if has_parquet_files(bands_dir):
+                dup = (minhash_incremental_candidates(
+                           None, None, "clean_text", "doc_id",
+                           k=minhash_k, n=minhash_n, bands=minhash_bands,
+                           new_bands=bt,
+                           corpus_bands=spark.read.parquet(bands_dir)
+                           .select("id", "band", "bh", "sig"))
+                       .filter(F.col("est_jaccard")
+                               >= cross_batch_threshold)
+                       .select(F.col("new_id").alias("doc_id"))
+                       .distinct())
+                s3 = s3.join(dup, "doc_id", "left_anti")
+                # the append rows are MATERIALIZED here, before any
+                # index write: bt's lineage reads BOTH index paths
+                # (digest_dir via docs, bands_dir via dup), so either
+                # append's refreshByPath would evict a lazy plan and
+                # the recompute would anti-join the batch against its
+                # OWN just-written digests — writing an empty band
+                # partition (the round-9 annihilation bug's shape,
+                # found again by the crossdup composition test)
+                bt = (bt.join(dup.withColumnRenamed("doc_id", "id"),
+                              "id", "left_anti").persist())
+                bt.count()
         # 4. quality gate (adds n_tokens, quality, dup_bigram_frac)
         s4 = clean_corpus(s3, "clean_text", "doc_id",
                           min_quality=min_quality, min_tokens=min_tokens,
@@ -811,11 +864,27 @@ def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
         # can no longer change this batch's results; the write itself
         # still reads the intact cache
         if n2:
+            # band-index append (dedup survivors only) runs FIRST of
+            # the two index writes and from bt's own materialized
+            # cache: writing bands_dir uncaches every reader of that
+            # path (s4's lineage included — all its consumers have
+            # run), and writing digest_dir would evict bt's cache
+            # (lineage reads digest_dir via docs), so bands must land
+            # before digests
+            if bt is not None:
+                (bt.withColumn("batch_id", F.lit(int(epoch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(bands_dir))
             (docs.select(F.col("__dg__").alias("dg"))
              .withColumn("batch_id", F.lit(int(epoch_id)))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(digest_dir))
+        if bt is not None and bt is not bt_p:
+            bt.unpersist()
+        if bt_p is not None:
+            bt_p.unpersist()
         s4.unpersist()
         docs.unpersist()
         stats["batches"] += 1

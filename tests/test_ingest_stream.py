@@ -499,10 +499,15 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
 
     # min_frac 0.9 -> ceil(0.9*2) = 2 of the 2 docs per batch: the
     # shared header/footer strip, each unique payload line survives
-    # (0.5 would make ceil(0.5*2)=1 — every line boilerplate)
+    # (0.5 would make ceil(0.5*2)=1 — every line boilerplate).
+    # cross_batch_minhash=False: this test pins the DIGEST-index
+    # regression, and doc 10 is deliberately a cross-batch NEAR-dup of
+    # doc 1 that must survive here; the staged band path has its own
+    # test (test_curation_pipeline_crossbatch_neardup)
     stats = curation_pipeline(spark, inp, out, budget_per_source=10_000,
                               min_frac=0.9, min_tokens=5,
-                              minhash_bands=2, minhash_k=16)
+                              minhash_bands=2, minhash_k=16,
+                              cross_batch_minhash=False)
     assert stats["batches"] == 2
     shards = glob.glob(f"{out}/batch=*/shard-*.tar")
     assert shards
@@ -595,3 +600,82 @@ def test_curation_pipeline_survives_fully_filtered_batch(spark,
     assert stats["batches"] == 2 and stats["admitted"] == 2
     assert not glob.glob(f"{out}/batch=0/*")
     assert glob.glob(f"{out}/batch=1/shard-*.tar")
+
+
+def test_crossdup_corpus_margins(spark):
+    """Pins the construction margins behind the
+    stream_pipeline_crossdup oracle against the REAL band tables
+    (k=16, n=3, bands=2).  Both dedup paths key candidacy on a BAND
+    collision (8 consecutive signature agreements): the batch-local
+    election clusters band-mates, and the cross-batch probe only
+    est-filters docs that already share a band.  So the margins that
+    make the VALUES survivor oracle exact are (a) the collision set is
+    EXACTLY the planted pairs, and (b) the planted pairs' estimated
+    jaccard sits far above the 0.7 cross-batch threshold (16/16
+    agreement = 1.0).  Raw est between non-colliding English sentences
+    can run ~0.6 (minima land on shared common trigrams) — irrelevant
+    without a collision, hence not asserted."""
+    import itertools
+    from collections import defaultdict
+
+    import __spark_entry__ as entry
+    from etl_excel_to_hyper_tableau_spark.operators.dedup import (
+        minhash_band_table,
+    )
+    rows = [(d, t) for d, t in sorted(entry._CROSSDUP_DOCS.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bt = minhash_band_table(df, "text", "doc_id",
+                            k=16, n=3, bands=2).collect()
+    bucket: dict = defaultdict(set)
+    sig = {}
+    for r in bt:
+        bucket[(r["band"], r["bh"])].add(r["id"])
+        sig[r["id"]] = list(r["sig"])
+    colliding = {tuple(sorted(p)) for s in bucket.values() if len(s) > 1
+                 for p in itertools.combinations(s, 2)}
+    assert colliding == {(0, 2), (1, 5)}
+
+    def est(a, b):
+        return (sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+                / len(sig[a]))
+
+    assert est(0, 2) == 1.0 and est(1, 5) == 1.0
+
+
+def test_curation_pipeline_crossbatch_neardup(spark, tmp_path):
+    """round 10 (verdict item 6): inside ONE composed availableNow
+    run, the STAGED band index drops a planted cross-batch
+    near-duplicate (doc 2 ~ batch-0's doc 0, one character off so the
+    exact digest index cannot see it) while the batch-local election
+    drops doc 5 ~ doc 1 — exactly the construction survivor set
+    ships."""
+    import glob
+
+    import __spark_entry__ as entry
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+    landing = str(tmp_path / "land")
+    out = str(tmp_path / "wds")
+    entry._stage_crossdup_landing(landing)
+    stats = curation_pipeline(spark, landing, out,
+                              budget_per_source=10**9, min_frac=0.9,
+                              min_quality=0.0, min_tokens=2,
+                              max_tokens=10_000, max_dup_bigram=1.0,
+                              n_shards=2, cross_batch_minhash=True)
+    assert stats["batches"] == 4
+    back = read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
+    keys = sorted({int(r["key"]) for r in back.collect()})
+    assert keys == entry._CROSSDUP_SURVIVORS
+    # the index holds exactly the dedup survivors' band rows
+    idx = spark.read.parquet(out + "__bands")
+    assert (sorted({r["id"] for r in idx.select("id").collect()})
+            == entry._CROSSDUP_SURVIVORS)
+    # doc 2 arrived in batch 2 and left no shard entry there
+    b2 = read_webdataset(spark, f"{out}/batch=2/shard-*.tar") \
+        if glob.glob(f"{out}/batch=2/shard-*.tar") else None
+    if b2 is not None:
+        assert 2 not in {int(r["key"]) for r in b2.collect()}
