@@ -13,6 +13,7 @@ compare to the batch answer).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -56,13 +57,17 @@ def run_windowed_counts_availablenow(spark: SparkSession, events_dir: str,
     state store, watermark bookkeeping — not a batch rewrite.
     """
     name = "ev_counts_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (windowed_counts_stream(spark, events_dir, window=window)
          .writeStream.format("memory").queryName(name)
          .outputMode("complete")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         F.col("window.start").alias("window_start"),
         "event_type", "n",
@@ -105,13 +110,17 @@ def run_session_windows_availablenow(spark: SparkSession, events_dir: str,
     """Execute the session-window stream over static data
     (availableNow trigger, memory sink) and return the result table."""
     name = "ev_sessions_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (session_window_stream(spark, events_dir, gap=gap)
          .writeStream.format("memory").queryName(name)
          .outputMode("complete")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         "user_id", F.col("w.start").alias("session_start_w"),
         F.col("w.end").alias("session_end_w"),
@@ -133,13 +142,17 @@ def dedup_stream_within_watermark(spark: SparkSession, events_dir: str,
 def run_dedup_stream_availablenow(spark: SparkSession, events_dir: str,
                                   keys: list[str] | None = None) -> DataFrame:
     name = "ev_dedup_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (dedup_stream_within_watermark(spark, events_dir, keys=keys)
          .writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -182,13 +195,17 @@ def running_user_totals_stream(spark: SparkSession, events_dir: str,
 
 def run_running_totals_availablenow(spark: SparkSession, events_dir: str) -> DataFrame:
     name = "ev_totals_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (running_user_totals_stream(spark, events_dir)
          .writeStream.format("memory").queryName(name)
          .outputMode("update")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # per-user latest state (several micro-batches may each emit a row)
     t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -247,13 +264,17 @@ def latest_state_stream(spark: SparkSession, events_dir: str,
 def run_latest_state_availablenow(spark: SparkSession,
                                   events_dir: str) -> DataFrame:
     name = "ev_latest_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (latest_state_stream(spark, events_dir)
          .writeStream.format("memory").queryName(name)
          .outputMode("update")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # several micro-batches may each emit a row per user; keep the one
     # with the greatest (ts, event_id) — the final state
     t = spark.table(name)
@@ -375,13 +396,17 @@ def run_purchase_click_join_availablenow(spark: SparkSession, events_dir: str,
     """Execute the stream-stream join over the static directory with the
     ``availableNow`` trigger; returns the materialized result."""
     name = "pc_join_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (purchase_click_join_stream(spark, events_dir,
                                     lookback_minutes=lookback_minutes)
          .writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp())
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

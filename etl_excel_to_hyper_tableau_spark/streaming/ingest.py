@@ -22,6 +22,8 @@ duplicating rows.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -129,12 +131,22 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
         stream = reader.json(input_dir)
     else:
         raise ValueError(f"unsupported source_format: {source_format!r}")
+    # fresh checkpoint per invocation (re-invocations re-scan the
+    # landing dir and rely on the dedup indexes for idempotency — a
+    # persistent checkpoint would instead SKIP already-seen files,
+    # a different incremental contract), removed on completion so
+    # repeated runs don't accumulate ckpt_ing_* dirs in /tmp
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ing_")
     q = (stream
          .writeStream.foreachBatch(process).queryName(name)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ing_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
@@ -221,14 +233,18 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         stats["accepted"] += n
 
     name = "vecingest_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_vec_")
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", max_files_per_trigger)
          .parquet(input_dir)
          .writeStream.foreachBatch(process).queryName(name)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_vec_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
@@ -312,7 +328,11 @@ def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
@@ -407,14 +427,18 @@ def run_budget_gate_availablenow(spark: SparkSession, input_dir: str,
     import uuid
 
     name = "budget_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_bg_")
     q = (budget_gate_stream(spark, input_dir, budget_per_source,
                             max_files_per_trigger=max_files_per_trigger)
          .writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_bg_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -481,7 +505,11 @@ def hll_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
@@ -571,7 +599,11 @@ def histogram_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
@@ -673,15 +705,19 @@ def media_dedup_ingest(spark: SparkSession, input_dir: str, index_dir: str,
               "meta struct<format:string,width:int,height:int,"
               "sample_rate:int,n_frames:int>")
     name = "mediaingest_" + uuid.uuid4().hex[:8]
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_media_")
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", max_files_per_trigger)
          .parquet(input_dir)
          .writeStream.foreachBatch(process).queryName(name)
-         .option("checkpointLocation",
-                 checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_media_"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 
 
