@@ -845,11 +845,21 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     c = (spread(corpus).select(F.col(id_col).alias("id"),
                                F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("__nrm__", _norm(F.col("vec"))))
-    seed = c.orderBy("id").limit(n_cells).collect()
+    # ONE driver collect serves both trainings: centroids and codebooks
+    # are each "first k corpus vectors by id" (the iters=0 seeding
+    # contract), so the longer prefix covers both — a second
+    # orderBy-limit job over the same corpus would be pure job-floor
+    seed = c.orderBy("id").limit(max(n_cells, n_codes)).collect()
     if not seed:
         raise ValueError("ivfpq_topk on an empty corpus")
-    centroids = [(i, list(r["vec"])) for i, r in enumerate(seed)]
-    codebooks = train_pq_codebooks(corpus, vec_col, id_col, m=m, k=n_codes)
+    centroids = [(i, list(r["vec"]))
+                 for i, r in enumerate(seed[:n_cells])]
+    dim = len(centroids[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = [[list(r["vec"][s * dsub:(s + 1) * dsub])
+                  for r in seed[:n_codes]] for s in range(m)]
     n_codes = len(codebooks[0])
     # pq_encode keeps (id, vec, codes); the cell assignment rides the
     # same map-only pass — the corpus is scanned once and never shuffled
