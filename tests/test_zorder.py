@@ -259,3 +259,45 @@ class TestFileSkipManifest:
                       & (F.col("l_shipdate") < "1996-06-01"))
         assert 0 < n_read < n_total
         assert pushed_filter_count(q) == 3   # IsNotNull + two bounds
+
+    def test_tz_aware_stats_normalize_to_utc_naive(self):
+        # round-10 ADVICE fix: pyarrow emits tz-AWARE datetimes for
+        # UTC-adjusted timestamp columns; their isoformat carried a
+        # '+00:00' suffix that lexicographically mis-compared against
+        # naive predicate encodings at boundary predicates
+        import datetime
+
+        from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+            _stat_encode,
+        )
+        naive = datetime.datetime(1996, 3, 1)
+        aware = datetime.datetime(1996, 3, 1,
+                                  tzinfo=datetime.timezone.utc)
+        plus2 = datetime.datetime(1996, 3, 1, 2, 0, tzinfo=
+                                  datetime.timezone(
+                                      datetime.timedelta(hours=2)))
+        assert _stat_encode(aware) == _stat_encode(naive)
+        assert _stat_encode(plus2) == _stat_encode(naive)  # same instant
+        assert "+" not in _stat_encode(aware)
+
+    def test_unlisted_file_is_kept_conservatively(self, spark,
+                                                  tmp_path):
+        # round-10 ADVICE fix: a parquet file appended AFTER the
+        # manifest was written must be KEPT (a stale manifest may only
+        # lose pruning power, never rows)
+        from etl_excel_to_hyper_tableau_spark.plans.zorder import (
+            prune_files, read_file_pruned, write_stats_manifest,
+        )
+        p = str(tmp_path / "stale")
+        spark.range(10).coalesce(1).write.parquet(p)
+        write_stats_manifest(p, ["id"])
+        (spark.range(1000, 1010).coalesce(1)
+         .write.mode("append").parquet(p))      # external append
+        kept, total = prune_files(p, [("id", ">=", 500)])
+        assert total == 2
+        # the listed file prunes away; the unlisted one survives
+        assert len(kept) == 1
+        df, n_read, n_total = read_file_pruned(
+            spark, p, [("id", ">=", 500)])
+        assert {r["id"] for r in df.filter("id >= 500").collect()} \
+            == set(range(1000, 1010))
