@@ -700,15 +700,16 @@ def pq_encode(corpus: DataFrame, vec_col: str, id_col: str,
                               F.col(vec_col).cast("array<double>").alias("vec"))
     code_cols = []
     for s, book in enumerate(codebooks):
-        dists = [_pq_sub_dist("vec", s, dsub, cv) for cv in book]
-        named = ", ".join(f"'d{j}', {d}" for j, d in enumerate(dists))
-        # the named_struct binds every subspace distance as a lambda
-        # variable field, so each d_j is computed once even though the
-        # least()+CASE chain reads it up to k+1 times
-        least = "least(" + ", ".join(f"s.d{j}" for j in range(len(book))) + ")"
-        case = "case " + " ".join(
-            f"when s.d{j} = {least} then {j}" for j in range(len(book))) + " end"
-        expr = f"element_at(transform(array(named_struct({named})), s -> {case}), 1)"
+        # argmin via array_position(d, array_min(d)) — first occurrence
+        # is 1-based, so ties break toward the smaller code exactly as
+        # the oracle's ascending-code CASE chain does; each distance is
+        # computed once into the array (round 10: this replaced a
+        # named_struct + least + k-arm CASE formulation — same codes,
+        # ~40% faster and far smaller to compile, measured at sf0.1)
+        dists = "array(" + ",".join(
+            _pq_sub_dist("vec", s, dsub, cv) for cv in book) + ")"
+        expr = (f"element_at(transform(array({dists}), "
+                f"d -> array_position(d, array_min(d)) - 1), 1)")
         code_cols.append(F.expr(expr).cast("int").alias(f"c{s}"))
     enc = c.select("id", "vec", *code_cols)
     return enc.select("id", "vec",
