@@ -4208,6 +4208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _MD5I = "cast(('0x'||substr(md5({x}),1,15)) as bigint)"
 
+def _duck_pq(sf: str, table: str) -> str:
+    """DuckDB-readable path for a staged table: the driver testdata is
+    one file per table, a Spark-written corpus (e.g. /tmp/sf1) is a
+    DIRECTORY of part files — DuckDB needs the glob in that case."""
+    import os
+
+    path = f"{sf}/{table}.parquet"
+    if os.path.isdir(path):
+        return path + "/*.parquet"
+    return path
+
+
+
 
 def _tokens_sql(x: str) -> str:
     return f"list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
@@ -4435,7 +4448,7 @@ def _doc_compression_sql() -> str:
         return _DOCZ_SQL_CACHE[sf]
     con = duckdb.connect()
     rows = con.execute(
-        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        f"SELECT doc_id, text FROM '{_duck_pq(sf, 'documents')}' "
         f"ORDER BY doc_id").fetchall()
     con.close()
     vals = []
@@ -4483,7 +4496,7 @@ def _unigram_sql() -> str:
     vocab_size, max_len, iters = 200, 4, 2
     con = duckdb.connect()
     docs = con.execute(
-        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        f"SELECT doc_id, text FROM '{_duck_pq(sf, 'documents')}' "
         f"ORDER BY doc_id").fetchall()
     con.close()
 
@@ -4595,7 +4608,7 @@ def _jl_sql(out_dim: int = 16, seed: int = 0) -> str:
     con = duckdb.connect()
     d = con.execute(
         "SELECT max(len(embedding)) FROM "
-        f"read_parquet('{sf}/embeddings.parquet')").fetchone()[0]
+        f"read_parquet('{_duck_pq(sf, 'embeddings')}')").fetchone()[0]
     r = jl_matrix(int(d), out_dim, seed)
     # w[k][i] = R[i-1][k-1] — column-of-R per output dim, the same
     # layout as _whiten_sql's wm so the fold expression is identical
@@ -4689,7 +4702,7 @@ def _duck_cov_mu(sf: str):
     import duckdb
     import numpy as np
 
-    pq = f"{sf}/embeddings.parquet"
+    pq = _duck_pq(sf, "embeddings")
     qi = _COV_Q.format(x="e.embedding[d1.i]")
     qj = _COV_Q.format(x="e.embedding[d2.i]")
     qm = _COV_Q.format(x="embedding[i]")

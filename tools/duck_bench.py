@@ -8,6 +8,7 @@ Usage: python tools/duck_bench.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,7 +25,10 @@ def main() -> None:
     only = sys.argv[2:] or [q for q in HEADLINE if q in entry.oracle_sql()]
     con = duckdb.connect()
     for t in entry.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src_pq = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src_pq):  # Spark-written table = a directory
+            src_pq += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src_pq}'")
     oracles = entry.oracle_sql()
     timings = {}
     for name in only:

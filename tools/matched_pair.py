@@ -101,8 +101,10 @@ def main() -> None:
     qs = entry.queries()
     con = duckdb.connect()
     for t in entry.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src_pq = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src_pq):  # Spark-written table = a directory
+            src_pq += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src_pq}'")
 
     # same warmup as bench.py: JVM/codegen startup + parquet footers
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -190,8 +192,15 @@ def main() -> None:
     out["queries"] = detail
     out["load_series"] = load_series
     # a subset run (explicit query names) must not clobber the full
-    # recorded artifact — it writes a side file instead
-    fname = "MATCHED_PAIR.json" if not args else "MATCHED_PAIR_subset.json"
+    # recorded artifact — it writes a side file instead; likewise a
+    # non-default sf (e.g. /tmp/sf1) records under an sf-tagged name
+    if args:
+        fname = "MATCHED_PAIR_subset.json"
+    elif sf_dir != "/root/testdata/sf0.1":
+        fname = ("MATCHED_PAIR_"
+                 + sf_dir.strip("/").replace("/", "_") + ".json")
+    else:
+        fname = "MATCHED_PAIR.json"
     summary["detail"] = out["detail"] = fname
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), fname), "w") as f:

@@ -37,7 +37,10 @@ def main() -> int:
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in entry.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src_pq = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src_pq):  # Spark-written table = a directory
+            src_pq += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src_pq}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
