@@ -2216,3 +2216,61 @@ def test_auto_salted_left_join_preserves_unmatched(spark, keys):
                                        hot_threshold=1.5,
                                        topk=4).collect()))
     assert auto == plain
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.floats(0, 1000, allow_nan=False, width=32),
+                     min_size=1, max_size=60),
+       width=st.sampled_from([5.0, 20.0, 125.0]))
+def test_fixed_histogram_quantile_within_width(spark, vals, width):
+    """Every fixed-grid quantile estimate lands within one bin width
+    of an exact order statistic of the input (the sketch's absolute
+    error contract), for random values and widths."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        fixed_histogram_cells, fixed_histogram_quantiles_py,
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    cells = [(r["bin"], r["cnt"])
+             for r in fixed_histogram_cells(df, "v", width).collect()]
+    est = fixed_histogram_quantiles_py(cells, width, qs=(0.5, 0.9))
+    srt = sorted(vals)
+    for q in (0.5, 0.9):
+        lo = srt[max(0, int(q * len(srt)) - 1)]
+        hi = srt[min(len(srt) - 1, int(q * len(srt)))]
+        assert lo - width <= est[q] <= hi + width, (q, est[q], lo, hi)
+
+
+_vec4 = st.lists(st.floats(-1, 1, allow_nan=False, width=16),
+                 min_size=4, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(corpus=st.lists(_vec4, min_size=9, max_size=20),
+       queries=st.lists(_vec4, min_size=1, max_size=2))
+def test_ivfpq_full_probe_full_refine_equals_exact_property(
+        spark, corpus, queries):
+    """For ANY corpus/query set: probing every cell with a full-corpus
+    refine shortlist reproduces the exact cosine top-k — the ADC stage
+    may reorder the shortlist but can never drop a true neighbor."""
+    from hypothesis import assume
+
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk, topk_cosine_batch,
+    )
+    # zero vectors yield NULL cosines on both paths; keep the property
+    # about ranking, not NULL semantics (covered elsewhere)
+    assume(all(any(abs(x) > 1e-6 for x in v) for v in corpus + queries))
+    cdf = spark.createDataFrame([(i, v) for i, v in enumerate(corpus)],
+                                "id long, emb array<double>")
+    qdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(queries)],
+        "qid long, emb array<double>")
+    exact = {(r["query_id"], r["id"])
+             for r in topk_cosine_batch(cdf, qdf, "emb", "id", "emb",
+                                        "qid", k=3,
+                                        rank_round=9).collect()}
+    got = {(r["query_id"], r["id"])
+           for r in ivfpq_topk(cdf, qdf, "emb", "id", "emb", "qid",
+                               k=3, n_cells=3, nprobe=3, m=2,
+                               n_codes=4, refine=len(corpus)).collect()}
+    assert got == exact
