@@ -5913,7 +5913,8 @@ ORDER BY corpus_id, bench_id
         # tests/test_ingest_stream.py::test_crossdup_corpus_margins
         "stream_pipeline_crossdup": """
 WITH s(doc_id, text) AS (VALUES """ + ", ".join(
-            "({d}, '{t}')".format(d=d, t=_CROSSDUP_DOCS[d])
+            "({d}, '{t}')".format(
+                d=d, t=_CROSSDUP_DOCS[d].replace("'", "''"))
             for d in _CROSSDUP_SURVIVORS) + """)
 SELECT cast(doc_id as bigint) AS doc_id, 's0' AS source,
   cast(length(text) as bigint) AS payload_chars,

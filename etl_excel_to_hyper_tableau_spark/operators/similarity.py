@@ -158,6 +158,14 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame,
     NULLS-LAST ranks would surface NULL maxsim in the top-k whenever a
     query has fewer than k scoreable candidates.
 
+    ⚠ Row-count change vs rounds ≤ 9: the NULL-drop means a query may
+    return FEWER than k rows when its scoreable-candidate pool is thin
+    (previously NULL-maxsim rows padded the tail).  Callers that sized
+    buffers on exactly ``num_queries × k`` rows must treat k as an
+    upper bound; a per-query scoreable count is
+    ``scored.groupBy("query_id").count()`` one select upstream if the
+    shortfall needs monitoring.
+
     Output: ``query_id, id, maxsim, rank`` (rank ≤ k).
     """
     c = spread(corpus).select(

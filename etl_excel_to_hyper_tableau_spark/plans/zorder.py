@@ -178,7 +178,16 @@ def prune_files(path: str, predicates: list[tuple]) -> tuple:
     (conservative — pruning is an optimization, the residual filter is
     the correctness boundary).  Values compare in the manifest's
     encoding: numbers numerically, strings/ISO-datetimes
-    lexicographically (pass dates as ISO strings or datetime objects)."""
+    lexicographically (pass dates as ISO strings or datetime objects).
+
+    ⚠ Timestamp predicate contract: manifest stats are UTC-naive (Spark
+    writes timestamps as UTC-adjusted instants; tz-aware stats are
+    normalized to UTC-naive by ``_stat_encode``).  A tz-AWARE predicate
+    datetime is normalized the same way and is always safe.  A NAIVE
+    predicate datetime is compared as-is, i.e. it is interpreted as
+    **UTC wall-clock** — if the session timezone is not UTC and you mean
+    session-local wall-clock, attach the tzinfo (or convert to UTC
+    yourself) or boundary pruning can drop files with satisfying rows."""
     import json
     import os
 

@@ -145,7 +145,6 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
     try:
         q.awaitTermination()
     finally:
-        import shutil
         shutil.rmtree(ckpt, ignore_errors=True)
     return stats
 

@@ -21,6 +21,12 @@ the same committed run).  So:
 * if the median warm still reads slower than the cold sample — the
   impossible steady-state — two more samples are taken and the overall
   median recorded, with the retake flagged;
+* the retake is SYMMETRIC (round-10 advice): large warm-sample
+  dispersion (max/min > ``DISPERSION_RETAKE``) triggers the same two
+  extra samples even when the median looks plausibly fast — a burst
+  that lands on the FIRST warm samples would otherwise bias recorded
+  medians (and ratios) downward; the per-side dispersion is recorded
+  either way so residual noise is visible in the artifact;
 * before each query the 1-minute load average is polled; above
   ``--max-load`` (default 4.0) the runner SLEEPS until the host
   quiets (up to 10 min, recorded as ``wait_s``), and the per-query
@@ -38,6 +44,14 @@ detail: {"spark_total": s, "duck_total": s, "ratio": r,
 
 Usage: python tools/matched_pair.py [sf_dir] [query ...]
        [--max-load L] (wait threshold; 0 disables the guard)
+       [--out FILE]   (artifact name override, relative to repo root)
+       [--resume]     (with --out: keep FILE's already-recorded queries
+                       and run only the missing ones — lets an
+                       expensive full-set pair, e.g. /tmp/sf1, be
+                       accumulated across several quiet windows into
+                       ONE artifact; totals/ratio are recomputed over
+                       the merged set and per-query load context is
+                       preserved from whichever window ran it)
 """
 
 from __future__ import annotations
@@ -58,6 +72,7 @@ from etl_excel_to_hyper_tableau_spark import get_spark  # noqa: E402
 
 MEDIAN3_BELOW_S = 1.0    # duck-cold threshold for the 3-sample class
 QUIET_TIMEOUT_S = 600    # max time to wait for the host to quiet
+DISPERSION_RETAKE = 1.5  # max/min warm-sample spread that triggers retake
 
 
 def _load_avg() -> float:
@@ -87,11 +102,36 @@ def main() -> None:
         i = args.index("--max-load")
         max_load = float(args[i + 1])
         del args[i:i + 2]
+    out_override = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_override = args[i + 1]
+        del args[i:i + 2]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
+        if not out_override:
+            sys.exit("--resume requires --out FILE (the artifact to "
+                     "accumulate into)")
     sf_dir = "/root/testdata/sf0.1"
     if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
     oracles = entry.oracle_sql()
     names = args or [q for q in HEADLINE if q in oracles]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior: dict[str, dict] = {}
+    prior_loads: list[float] = []
+    if resume and os.path.exists(os.path.join(repo_root, out_override)):
+        with open(os.path.join(repo_root, out_override)) as f:
+            prev = json.load(f)
+        if prev.get("sf_dir") not in (None, sf_dir):
+            sys.exit(f"--resume artifact was recorded at "
+                     f"{prev.get('sf_dir')}, not {sf_dir}")
+        prior = prev.get("queries", {})
+        prior_loads = prev.get("load_series", [])
+        names = [n for n in names if n not in prior]
+        print(f"# resume: {len(prior)} recorded, {len(names)} to run",
+              file=sys.stderr)
     # literal-bearing oracles (embedding_whiten) build their literals
     # for the sf the oracle will RUN on
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
@@ -140,13 +180,22 @@ def main() -> None:
             duck_w.append(duck_run()[0])
             spark_w.append(spark_run()[0])
         retaken = False
-        # a median warm slower than its cold is a physically impossible
-        # steady-state (warm reuses JIT/codegen and OS page cache) —
-        # the signature of a load burst; take two more samples
+        # Retake triggers (both need n_samples > 1 to be meaningful):
+        # (a) a median warm slower than its cold is a physically
+        #     impossible steady-state (warm reuses JIT/codegen and OS
+        #     page cache) — the signature of a load burst;
+        # (b) SYMMETRICALLY, a large max/min spread within the warm
+        #     block flags a burst regardless of which direction it
+        #     pushed the median — without this the retake only ever
+        #     fires when warm reads slow, biasing medians downward.
         for side, runner in (("duck", duck_run), ("spark", spark_run)):
             samples, cold = ((duck_w, duck_cold) if side == "duck"
                              else (spark_w, spark_cold))
-            if statistics.median(samples) > cold and n_samples > 1:
+            if n_samples > 1 and (
+                    statistics.median(samples) > cold
+                    or (min(samples) > 0
+                        and max(samples) / min(samples)
+                        > DISPERSION_RETAKE)):
                 samples.extend(runner()[0] for _ in range(2))
                 retaken = True
         duck_warm = round(statistics.median(duck_w), 3)
@@ -162,9 +211,15 @@ def main() -> None:
                         "n_warm_samples": len(spark_w),
                         "ratio": ratio,
                         "load_1m": load_series[-1],
+                        "duck_dispersion": (
+                            round(max(duck_w) / min(duck_w), 2)
+                            if min(duck_w) > 0 else None),
+                        "spark_dispersion": (
+                            round(max(spark_w) / min(spark_w), 2)
+                            if min(spark_w) > 0 else None),
                         "rows": sn}
         if retaken:
-            detail[name]["warm_gt_cold_retake"] = True
+            detail[name]["warm_retake"] = True
         if dn != sn:  # parity is the driver's job; still flag loudly
             detail[name]["row_mismatch"] = [dn, sn]
         print(f"# {name}: duck {duck_warm:.3f}s "
@@ -172,6 +227,11 @@ def main() -> None:
               f"(n={len(spark_w)}, load {load_series[-1]})",
               file=sys.stderr)
 
+    if prior:  # --resume merge: totals recompute over the union
+        merged = dict(prior)
+        merged.update(detail)
+        detail = merged
+        load_series = prior_loads + load_series
     spark_total = round(sum(d["spark"] for d in detail.values()), 3)
     duck_total = round(sum(d["duck"] for d in detail.values()), 3)
     summary = {
@@ -194,7 +254,9 @@ def main() -> None:
     # a subset run (explicit query names) must not clobber the full
     # recorded artifact — it writes a side file instead; likewise a
     # non-default sf (e.g. /tmp/sf1) records under an sf-tagged name
-    if args:
+    if out_override:
+        fname = out_override
+    elif args:
         fname = "MATCHED_PAIR_subset.json"
     elif sf_dir != "/root/testdata/sf0.1":
         fname = ("MATCHED_PAIR_"
@@ -202,8 +264,7 @@ def main() -> None:
     else:
         fname = "MATCHED_PAIR.json"
     summary["detail"] = out["detail"] = fname
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), fname), "w") as f:
+    with open(os.path.join(repo_root, fname), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
     spark.stop()
