@@ -1248,10 +1248,13 @@ def q_winnow_fingerprints(spark, sf_dir):
     frame and cannot hash list cells); the operator itself still
     returns the typed array<bigint>."""
     docs = _t(spark, sf_dir, "documents")
+    # _fin_heavy, not _fin: the output is corpus-linear (1 row/doc with
+    # a ~1 KB fingerprint string) — the single-partition exchange was a
+    # funnel once the Arrow kernel made the compute cheap
     return (tx.winnow_fingerprints(docs, "text", "doc_id", k=8, w=6)
             .select("id", "n_grams", "n_fps",
                     F.array_join("fingerprints", ",").alias("fingerprints"))
-            .transform(_fin, "id"))
+            .transform(_fin_heavy, "id"))
 
 
 def q_seq_packing(spark, sf_dir):
@@ -2961,8 +2964,11 @@ def q_content_chunks(spark, sf_dir):
     documents share chunk hashes — the block-level dedup primitive.
     Map-only; the gram-hash array is lambda-bound once per row."""
     docs = _t(spark, sf_dir, "documents")
+    # _fin_heavy, not _fin_wide: the Arrow kernel is the expensive part
+    # of this plan, and a bare orderBy re-runs it in the range
+    # partitioner's sampling pass (measured 2.9 s -> 2.0 s at sf1)
     return (tx.content_chunks(docs, "text", "doc_id", k=8, mask_bits=6)
-            .transform(_fin_wide, "id", "chunk_idx"))
+            .transform(_fin_heavy, "id", "chunk_idx"))
 
 
 def q_hll_distinct(spark, sf_dir):
