@@ -2789,7 +2789,8 @@ def q_json_field_profile(spark, sf_dir):
         json_field_profile,
     )
     return (json_field_profile(_json_profile_input(spark, sf_dir), "j",
-                               approx_ndv=True, fuse_final=True)
+                               approx_ndv=True, fuse_final=True,
+                               impl="arrow")
             .sortWithinPartitions("key"))
 
 

@@ -153,9 +153,132 @@ def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
             .where(F.col("group_size") < k))
 
 
+def _json_profile_partials_arrow(df: DataFrame, json_col: str,
+                                 p: int) -> DataFrame:
+    """Arrow kernel for :func:`json_field_profile`'s approx path: one
+    ``mapInPandas`` pass emitting per-partition (key, register)
+    partials — ``cnt`` / ``n_num`` sums and ``max_rank`` — with the
+    EXACT register/rank arithmetic of the SQL projection
+    (h = md5-60 of the value string, register = h mod 2^p, rank =
+    61-p - bit_length(h div 2^p), NULL values in the ``-1`` register).
+    Per-partition state and output are register-bounded
+    (≤ |keys|·(2^p+1) entries), so executor memory and the Arrow
+    transfer stay metadata-sized at any corpus scale.
+
+    Value-string rendering: scalar int/string/bool/null reproduce
+    ``from_json``'s ``map<string,string>`` form exactly; float and
+    nested values are best-effort (see the caller's contract note).
+    Numeric-parse parity with ``try_cast(value AS double)``: strip,
+    reject empty / '_' / bare 'inf' forms, else Python float().
+    """
+    m = 1 << p
+    nbits = 60 - p
+
+    def run(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..functions.pykernels import md5_60
+
+        inf_forms = {"inf", "+inf", "-inf"}
+
+        def try_double(s: str):
+            s2 = s.strip()
+            if not s2 or "_" in s2 or s2.lower() in inf_forms:
+                return None
+            try:
+                return float(s2)
+            except ValueError:
+                return None
+
+        class _Pairs(list):
+            """Marker: a JSON object parsed as its raw (key, value)
+            pair list — ``from_json``'s map keeps DUPLICATE keys (the
+            explode emits one row per occurrence), so a plain dict
+            parse would undercount ``n_present``."""
+
+        def render(v) -> str:
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return v
+            if isinstance(v, int):
+                return str(v)
+            if isinstance(v, float):
+                return repr(v)
+            # nested — best-effort (out of contract)
+            if isinstance(v, _Pairs):
+                v = dict(v)
+            return _json.dumps(v, separators=(",", ":"))
+
+        # (register, rank, is_num) per value string — real columns
+        # repeat their values heavily (tags, bounded ints), so the
+        # md5/bit_length/float work runs once per DISTINCT value; the
+        # size valve keeps a pathological all-unique column from
+        # growing worker state (compute simply stays un-memoized then)
+        memo: dict = {}
+        MEMO_MAX = 1 << 20
+
+        def value_stats(vs: str):
+            got = memo.get(vs)
+            if got is None:
+                h = md5_60(vs.encode("utf-8"))
+                w = h // m
+                rank = (nbits + 1 - w.bit_length()) if w > 0 \
+                    else nbits + 1
+                got = (h % m, rank, try_double(vs) is not None)
+                if len(memo) < MEMO_MAX:
+                    memo[vs] = got
+            return got
+
+        # (key, register) -> [cnt, n_num, max_rank]
+        state: dict = {}
+        for pdf in batches:
+            for j in pdf["__j__"]:
+                if j is None:
+                    continue
+                try:
+                    obj = _json.loads(j, object_pairs_hook=_Pairs)
+                except ValueError:
+                    continue
+                if not isinstance(obj, _Pairs):
+                    continue
+                for key, v in obj:
+                    if v is None:
+                        reg, rank, is_num = -1, -1, False
+                    else:
+                        reg, rank, is_num = value_stats(
+                            v if type(v) is str else render(v))
+                    st = state.get((key, reg))
+                    if st is None:
+                        state[(key, reg)] = [1, 1 if is_num else 0,
+                                             rank]
+                    else:
+                        st[0] += 1
+                        if is_num:
+                            st[1] += 1
+                        if rank > st[2]:
+                            st[2] = rank
+        if state:
+            ks = list(state.keys())
+            yield pd.DataFrame(
+                {"key": [k for k, _ in ks],
+                 "register": [r for _, r in ks],
+                 "cnt": [state[x][0] for x in ks],
+                 "n_num": [state[x][1] for x in ks],
+                 "max_rank": [None if state[x][2] < 0 else state[x][2]
+                              for x in ks]})
+
+    return (df.select(F.col(json_col).alias("__j__"))
+            .mapInPandas(run, "key string, register long, cnt long, "
+                              "n_num long, max_rank int"))
+
+
 def json_field_profile(df: DataFrame, json_col: str,
                        approx_ndv: bool = False, p: int = 8,
-                       fuse_final: bool = False) -> DataFrame:
+                       fuse_final: bool = False,
+                       impl: str = "sql") -> DataFrame:
     """Schema-on-read discovery for a JSON-string column: one row per
     top-level key with presence, numeric-parse, and distinct-value
     counts — the profile that decides which fields become typed
@@ -186,9 +309,31 @@ def json_field_profile(df: DataFrame, json_col: str,
     by ``upstream_partitions × |keys| × (2^p + 1)`` rows — fine
     through ~10^4 input partitions; for a 100 TB scan (10^5-10^6
     splits) leave it False and keep the parallel two-exchange merge.
+
+    ``impl="arrow"`` (approx path only): the parse + per-value md5
+    register projection moves into a ``mapInPandas`` kernel that emits
+    PRE-MERGED per-partition (key, register) partials — the JVM
+    ``from_json`` + ``conv(substr(md5(...)))`` register projection over
+    every exploded value was the measured cost at sf1 (2.7 s wall, of
+    which ~2.3 s past the input derivation), and the kernel's output is
+    register-bounded (≤ |keys|·(2^p+1) rows per partition), so the
+    Arrow transfer out of Python is metadata-sized.  Estimate
+    arithmetic downstream is IDENTICAL, so the portable-HLL oracle is
+    unchanged.  ⚠ value-string parity contract: the kernel reproduces
+    ``from_json``'s ``map<string,string>`` rendering for **scalar
+    int / string / bool / null** values (ints keep their literal
+    digits, booleans render ``true``/``false``); float and nested
+    values are engine-formatting-dependent — keep ``impl="sql"`` for
+    such corpora.  Both paths pinned equal in
+    tests/test_arrow_kernels.py.
     """
     from .parallelism import spread
 
+    if impl not in ("sql", "arrow"):
+        raise ValueError(f"impl must be 'sql' or 'arrow', got {impl!r}")
+    if impl == "arrow" and not approx_ndv:
+        raise ValueError("impl='arrow' is the approx_ndv register-partial "
+                         "kernel; the exact path is SQL-only")
     # spread BEFORE the parse: a single-file local corpus is one input
     # split, and from_json is the dominant cost — shuffling the raw
     # strings once buys 32× parse parallelism (no-op when the scan
@@ -214,17 +359,33 @@ def json_field_profile(df: DataFrame, json_col: str,
         rank = F.when(w > 0, F.lit(nbits + 1) - F.length(F.bin(w))) \
             .otherwise(F.lit(nbits + 1))
         has_v = F.col("value").isNotNull()
-        g1 = (kv.select(
-                  "key",
-                  F.when(has_v, h % m).otherwise(F.lit(-1)).alias("register"),
-                  F.when(has_v, rank).cast("int").alias("rank"),
-                  F.expr("try_cast(value AS double)").alias("num"))
-              .groupBy("key", "register")
-              .agg(F.count(F.lit(1)).alias("cnt"),
-                   F.count("num").alias("n_num"),
-                   F.max("rank").alias("max_rank")))
-        if fuse_final:
-            g1 = g1.coalesce(1)
+        if impl == "arrow":
+            parts = _json_profile_partials_arrow(spread(df), json_col, p)
+            g1 = (parts.groupBy("key", "register")
+                  .agg(F.sum("cnt").alias("cnt"),
+                       F.sum("n_num").alias("n_num"),
+                       F.max("max_rank").alias("max_rank")))
+            # fuse AFTER the merge aggregate's exchange (same as the
+            # SQL fuse): the shuffle boundary preserves the Python
+            # kernel's parallelism, and the single downstream task
+            # runs merge + per-key aggregate + estimate + sort in one.
+            # coalesce(1) directly on the mapInPandas output would fuse
+            # the KERNEL into one task — measured 31 s vs 2 s at sf1.
+            if fuse_final:
+                g1 = g1.coalesce(1)
+        else:
+            g1 = (kv.select(
+                      "key",
+                      F.when(has_v, h % m).otherwise(F.lit(-1))
+                       .alias("register"),
+                      F.when(has_v, rank).cast("int").alias("rank"),
+                      F.expr("try_cast(value AS double)").alias("num"))
+                  .groupBy("key", "register")
+                  .agg(F.count(F.lit(1)).alias("cnt"),
+                       F.count("num").alias("n_num"),
+                       F.max("rank").alias("max_rank")))
+            if fuse_final:
+                g1 = g1.coalesce(1)
         hit = F.col("register") >= 0
         agg = g1.groupBy("key").agg(
             F.sum("cnt").cast("long").alias("n_present"),

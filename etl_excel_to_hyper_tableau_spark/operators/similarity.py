@@ -1317,26 +1317,31 @@ def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
 
     Output: ``i, j (0-based, i <= j), cov, n`` — d·(d+1)/2 rows.
     """
-    # materialize the aggregated partials ONCE (metadata-sized, ~d²/2
-    # rows): the two broadcast builds below would otherwise each re-run
-    # the whole corpus pass (measured 2× the entry wall at sf0.1)
-    parts = _cov_partials(df, vec_col).localCheckpoint(eager=True)
-    sums_ij = parts.filter(F.col("j") >= 0)
-    means = parts.filter(F.col("j") == -1).select(
-        F.col("i").alias("mi"), F.col("s").alias("sm"))
-    n = F.col("n").cast("double")
-    mean_i = F.col("si").cast("double") / F.lit(_COV_SCALE) / n
-    mean_j = F.col("sj").cast("double") / F.lit(_COV_SCALE) / n
-    cov = (F.col("s").cast("double") / F.lit(_COV_P72) / n
-           - mean_i * mean_j)
-    return (sums_ij
-            .join(F.broadcast(means.select(F.col("mi").alias("i"),
-                                           F.col("sm").alias("si"))), "i")
-            .join(F.broadcast(means.select(F.col("mi").alias("j"),
-                                           F.col("sm").alias("sj"))), "j")
-            .select("i", "j", F.round(cov, 9).alias("cov"),
-                    F.col("n").cast("long").alias("n"))
-            .orderBy("i", "j"))
+    # The aggregated partials are metadata-sized (d·(d+1)/2 + d rows at
+    # ANY corpus scale), so the finish runs driver-side — the
+    # embedding_whiten doctrine.  The previous all-DataFrame finish
+    # (localCheckpoint + two broadcast joins + range sort over 2080
+    # rows) spent its wall on job orchestration: 1 checkpoint job + 2
+    # broadcast builds + the sampling pass ≈ 0.6 s of pure overhead at
+    # sf1 against a 1.2 s entry.  One collect + exact Python doubles
+    # (same IEEE ops in the same order as the Catalyst expression,
+    # half-up round via _round9_half_up) produces the identical table.
+    rows = _cov_partials(df, vec_col).collect()
+    msum = {int(r["i"]): int(r["s"]) for r in rows if int(r["j"]) == -1}
+    out = []
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        if j < 0:
+            continue
+        n = int(r["n"])
+        mean_i = float(msum[i]) / _COV_SCALE / n
+        mean_j = float(msum[j]) / _COV_SCALE / n
+        cov = _round9_half_up(float(int(r["s"])) / _COV_P72 / n
+                              - mean_i * mean_j)
+        out.append((i, j, cov, n))
+    out.sort()
+    return df.sparkSession.createDataFrame(
+        out, "i long, j long, cov double, n long")
 
 
 def embedding_whiten(df: DataFrame, vec_col: str, id_col: str,

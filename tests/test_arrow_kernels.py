@@ -151,3 +151,41 @@ def test_pykernels_match_hashing_module(spark):
         assert md5_60(s.encode("utf-8")) == row["h"]
         assert list(gram_hashes(s, 3)) == row["gh"]
         assert py_tokens(s) == row["tk"]
+
+
+JSON_ROWS = [
+    (0, '{"k": 5, "tag": "click", "cents": 120}'),
+    (1, '{"k": 5, "tag": "view", "cents": 120, "rare": "x"}'),
+    (2, '{"k": null, "tag": "click", "cents": -3}'),
+    (3, 'not json at all'),
+    (4, None),
+    (5, '{"k": 123456789012345, "tag": "", "cents": 0}'),
+    (6, '{"dup": 1, "dup": 2}'),
+    (7, '{"k": true, "tag": "True", "neg": false}'),
+    (8, '[1, 2, 3]'),
+    (9, '{"k": 5}'),
+]
+
+
+@pytest.mark.parametrize("fuse", [False, True])
+def test_json_profile_arrow_matches_sql(spark, fuse):
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    df = spark.createDataFrame(JSON_ROWS, "i long, j string")
+    cols = ["key", "n_present", "n_numeric", "n_distinct"]
+    a = json_field_profile(df, "j", approx_ndv=True, fuse_final=fuse,
+                           impl="arrow")
+    s = json_field_profile(df, "j", approx_ndv=True, fuse_final=fuse,
+                           impl="sql")
+    _assert_same(a, s, cols)
+    assert s.count() >= 5  # keys k/tag/cents/rare/dup/neg — not vacuous
+
+
+def test_json_profile_arrow_rejects_exact_path(spark):
+    from etl_excel_to_hyper_tableau_spark.operators.quality import (
+        json_field_profile,
+    )
+    df = spark.createDataFrame(JSON_ROWS, "i long, j string")
+    with pytest.raises(ValueError):
+        json_field_profile(df, "j", approx_ndv=False, impl="arrow")
