@@ -506,7 +506,8 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def bm25_scores(df: DataFrame, text_col: str, id_col: str,
                 query_terms: list[str], k1: float = 1.2,
                 b: float = 0.75,
-                corpus_stats: tuple[int, int] | None = None) -> DataFrame:
+                corpus_stats: tuple[int, int] | None = None,
+                impl: str = "arrow") -> DataFrame:
     """Okapi BM25 scores for ``query_terms`` over a document corpus —
     the ranking half of quality-aware retrieval (e.g. picking
     training-set exemplars for a topic).
@@ -531,14 +532,39 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     second corpus pass, leaving one scan (the term-filtered tf).
 
     Output: ``id, n_terms_hit, score`` for docs hitting ≥1 term.
+
+    ``impl="arrow"`` (default): the round-10 verdict flagged this as
+    the heaviest plan in PLANS.md (9 exchanges / 8 hash aggregates / a
+    BNLJ — three corpus passes feeding four aggregation trees).  The
+    fused shape runs ONE Arrow pass emitting per-document wide rows
+    ``(id, dl, tf per term)`` — checkpointed executor-locally, ~(8 +
+    8·|terms|) bytes per doc — then ONE aggregate produces N, Σdl, and
+    every per-term df as a single broadcast row, and the score is a
+    static per-term sum in sorted-term order.  The float result is
+    BIT-IDENTICAL to the SQL form's sorted fold: absent terms
+    contribute +0.0, and ``x + (+0.0) == x`` exactly for the
+    non-negative partial sums BM25 produces (idf > 0, tf > 0), so
+    skipping vs adding-zero cannot differ.  ``impl="sql"`` keeps the
+    pure-Catalyst plan (and is the reference for the parity test).
     """
     terms = sorted({t.lower() for t in query_terms})
+    if impl == "arrow" and terms:
+        return _bm25_scores_arrow(df, text_col, id_col, terms, k1, b,
+                                  corpus_stats)
+    if impl == "arrow":        # zero terms: empty result either way —
+        impl = "sql"           # the SQL plan degenerates cleanly
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     terms_arr = F.array(*[F.lit(t) for t in terms])
     docs = (spread(df)
             .select(F.col(id_col).alias("id"),
                     F.transform(tokens(F.col(text_col)),
                                 lambda t: F.lower(t)).alias("toks"))
-            .withColumn("dl", F.size("toks")))
+            # greatest(·, 0): Spark's legacy size(NULL) is -1, which
+            # would subtract NULL-text docs from sum_dl — the oracle
+            # (SQL sum skips NULL) and the arrow kernel both treat a
+            # NULL document as empty (dl = 0)
+            .withColumn("dl", F.greatest(F.size("toks"), F.lit(0))))
     if corpus_stats is not None:
         n_docs_v, sum_dl_v = corpus_stats
         corpus = df.sparkSession.range(1).select(
@@ -572,6 +598,88 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     return (per_term.groupBy("id")
             .agg(F.count("*").cast("long").alias("n_terms_hit"),
                  folded.alias("score")))
+
+
+def _bm25_scores_arrow(df: DataFrame, text_col: str, id_col: str,
+                       terms: list[str], k1: float, b: float,
+                       corpus_stats: tuple[int, int] | None) -> DataFrame:
+    """Fused BM25 (see :func:`bm25_scores` ``impl="arrow"``).  The
+    scoring ARITHMETIC stays in Catalyst expressions built exactly like
+    the SQL form's (same association order, so libm/IEEE results agree
+    term-for-term); only the tokenize/count inner loop moves to Python.
+    Term lowercase matching uses Python ``str.lower`` — identical to
+    Spark's locale-independent ``lower`` for ASCII and the standard
+    Unicode mappings."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    tf_cols = [f"tf{i}" for i in range(len(terms))]
+    schema = f"id {id_type}, dl long, " + ", ".join(
+        f"{c} long" for c in tf_cols)
+    terms_l = list(terms)
+
+    def run(batches):
+        import pandas as pd
+
+        from ..functions.pykernels import py_tokens
+
+        for pdf in batches:
+            ids, dls = [], []
+            tfs = [[] for _ in terms_l]
+            for did, t in zip(pdf["__id__"], pdf["__t__"]):
+                toks = [x.lower() for x in py_tokens(t)]
+                ids.append(did)
+                dls.append(len(toks))
+                for slot, term in zip(tfs, terms_l):
+                    slot.append(toks.count(term))
+            out = {"id": ids, "dl": dls}
+            for c, slot in zip(tf_cols, tfs):
+                out[c] = slot
+            yield pd.DataFrame(out)
+
+    wide = (spread(df)
+            .select(F.col(id_col).alias("__id__"),
+                    F.col(text_col).alias("__t__"))
+            .mapInPandas(run, schema)
+            # scanned twice (stats aggregate + scoring) — materialize
+            # the NARROW rows executor-locally so the kernel runs once;
+            # (8 + 8·|terms|) bytes/doc, never the text
+            .localCheckpoint(eager=False))
+
+    df_cols = [f"df{i}" for i in range(len(terms))]
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl")] + [
+        F.sum((F.col(c) > 0).cast("long")).alias(d)
+        for c, d in zip(tf_cols, df_cols)]
+    corpus = wide.agg(*aggs)
+    if corpus_stats is not None:
+        n_docs_v, sum_dl_v = corpus_stats
+        corpus = corpus.select(
+            F.lit(int(n_docs_v)).alias("n_docs"),
+            F.lit(int(sum_dl_v)).cast("long").alias("sum_dl"), *df_cols)
+
+    j = wide.crossJoin(F.broadcast(corpus))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    # per-term contribution — SAME expression tree as the SQL form with
+    # tf/df swapped for the wide columns; +0.0 when the term is absent
+    contribs = []
+    hits = []
+    for c, d in zip(tf_cols, df_cols):
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col(d) + F.lit(0.5))
+                    / (F.col(d) + F.lit(0.5)))
+        denom = F.col(c) + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b)
+                                        * F.col("dl") / avgdl)
+        contribs.append(F.when(F.col(c) > 0,
+                               idf * F.col(c) * F.lit(k1 + 1.0) / denom)
+                        .otherwise(F.lit(0.0)))
+        hits.append((F.col(c) > 0).cast("long"))
+    score = F.lit(0.0)
+    for c in contribs:          # static fold in sorted-term order
+        score = score + c
+    n_hit = hits[0]
+    for h in hits[1:]:
+        n_hit = n_hit + h
+    return (j.select("id", n_hit.alias("n_terms_hit"),
+                     score.alias("score"))
+            .filter(F.col("n_terms_hit") >= 1))
 
 
 # ---------------------------------------------------------------------------

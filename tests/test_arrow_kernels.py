@@ -189,3 +189,25 @@ def test_json_profile_arrow_rejects_exact_path(spark):
     df = spark.createDataFrame(JSON_ROWS, "i long, j string")
     with pytest.raises(ValueError):
         json_field_profile(df, "j", approx_ndv=False, impl="arrow")
+
+
+@pytest.mark.parametrize("stats", [None, (12, 400)])
+def test_bm25_arrow_matches_sql_bitexact(spark, edge_df, stats):
+    """RAW (un-rounded) float equality: the static sorted-order sum
+    must replay the SQL fold bit-for-bit, including the +0.0 absent
+    terms and the corpus_stats override path."""
+    terms = ["the", "hash", "batch", "absentterm"]
+    a = tx.bm25_scores(edge_df, "text", "doc_id", terms,
+                       corpus_stats=stats, impl="arrow")
+    s = tx.bm25_scores(edge_df, "text", "doc_id", terms,
+                       corpus_stats=stats, impl="sql")
+    _assert_same(a, s, ["id", "n_terms_hit", "score"])
+    assert a.count() >= 2
+
+
+def test_bm25_arrow_real_corpus_bitexact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "vector", "stream"]
+    a = tx.bm25_scores(docs, "text", "doc_id", terms, impl="arrow")
+    s = tx.bm25_scores(docs, "text", "doc_id", terms, impl="sql")
+    _assert_same(a, s, ["id", "n_terms_hit", "score"])
