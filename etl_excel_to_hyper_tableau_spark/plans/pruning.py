@@ -37,6 +37,32 @@ def stage_partitioned(df: DataFrame, path: str,
     return path
 
 
+def static_partition_filter_count(df: DataFrame, col: str) -> int:
+    """Number of scans in ``df``'s plan whose ``PartitionFilters``
+    mention partition column ``col`` with a NON-EMPTY filter list —
+    the static (literal-predicate) counterpart of
+    :func:`dpp_filter_count`, for probes whose partition set is
+    driver-known at plan time (e.g. the staged-IVFPQ cell probe, where
+    the query batch's ``nprobe`` cells are computed before the scan is
+    planned).  Static pruning is strictly stronger than DPP — the file
+    index never even lists the skipped directories — and pinning the
+    count in the oracle hash makes a regression to a full scan a
+    CORRECTNESS failure, the bucketed_priority_census doctrine."""
+    from .zorder import _untruncated_plan
+
+    plan = _untruncated_plan(df)
+    n = 0
+    for line in plan.splitlines():
+        if "PartitionFilters:" not in line:
+            continue
+        seg = line.split("PartitionFilters:", 1)[1].strip()
+        if seg.startswith("[]"):
+            continue
+        if col in seg.split("]", 1)[0]:
+            n += 1
+    return n
+
+
 def dpp_filter_count(df: DataFrame) -> int:
     """Number of scans with DYNAMIC partition-pruning filters in
     ``df``'s executed plan — 0 means every fact partition would be

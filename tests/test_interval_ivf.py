@@ -225,3 +225,59 @@ def test_recall_vs_exact_perfect_candidates(spark, sf_dir):
                           "embedding", "vec_id", exact, k=5).collect()
     assert len(rep) == 3
     assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in rep)
+
+
+def test_ivfpq_staged_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """stage_ivfpq -> ivfpq_topk_staged must (a) return the exact rows
+    of the in-memory ivfpq_topk with the same parameters, (b) carry a
+    STATIC cell partition filter (the probe set is driver-known, so
+    the file index never lists un-probed cell directories), and (c)
+    contain no codebook/centroid literals in the probe plan."""
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk, ivfpq_topk_staged, stage_ivfpq,
+    )
+    from etl_excel_to_hyper_tableau_spark.plans.pruning import (
+        static_partition_filter_count,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivfpq")
+    cents, books = stage_ivfpq(corpus, "embedding", "vec_id", path,
+                               n_cells=8, m=4, n_codes=8)
+    staged = ivfpq_topk_staged(spark, path, cents, books, queries,
+                               "embedding", "vec_id", k=5, nprobe=2,
+                               refine=10)
+    mem = ivfpq_topk(corpus, queries, "embedding", "vec_id",
+                     "embedding", "vec_id", k=5, n_cells=8, nprobe=2,
+                     m=4, n_codes=8, refine=10)
+    assert _rows(staged) == _rows(mem)
+    assert static_partition_filter_count(staged, "cell") == 1
+    plan = _plan(staged)
+    # no centroid/codebook LITERALS compile into the probe plan: the
+    # coarse-assignment expression ('negcell' structs) and the PQ
+    # encode expression (array_position argmin over literal centroid
+    # arrays) are both build-time-only — the column-to-column refine
+    # cosine is the only fold left
+    assert "negcell" not in plan
+    assert "array_position" not in plan
+
+
+def test_ivfpq_staged_pin_columns(spark, sf_dir, tmp_path):
+    from etl_excel_to_hyper_tableau_spark.operators.similarity import (
+        ivfpq_topk_staged, stage_ivfpq,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivfpq_pin")
+    cents, books = stage_ivfpq(corpus, "embedding", "vec_id", path,
+                               n_cells=8, m=4, n_codes=8)
+    out = ivfpq_topk_staged(spark, path, cents, books, queries,
+                            "embedding", "vec_id", k=3, nprobe=2,
+                            refine=0, pin_probe_stats=True).collect()
+    assert out
+    cells = {r["n_cells_probed"] for r in out}
+    assert len(cells) == 1 and 1 <= cells.pop() <= 6  # <= queries*nprobe
+    assert all(r["pruning_filters"] == 1 for r in out)
+    assert all(r["cosine"] is None for r in out)  # refine=0 contract
