@@ -4226,27 +4226,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stream_hll_distinct glob-contract readers).  dict.update keeps
     # existing keys' positions, so the remainder of the 50-row window
     # fills from the registry order above.
-    window = [
-        # round-8 changed entries FIRST (window pin contract): the
-        # context_pairs scalar-contract + null-filter fix (the one red
-        # row of r06/r07), dictionary_tag's whitespace normalization,
-        # knn_graph's branch-schema unification + occupancy valve,
-        # dsir_weights' fused-stats cut, and the five corpus-linear
-        # entries moved from _fin to _fin_wide
+    # Round-11 WINDOW ROTATION (round-10 verdict "what's wrong" #1):
+    # the r8-r10 windows overlapped almost completely (union of three
+    # rounds = 51 distinct names), leaving 144 entries unsampled by
+    # the driver's own gate for three rounds.  The window head is now
+    # (1) every entry whose kernel or oracle changed THIS round (the
+    # round-5 pin contract — a rewritten operator must not leave the
+    # window before the driver re-records its diff), then (2) the
+    # least-recently-sampled cohort: everything NOT in the r8-r10
+    # windows, in registry order, rotates in; the recently-sampled 51
+    # rotate to the back.  NEXT ROUNDS: append the new CORRECTNESS_rN
+    # window to _SAMPLED_R8_R10 (rename it accordingly) and keep the
+    # changed-first + least-recently-sampled-next ordering.  Every
+    # entry still runs vs its oracle in `pytest -m full_oracle`
+    # regardless of window position.
+    changed_r11 = [
+        # Arrow-kernel rewrites (mapInPandas fast paths + _fin class
+        # changes), the bm25 fusion + size(NULL) dl fix, the
+        # covariance driver-side finish, the json register kernel,
+        # the new staged-IVFADC serving entry, and the crossdup
+        # oracle's quoting hardening
+        "winnow_fingerprints", "content_chunks", "dictionary_tag",
+        "dup_ngram_stats", "json_field_profile", "embedding_covariance",
+        "bm25_search", "ivfpq_topk_staged", "stream_pipeline_crossdup",
+    ]
+    sampled_r8_r10 = {
         "context_pairs", "dictionary_tag", "knn_graph", "dsir_weights",
         "corpus_clean", "pii_redaction", "doc_chunks", "seq_packing",
-        "window_doc_map", "bucketed_priority_census",
-        # round-6/7 window carry-over (re-verification)
-        "bucketed_join", "oov_rate",
-        "kmeans_clusters", "hll_distinct", "sketch_profile",
-        "dup_span_removal", "boilerplate_lines",
-        "kmv_set_ops", "html_extract", "warc_extract",
-        "embedding_whiten", "embedding_covariance", "pca_variance",
-        "video_frame_dedup", "video_dedup", "image_phash_dedup",
-        "audio_fp_dedup", "stream_media_dedup",
-        "keyword_topk", "minhash_dedup", "stream_hll_distinct",
-    ]
-    out = {name: reg[name] for name in window}
+        "window_doc_map", "bucketed_priority_census", "bucketed_join",
+        "oov_rate", "kmeans_clusters", "hll_distinct", "sketch_profile",
+        "dup_span_removal", "boilerplate_lines", "kmv_set_ops",
+        "html_extract", "warc_extract", "embedding_whiten",
+        "embedding_covariance", "pca_variance", "video_frame_dedup",
+        "video_dedup", "image_phash_dedup", "audio_fp_dedup",
+        "stream_media_dedup", "keyword_topk", "minhash_dedup",
+        "stream_hll_distinct", "doc_compression", "forecast_revenue",
+        "priority_late_census", "cheapest_type_supplier",
+        "important_part_value", "customer_order_distribution",
+        "supplier_variety", "dominant_part_suppliers", "url_dedup",
+        "json_field_profile_exact", "quality_classifier",
+        "unigram_tokens", "jaccard_join", "mmr_select",
+        "salted_join_census", "partition_pruned_join",
+        "bucket_pruned_lookup", "embedding_project", "zorder_range_scan",
+        "auto_salted_join_census",
+    }
+    out = {name: reg[name] for name in changed_r11}
+    out.update({n: f for n, f in reg.items() if n not in sampled_r8_r10})
     out.update(reg)
     return out
 
