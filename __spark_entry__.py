@@ -1986,6 +1986,106 @@ def q_stream_pipeline_crossdup(spark, sf_dir):
             .transform(_fin, "doc_id"))
 
 
+# --- planted media corpus for q_stream_media_pipeline ---------------------
+# Construction (the _CROSSDUP_DOCS doctrine for media): class-seeded
+# uniform-random pixel fields in [0, 192) so a +32 brightness shift is an
+# EXACT affine map with no clipping — the DCT's AC coefficients (and hence
+# the 63-bit pHash, which thresholds AC against their median) are
+# bit-identical while the PNG bytes differ: a true PERCEPTUAL near-dup the
+# exact-digest route could never catch.
+#   batch 0: ids 0-4, classes 0-4 (all distinct -> all admitted);
+#   batch 1: id 10 = class-0 brightness variant  (cross-batch near-dup,
+#                    dropped by the STAGED signature index),
+#            id 11 = class-2 exact bytes         (cross-batch dup, dropped),
+#            id 12 = class 5, id 13 = class 6    (fresh -> admitted),
+#            id 14 = class-6 brightness variant  (batch-LOCAL near-dup,
+#                    dropped by the in-batch election: 13 < 14).
+# Survivors by construction: {0,1,2,3,4} @ batch 0, {12,13} @ batch 1.
+# The margins that make this airtight (variant hamming = 0, cross-class
+# pHash distance far above the gate) are pinned in
+# tests/test_multimodal_streaming.py::test_media_pipe_corpus_margins.
+_MEDIA_PIPE_BATCHES = {
+    0: [(0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0), (4, 4, 0)],
+    1: [(10, 0, 32), (11, 2, 0), (12, 5, 0), (13, 6, 0), (14, 6, 32)],
+}
+_MEDIA_PIPE_SURVIVORS = {0: [0, 1, 2, 3, 4], 1: [12, 13]}
+
+
+def _media_pipe_png(class_k: int, shift: int = 0) -> bytes:
+    import numpy as np
+
+    from etl_excel_to_hyper_tableau_spark.functions.png import encode_png
+    arr = np.random.default_rng(7700 + class_k).integers(
+        0, 192, size=(24, 32), dtype=np.uint8)
+    return encode_png((arr + np.uint8(shift)).astype(np.uint8))
+
+
+def _stage_media_pipe_landing(spark, landing: str) -> None:
+    import os
+
+    os.makedirs(landing, exist_ok=True)
+    t0 = 1_000_000_000
+    meta = {"format": "png", "width": 32, "height": 24,
+            "sample_rate": None, "n_frames": None}
+    for i in sorted(_MEDIA_PIPE_BATCHES):
+        rows = [(mid, "image", bytearray(_media_pipe_png(k, sh)), meta)
+                for mid, k, sh in _MEDIA_PIPE_BATCHES[i]]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, content binary, "
+                  "meta struct<format:string,width:int,height:int,"
+                  "sample_rate:int,n_frames:int>")
+        d = f"{landing}__stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(fn for fn in os.listdir(d) if fn.endswith(".parquet"))
+        dst = f"{landing}/b{i}.parquet"
+        os.replace(f"{d}/{src}", dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+
+def q_stream_media_pipeline(spark, sf_dir):
+    """The COMPOSED multimodal curation pipeline (streaming/ingest.py::
+    media_curation_pipeline — round-10 verdict item #6) executed as ONE
+    availableNow Structured Streaming query over two mtime-ordered
+    media landing files: real PNG decode → 63-bit DCT pHash (Arrow
+    batches, map-only) → within-batch near-dup election (smaller id
+    survives) → STAGED cross-batch signature index (pigeonhole band
+    join) → WebDataset shards with the original bytes + a JSON sidecar.
+    The planted corpus (see _MEDIA_PIPE_BATCHES) makes the admitted set
+    exact by construction: a brightness-shifted PERCEPTUAL near-dup of
+    batch-0 content is dropped by the staged index even though its
+    bytes (and exact digest) differ, the batch-local variant pair
+    elects the smaller id, and everything else ships byte-exactly.
+    The entry reads the shards back and emits one row per shipped
+    sample (media_id, batch, byte-exact payload md5, member count);
+    the construction oracle replays the survivor set from the same
+    deterministic PNG bytes."""
+    from etl_excel_to_hyper_tableau_spark.sinks.webdataset import (
+        read_webdataset,
+    )
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        media_curation_pipeline,
+    )
+    tag = _sf_tag(sf_dir)
+    base = f"/tmp/spark_graft_mediapipe_{tag}"
+    landing = f"{base}/landing"
+    out = f"{base}/wds"
+    _stage_once(spark, "media_pipe_landing", sf_dir, lambda:
+                _stage_media_pipe_landing(spark, landing))
+    media_curation_pipeline(spark, landing, out, kind="image",
+                            max_hamming=6, n_shards=2)
+    wds = (read_webdataset(spark, f"{out}/batch=*/shard-*.tar")
+           .withColumn("batch",
+                       F.regexp_extract("shard_file", r"batch=(\d+)", 1)
+                       .cast("long")))
+    pivoted = (wds.groupBy("key", "batch")
+               .agg(F.max(F.when(F.col("ext") == "bin",
+                                 F.md5("content"))).alias("png_md5"),
+                    F.count("*").cast("long").alias("n_members")))
+    return (pivoted.select(F.col("key").cast("long").alias("media_id"),
+                           "batch", "png_md5", "n_members")
+            .transform(_fin, "media_id"))
+
+
 def q_stream_pipeline_e2e(spark, sf_dir):
     """The COMPOSED end-to-end streaming curation pipeline
     (streaming/ingest.py::curation_pipeline) executed as ONE real
@@ -4080,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_budget_gate": q_stream_budget_gate,
         "stream_pipeline_e2e": q_stream_pipeline_e2e,
         "stream_pipeline_crossdup": q_stream_pipeline_crossdup,
+        "stream_media_pipeline": q_stream_media_pipeline,
         "epoch_upsample": q_epoch_upsample,
         "dsir_weights": q_dsir_weights,
         "soft_dedup": q_soft_dedup,
@@ -5996,6 +6097,25 @@ ORDER BY corpus_id, bench_id
         # other stage is parameterized permissive — and the margins
         # that justify it are pinned against the real band tables in
         # tests/test_ingest_stream.py::test_crossdup_corpus_margins
+        # --- composed multimodal curation pipeline ------------------------
+        # construction oracle: the planted corpus (_MEDIA_PIPE_BATCHES)
+        # makes the admitted set exact by construction; the expected
+        # payload md5s are computed from the SAME deterministic PNG
+        # bytes the landing was staged from (margins pinned in
+        # tests/test_multimodal_streaming.py)
+        "stream_media_pipeline": """
+WITH s(media_id, batch, png_md5) AS (VALUES """ + ", ".join(
+            "({mid}, {b}, '{h}')".format(
+                mid=mid, b=b,
+                h=__import__("hashlib").md5(
+                    _media_pipe_png(k, sh)).hexdigest())
+            for b in sorted(_MEDIA_PIPE_BATCHES)
+            for mid, k, sh in _MEDIA_PIPE_BATCHES[b]
+            if mid in _MEDIA_PIPE_SURVIVORS[b]) + """)
+SELECT cast(media_id as bigint) AS media_id, cast(batch as bigint) AS batch,
+  png_md5, cast(2 as bigint) AS n_members
+FROM s ORDER BY media_id
+""",
         "stream_pipeline_crossdup": """
 WITH s(doc_id, text) AS (VALUES """ + ", ".join(
             "({d}, '{t}')".format(

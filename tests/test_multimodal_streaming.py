@@ -810,3 +810,134 @@ def test_audio_fp_pairs_finds_dups(spark):
               if a % 4 == b % 4}
     assert set(got) == expect
     assert all(v == 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Composed media pipeline (round 11): corpus margins + replay idempotency
+# ---------------------------------------------------------------------------
+
+def test_media_pipe_corpus_margins(spark):
+    """The construction oracle of stream_media_pipeline rests on two
+    measurable margins: (a) a +32 brightness shift on a [0,192) pixel
+    field is an EXACT affine map, so the variant's 63-bit pHash is
+    IDENTICAL (hamming 0 — far under the max_hamming=6 gate) while the
+    PNG bytes differ; (b) distinct class fields sit far ABOVE the gate.
+    Pin both against the real pHash kernel."""
+    import __spark_entry__ as e
+    from etl_excel_to_hyper_tableau_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    rows, labels = [], []
+    for b in sorted(e._MEDIA_PIPE_BATCHES):
+        for mid, k, sh in e._MEDIA_PIPE_BATCHES[b]:
+            rows.append((mid, "image", bytearray(e._media_pipe_png(k, sh)),
+                         {"format": "png", "width": 32, "height": 24,
+                          "sample_rate": None, "n_frames": None}))
+            labels.append((mid, k, sh))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, "
+              "meta struct<format:string,width:int,height:int,"
+              "sample_rate:int,n_frames:int>")
+    h = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    by_id = {mid: (k, sh) for mid, k, sh in labels}
+    # variant pairs: identical hash, different bytes
+    assert h[10] == h[0] and e._media_pipe_png(0, 32) != e._media_pipe_png(0)
+    assert h[14] == h[13]
+    assert h[11] == h[2]
+    # cross-class margins: every distinct-class pair far above the gate
+    for a in h:
+        for b in h:
+            if a < b and by_id[a][0] != by_id[b][0]:
+                d = bin(h[a] ^ h[b]).count("1")
+                assert d > 12, (a, b, d)
+
+
+def test_media_pipeline_replay_idempotent(spark, tmp_path):
+    """Running the composed media pipeline twice over the SAME landing
+    must produce byte-identical shards and an identical signature
+    index — the dynamic-overwrite + index-append-LAST contract (the
+    refreshByPath ordering trap gets a property, not just the
+    construction oracle)."""
+    import hashlib
+    import os
+
+    import __spark_entry__ as e
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        media_curation_pipeline,
+    )
+
+    landing = str(tmp_path / "landing")
+    e._stage_media_pipe_landing(spark, landing)
+    out = str(tmp_path / "wds")
+
+    def run_and_digest():
+        stats = media_curation_pipeline(spark, landing, out,
+                                        kind="image", max_hamming=6,
+                                        n_shards=2)
+        shards = {}
+        for root, _, files in os.walk(out):
+            for fn in sorted(files):
+                if fn.endswith(".tar"):
+                    p = os.path.join(root, fn)
+                    shards[os.path.relpath(p, out)] = hashlib.md5(
+                        open(p, "rb").read()).hexdigest()
+        idx = sorted(
+            tuple(r) for r in spark.read.parquet(out + "__sigs")
+            .select("media_id", "sig", "batch_id").collect())
+        return stats, shards, idx
+
+    s1, shards1, idx1 = run_and_digest()
+    s2, shards2, idx2 = run_and_digest()
+    assert s1 == s2 == {"batches": 2, "accepted": 7}
+    assert shards1 and shards1 == shards2
+    assert idx1 == idx2
+
+
+def test_curation_pipeline_replay_idempotent(spark, tmp_path):
+    """Same property for the TEXT pipeline: two runs over one landing
+    -> identical shard bytes (the pipeline owns and clears its output,
+    and every per-batch write is deterministic)."""
+    import hashlib
+    import json
+    import os
+
+    from etl_excel_to_hyper_tableau_spark.streaming.ingest import (
+        curation_pipeline,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    texts = {i: f"unique document number {i} with twenty five distinct "
+                f"informative words about topic {i % 3} written plainly "
+                f"for the quality gate to admit without complaint"
+             for i in range(8)}
+    t0 = 1_000_000_000
+    for b in range(2):
+        p = landing / f"b{b}.jsonl"
+        with open(p, "w") as f:
+            for i in range(b * 4, b * 4 + 4):
+                f.write(json.dumps({"doc_id": i, "text": texts[i],
+                                    "lang": "en", "source": "s0"}) + "\n")
+        os.utime(p, (t0 + b * 10, t0 + b * 10))
+    out = str(tmp_path / "wds")
+
+    def run_and_digest():
+        stats = curation_pipeline(spark, str(landing), out,
+                                  budget_per_source=10**9,
+                                  min_quality=0.0, min_tokens=2,
+                                  max_tokens=10_000, max_dup_bigram=1.0,
+                                  n_shards=2)
+        shards = {}
+        for root, _, files in os.walk(out):
+            for fn in sorted(files):
+                if fn.endswith(".tar"):
+                    p = os.path.join(root, fn)
+                    shards[os.path.relpath(p, out)] = hashlib.md5(
+                        open(p, "rb").read()).hexdigest()
+        return stats, shards
+
+    s1, d1 = run_and_digest()
+    s2, d2 = run_and_digest()
+    assert s1 == s2
+    assert d1 and d1 == d2

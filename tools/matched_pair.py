@@ -75,6 +75,22 @@ QUIET_TIMEOUT_S = 600    # max time to wait for the host to quiet
 DISPERSION_RETAKE = 1.5  # max/min warm-sample spread that triggers retake
 
 
+def retake_needed(samples: list[float], cold: float) -> bool:
+    """Pure retake predicate (unit-testable): more warm samples are
+    needed when (a) the warm median reads SLOWER than the cold sample —
+    a physically impossible steady-state — or (b) the warm block's
+    max/min spread exceeds ``DISPERSION_RETAKE`` in EITHER direction
+    (the symmetric trigger: a burst that lands on the first samples
+    would otherwise bias recorded medians downward).  Only meaningful
+    for multi-sample blocks; callers gate on ``n_samples > 1``."""
+    if not samples:
+        return False
+    if statistics.median(samples) > cold:
+        return True
+    mn = min(samples)
+    return mn > 0 and max(samples) / mn > DISPERSION_RETAKE
+
+
 def _load_avg() -> float:
     try:
         return round(os.getloadavg()[0], 2)
@@ -191,11 +207,7 @@ def main() -> None:
         for side, runner in (("duck", duck_run), ("spark", spark_run)):
             samples, cold = ((duck_w, duck_cold) if side == "duck"
                              else (spark_w, spark_cold))
-            if n_samples > 1 and (
-                    statistics.median(samples) > cold
-                    or (min(samples) > 0
-                        and max(samples) / min(samples)
-                        > DISPERSION_RETAKE)):
+            if n_samples > 1 and retake_needed(samples, cold):
                 samples.extend(runner()[0] for _ in range(2))
                 retaken = True
         duck_warm = round(statistics.median(duck_w), 3)
