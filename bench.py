@@ -188,6 +188,7 @@ HEADLINE = [
     # doesn't time; ivfpq_recall stays out with ann_recall (an
     # evaluation join over queries×k rows, not a throughput pattern)
     "ivfpq_topk",
+    "ivfpq_topk_staged",
 ]
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -58,8 +59,6 @@ def curated_ingest(spark: SparkSession, input_dir: str, corpus_dir: str,
     the stream's work stays proportional to the batch no matter how
     large the accepted corpus grows.
     """
-    import tempfile
-    import uuid
 
     bands_dir = corpus_dir.rstrip("/") + "__bands"
     stats = {"batches": 0, "accepted": 0}
@@ -177,8 +176,6 @@ def vector_index_ingest(spark: SparkSession, input_dir: str, index_dir: str,
 
     Returns ``{"batches", "accepted"}``.
     """
-    import tempfile
-    import uuid
 
     from ..operators.dedup import _dot, _norm
     from ..operators.similarity import _nearest_cells
@@ -273,9 +270,6 @@ def sketch_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
     :func:`..operators.sketches.count_min_estimate` over the staged
     table.  Returns ``{"batches", "rows"}``.
     """
-    import shutil
-    import tempfile
-    import uuid
 
     from ..operators.sketches import count_min_build
 
@@ -422,8 +416,6 @@ def run_budget_gate_availablenow(spark: SparkSession, input_dir: str,
                                  ) -> DataFrame:
     """Execute :func:`budget_gate_stream` over the currently-available
     files (availableNow) and return the admitted rows."""
-    import tempfile
-    import uuid
 
     name = "budget_" + uuid.uuid4().hex[:8]
     ckpt = tempfile.mkdtemp(prefix="ckpt_bg_")
@@ -463,9 +455,6 @@ def hll_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
     Estimates at any point: ``hll_estimate(spark.read.parquet(
     sketch_dir), p)``.  Returns ``{"batches", "rows"}``.
     """
-    import shutil
-    import tempfile
-    import uuid
 
     from ..operators.sketches import hll_build
 
@@ -540,9 +529,6 @@ def histogram_ingest(spark: SparkSession, input_dir: str, sketch_dir: str,
     Estimates at any point: :func:`staged_histogram_quantiles`.
     Returns ``{"batches", "rows"}``.
     """
-    import shutil
-    import tempfile
-    import uuid
 
     from ..operators.sketches import histogram_sketch
 
@@ -647,8 +633,6 @@ def media_dedup_ingest(spark: SparkSession, input_dir: str, index_dir: str,
 
     Returns ``{"batches", "accepted"}``.
     """
-    import tempfile
-    import uuid
 
     from ..operators.multimodal import audio_fingerprint, image_phash
 
@@ -754,8 +738,6 @@ def media_curation_pipeline(spark: SparkSession, input_dir: str,
 
     Returns ``{"batches", "accepted"}``.
     """
-    import shutil
-    import uuid
 
     from ..operators.multimodal import audio_fingerprint, image_phash
     from ..sinks.webdataset import write_webdataset
@@ -899,8 +881,6 @@ def curation_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
 
     Returns ``{"batches", "admitted"}``.
     """
-    import shutil
-    import uuid
 
     from pyspark.sql import Window
 
