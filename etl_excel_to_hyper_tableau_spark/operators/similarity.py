@@ -1345,10 +1345,16 @@ def _round9_half_up(x: float) -> float:
         decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP))
 
 
-def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
+def _cov_partials_raw(df: DataFrame, vec_col: str) -> DataFrame:
     """One corpus pass → exact fixed-point second-moment partials, the
     shared input of :func:`embedding_covariance` and
     :func:`embedding_whiten` (which needs the means too — same pass).
+    Emits ONE un-merged d(d+1)/2 + d row block per non-empty partition
+    (map-only — no exchange); callers either merge with a
+    ``groupBy(i, j)`` (:func:`_cov_partials`, the any-scale shape) or,
+    when the partition count is driver-bounded, collect the raw blocks
+    and merge with exact Python integer sums — associativity makes the
+    two identical bit-for-bit.
 
     Each value is quantized to integers at 2^-36
     (``floor(x·2^36 + 0.5)`` — every step exact in float64 for
@@ -1382,6 +1388,13 @@ def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
     ])
 
     def run(batches):
+        # accumulate across ALL Arrow batches in the partition and
+        # emit ONE d(d+1)/2 + d row block per non-empty partition:
+        # the exchange (or the driver collect on the bounded path)
+        # carries partitions·~d² rows, not batches·~d²
+        tot = 0
+        s2_acc = m_acc = None
+        d = 0
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -1419,24 +1432,38 @@ def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
                           .astype(np.int64).astype(object))
             s2 = (acc_hh * (_COV_LO * _COV_LO)
                   + (acc_hl + acc_hl.T) * _COV_LO + acc_ll)
+            if s2_acc is None:
+                s2_acc, m_acc = s2, acc_m
+            else:
+                s2_acc = s2_acc + s2
+                m_acc = m_acc + acc_m
+            tot += n
+        if tot:
             ii, jj, ss = [], [], []
             for i in range(d):
                 for j in range(i, d):
                     ii.append(i)
                     jj.append(j)
-                    ss.append(decimal.Decimal(int(s2[i, j])))
+                    ss.append(decimal.Decimal(int(s2_acc[i, j])))
                 ii.append(i)
                 jj.append(-1)
-                ss.append(decimal.Decimal(int(acc_m[i])))
+                ss.append(decimal.Decimal(int(m_acc[i])))
             yield pd.DataFrame({"i": pd.array(ii, dtype="int64"),
                                 "j": pd.array(jj, dtype="int64"),
                                 "s": ss,
-                                "n": pd.array([n] * len(ii),
+                                "n": pd.array([tot] * len(ii),
                                               dtype="int64")})
 
-    return (spread(df)
-            .select(F.col(vec_col).cast("array<double>").alias("__v__"))
-            .mapInPandas(run, schema=out_schema)
+    src = spread(df).select(
+        F.col(vec_col).cast("array<double>").alias("__v__"))
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def _cov_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Merged (one row per (i, j)) form of :func:`_cov_partials_raw` —
+    the shape :func:`embedding_whiten` and the big-cluster covariance
+    path consume."""
+    return (_cov_partials_raw(df, vec_col)
             .groupBy("i", "j")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n")))
 
@@ -1466,6 +1493,16 @@ def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
     # sf1 against a 1.2 s entry.  One collect + exact Python doubles
     # (same IEEE ops in the same order as the Catalyst expression,
     # half-up round via _round9_half_up) produces the identical table.
+    #
+    # Partial MERGE placement — measured, not assumed (round 11): a
+    # driver-side merge of the RAW per-partition blocks (skipping the
+    # groupBy exchange) was tried and LOST: collecting partitions·d²
+    # ≈ 68k DECIMAL rows costs ~0.6 s of Python deserialization while
+    # the exchange it avoids merges them to d(d+1)/2+d rows for a
+    # 0.2 s collect — the JVM-side merge is cheaper than shipping
+    # un-merged decimals through the Python boundary at every scale
+    # (and the rdd.getNumPartitions probe alone cost 0.66 s of plan
+    # translation).  The groupBy-merged shape stays.
     rows = _cov_partials(df, vec_col).collect()
     msum = {int(r["i"]): int(r["s"]) for r in rows if int(r["j"]) == -1}
     out = []
