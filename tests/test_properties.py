@@ -2243,23 +2243,30 @@ def test_fixed_histogram_quantile_within_width(spark, vals, width):
 _vec4 = st.lists(st.floats(-1, 1, allow_nan=False, width=16),
                  min_size=4, max_size=4)
 
+# Non-degenerate variant BY CONSTRUCTION (a near-zero vector is patched,
+# not rejected): an `assume` over every vector of a 10-22 vector sample
+# rejects most shrunk examples (hypothesis shrinks floats toward 0) and
+# trips the filter_too_much health check.
+_vec4_nz = _vec4.map(
+    lambda v: v if any(abs(x) > 1e-6 for x in v) else [0.25] + v[1:])
+
 
 @settings(**_SETTINGS)
-@given(corpus=st.lists(_vec4, min_size=9, max_size=20),
-       queries=st.lists(_vec4, min_size=1, max_size=2))
+@given(corpus=st.lists(_vec4_nz, min_size=9, max_size=20),
+       queries=st.lists(_vec4_nz, min_size=1, max_size=2))
 def test_ivfpq_full_probe_full_refine_equals_exact_property(
         spark, corpus, queries):
     """For ANY corpus/query set: probing every cell with a full-corpus
     refine shortlist reproduces the exact cosine top-k — the ADC stage
-    may reorder the shortlist but can never drop a true neighbor."""
-    from hypothesis import assume
+    may reorder the shortlist but can never drop a true neighbor.
 
+    Zero vectors yield NULL cosines on both paths; the property is
+    about ranking, not NULL semantics (covered elsewhere), so the
+    strategy patches degenerate vectors instead of assume()-rejecting
+    the whole multi-vector sample (which filtered >85% of examples)."""
     from etl_excel_to_hyper_tableau_spark.operators.similarity import (
         ivfpq_topk, topk_cosine_batch,
     )
-    # zero vectors yield NULL cosines on both paths; keep the property
-    # about ranking, not NULL semantics (covered elsewhere)
-    assume(all(any(abs(x) > 1e-6 for x in v) for v in corpus + queries))
     cdf = spark.createDataFrame([(i, v) for i, v in enumerate(corpus)],
                                 "id long, emb array<double>")
     qdf = spark.createDataFrame(
