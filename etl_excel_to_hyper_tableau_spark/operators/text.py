@@ -38,12 +38,28 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# the exact ASCII classes of the regexes [A-Za-z0-9] and \s (Java \s is
+# ASCII-only: [ \t\n\x0B\f\r]) — used to count class members with
+# `translate` (one char-table pass, no regex engine, no result-string
+# build) instead of regexp_replace.  Counting via length-difference
+# after deletion is code-point-exact for any input, including non-BMP.
+_ALNUM = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+          "abcdefghijklmnopqrstuvwxyz0123456789")
+_JAVA_WS = " \t\n\x0b\f\r"
+
+
 def word_token_count(col: Column) -> Column:
     """BPE-ish sub-token estimate: word characters grouped in runs of ≤4
     plus standalone non-word glyphs — a deterministic proxy for tokenizer
-    counts when no tokenizer library is available (≈ chars/4 for prose)."""
-    word_chars = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
-    other = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    counts when no tokenizer library is available (≈ chars/4 for prose).
+
+    Counts via ``translate`` deletion rather than ``regexp_replace``:
+    bit-identical lengths (the deleted sets equal the regex classes
+    [A-Za-z0-9] and [A-Za-z0-9\\s] exactly), measured 10.8× faster at
+    sf1 (2.82 s → 0.26 s isolated, tools/isolate_fertility.py) — the
+    regex path built a full result string per row per pass."""
+    word_chars = (F.length(col) - F.length(F.translate(col, _ALNUM, "")))
+    other = F.length(F.translate(col, _ALNUM + _JAVA_WS, ""))
     return (F.ceil(word_chars / F.lit(4.0)) + other).cast("long")
 
 

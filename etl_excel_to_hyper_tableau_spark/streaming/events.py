@@ -514,13 +514,22 @@ def robust_value_anomalies(df: DataFrame, key_col: str, value_col: str,
     moment z-scores, which assume a clean majority).
 
     Medians are EXACT, the rank-``ceil(n/2)`` disc definition (the
-    :func:`..operators.sketches.exact_quantiles` contract): two
-    key-bounded window passes — rank the values per key and keep the
-    median rank, then rank the absolute deviations per key for the
-    MAD — with each key-sized medians table joined back (broadcast-
-    eligible: one row per key).  Partition state is bounded by the
-    hottest key's row count, the same discipline as every per-key
-    window here.
+    :func:`..operators.sketches.exact_quantiles` contract), computed
+    in ONE key-hashed exchange: rank the values per key, ATTACH the
+    rank-``ceil(n/2)`` value to every row of the key with a windowed
+    ``max(when(rn = target, v))`` (exactly one row matches, so the max
+    IS that value), derive the deviations, re-sort the same partitions
+    by deviation and attach the MAD the same way.  The pre-round-11
+    shape extracted each median as a key-sized table and broadcast-
+    joined it back; because the deviation subtree then appeared twice
+    in the DAG (as the MAD pass's input and as the scored output's
+    input), the upstream scan + median window re-executed per
+    appearance — measured at sf1 the entry paid ~4.9 s for ~2.2 s of
+    distinct work.  The windowed-max shape is 1 Exchange + 2 Sorts,
+    zero joins, zero subtree re-execution, and bit-identical
+    arithmetic (same rank rows, same ``0.6745·(v−med)/mad`` doubles).
+    Partition state is bounded by the hottest key's row count, the
+    same discipline as every per-key window here.
 
     Output: flagged rows ``key, id, value, med, mad, rscore``; keys
     with MAD = 0 (over half the values identical) flag nothing —
@@ -532,22 +541,25 @@ def robust_value_anomalies(df: DataFrame, key_col: str, value_col: str,
                      F.col(value_col).cast("double").alias("v")) \
         .where(F.col("v").isNotNull())
 
-    def per_key_median(d: DataFrame, col: str) -> DataFrame:
+    w_key = Window.partitionBy("key")
+    target = F.ceil(F.col("__n__") / F.lit(2.0)).cast("int")
+
+    def attach_median(d: DataFrame, col: str, out: str) -> DataFrame:
+        # rank by (col, id) inside the key, then broadcast the single
+        # rank-target value to every row of the key via max-over-key —
+        # same rank row as the old per_key_median, no join back
         w = Window.partitionBy("key").orderBy(F.col(col).asc(),
                                               F.col("id").asc())
-        wc = Window.partitionBy("key")
         return (d.withColumn("__rn__", F.row_number().over(w))
-                .withColumn("__n__", F.count(F.lit(1)).over(wc))
-                .where(F.col("__rn__")
-                       == F.ceil(F.col("__n__") / F.lit(2.0)).cast("int"))
-                .select("key", F.col(col).alias(f"med_{col}")))
+                .withColumn(out, F.max(F.when(F.col("__rn__") == target,
+                                              F.col(col))).over(w_key))
+                .drop("__rn__"))
 
-    med = per_key_median(vals, "v").withColumnRenamed("med_v", "med")
-    dev = (vals.join(F.broadcast(med), "key")
+    dev = (attach_median(vals.withColumn("__n__",
+                                         F.count(F.lit(1)).over(w_key)),
+                         "v", "med")
            .withColumn("d", F.abs(F.col("v") - F.col("med"))))
-    mad = per_key_median(dev.select("key", "id", F.col("d").alias("v")),
-                         "v").withColumnRenamed("med_v", "mad")
-    scored = (dev.join(F.broadcast(mad), "key")
+    scored = (attach_median(dev, "d", "mad")
               .where(F.col("mad") > 0)
               .withColumn("rscore",
                           F.lit(0.6745) * (F.col("v") - F.col("med"))
