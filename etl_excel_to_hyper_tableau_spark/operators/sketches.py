@@ -402,7 +402,9 @@ def fixed_histogram_quantiles_py(cells, width: float,
 
 def exact_quantiles(df: DataFrame, value_col: str,
                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
-                    ) -> DataFrame:
+                    *, accuracy: int = 2_000,
+                    max_local: int = 1_000_000,
+                    max_rounds: int = 6) -> DataFrame:
     """EXACT quantiles at scale — the companion to the approximate
     sketches when the number must be right (SLA percentiles, pricing
     boundaries): quantile ``q`` is defined as the value at 1-based rank
@@ -410,37 +412,219 @@ def exact_quantiles(df: DataFrame, value_col: str,
     definition — always an actual data value, never an interpolation,
     so it is engine-portable with no FP arithmetic at all).
 
-    Plan — the distributed two-phase rank, never a global one-reducer
-    sort: range-repartition on the value, per-partition counts
-    (metadata-sized collect), then each partition ranks only its own
-    rows with a local ``row_number`` plus its global offset, and a
-    map-only filter keeps the ≤ |qs| target ranks.  Work after the
-    repartition is one local sort per partition; the exchange is the
-    same one any global ORDER BY pays, minus the single-reducer
-    collapse.
+    Plan — iterative sketch-banded selection, NO corpus shuffle at all
+    (the pre-round-11 shape range-exchanged + checkpointed the whole
+    corpus, sorted every partition, then hash-exchanged and sorted it
+    all AGAIN for the rank window):
+
+    1. ONE aggregate pass: ``n`` plus Greenwald-Khanna
+       ``percentile_approx`` cuts at ``q ± 2/accuracy`` — a candidate
+       value band ``[lo, hi]`` per target rank.
+    2. ONE aggregate pass: EXACT counts ``|v < lo|`` / ``|v ≤ hi|``
+       per band, which verify the sketch deterministically — the
+       target rank ``ceil(q·n)`` must fall in ``(|v<lo|, |v≤hi|]``, so
+       a sketch defect can only cost another round, never a wrong
+       answer.  A collapsed band (``lo == hi``) IS the answer, which
+       is how heavy ties (up to a constant column) resolve in one
+       round.
+    3. If the surviving bands hold ≤ ``max_local`` rows in total
+       (known EXACTLY before any row moves), one pushed-filter scan
+       collects them and the driver takes the value at local rank
+       ``k − |v<lo|`` of the sorted candidates — bit-identical to the
+       distributed rank (equal keys are interchangeable at a rank
+       boundary), and the collect is sketch-bounded metadata, the
+       guide-§5 discipline.  Oversized bands re-sketch INSIDE the band
+       at its local quantile and loop: each round multiplies rank
+       resolution by ~``accuracy``, so a 10^12-row corpus reaches a
+       collectable band in two rounds; after ``max_rounds`` the
+       shuffle-based partitioned selection takes over (never observed
+       — it needs an adversarial distribution).
+
+    Inputs up to ``10_000`` non-null rows skip the sketch and resolve
+    driver-side outright (same ≤80 KB class of collect as the sketch
+    partials elsewhere in this module).  Every corpus-sized pass above
+    is map-side aggregation or a pushed-filter scan — no corpus bytes
+    are ever shuffled OR collected.  NaN keeps Spark's ordering
+    contract (greater than every number, so the ``≤ hi`` band edge
+    self-excludes it and a target rank past the last finite value
+    returns NaN).
 
     Output: ``q, rank, value`` — one row per requested quantile
     (empty input → empty output).
     """
-    from pyspark.sql import Window
-
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).alias("v")) \
+        .where(F.col("v").isNotNull())
+    is_fp = dict(df.dtypes).get(value_col) in ("double", "float")
+    finite_v = (F.when(~F.isnan("v"), F.col("v")) if is_fp
+                else F.col("v"))
+
+    eps = 1.0 / accuracy
+    qs_distinct = sorted(set(float(q) for q in qs))
+    cuts = []
+    for q in qs_distinct:
+        cuts += [max(q - 2.0 * eps, 0.0), min(q + 2.0 * eps, 1.0)]
+    row = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(finite_v).alias("nf"),
+        F.percentile_approx(finite_v, cuts, accuracy).alias("b")).first()
+    n, n_f = row["n"], row["nf"]
+    if n == 0:
+        return spark.createDataFrame(
+            [], "q double, rank long, value double")
+
+    # rank -> ALL quantiles that land on it: distinct q's collide on
+    # one rank whenever ceil(q1·n) == ceil(q2·n) (always at small n),
+    # and a plain rank->q dict silently dropped every colliding q but
+    # the last — the output contract is one row PER REQUESTED QUANTILE
+    targets: dict[int, list[float]] = {}
+    for q in qs_distinct:
+        targets.setdefault(int(-(-q * n // 1)), []).append(q)
+
+    resolved: dict[int, float] = {}
+    if n <= 10_000:
+        # small input: the whole column is already metadata-sized
+        xs = [r["v"] for r in vals.collect()]
+        fin = sorted(x for x in xs if x == x)  # NaN last, Python sort
+        for k in targets:
+            resolved[k] = (float(fin[k - 1]) if k <= len(fin)
+                           else float("nan"))
+        bands: dict[int, list] = {}
+    else:
+        # band per target rank k ≤ n_f from the sketch cuts of any q
+        # that lands on k (they share one answer); k > n_f sits in the
+        # NaN suffix and resolves immediately
+        bands = {}
+        for k, qlist in targets.items():
+            if k > n_f:
+                resolved[k] = float("nan")
+                continue
+            i = qs_distinct.index(qlist[0])
+            bands[k] = [row["b"][2 * i], row["b"][2 * i + 1]]
+        if n_f < n and bands:
+            # NaN present: k is a rank over ALL values but the sketch
+            # saw only the finite ones, so the pass-1 cuts at q are
+            # offset — re-cut once at each target's finite-local
+            # quantile k/n_f (one extra aggregate pass, NaN-data only)
+            ks = sorted(bands)
+            raggs = []
+            for j, k in enumerate(ks):
+                ql = k / n_f
+                raggs.append(F.percentile_approx(
+                    finite_v, [max(ql - 2.0 * eps, 0.0),
+                               min(ql + 2.0 * eps, 1.0)],
+                    accuracy).alias(f"r{j}"))
+            rrow = vals.agg(*raggs).first()
+            for j, k in enumerate(ks):
+                bands[k] = [rrow[f"r{j}"][0], rrow[f"r{j}"][1]]
+
+    for _ in range(max_rounds):
+        if not bands:
+            break
+        ks = sorted(bands)
+        aggs = []
+        for j, k in enumerate(ks):
+            lo, hi = bands[k]
+            aggs += [
+                F.sum(F.when(F.col("v") < F.lit(lo), 1)
+                      .otherwise(0)).alias(f"lt{j}"),
+                F.sum(F.when(F.col("v") <= F.lit(hi), 1)
+                      .otherwise(0)).alias(f"le{j}")]
+        crow = vals.agg(*aggs).first()
+        pend: dict[int, tuple[int, int]] = {}
+        bad = False
+        for j, k in enumerate(ks):
+            lt, le = int(crow[f"lt{j}"]), int(crow[f"le{j}"])
+            if not lt < k <= le:  # sketch bound violated (never seen)
+                bad = True
+                break
+            if bands[k][0] == bands[k][1]:  # collapsed band = answer
+                resolved[k] = float(bands[k][0])
+            else:
+                pend[k] = (lt, le)
+        if bad:
+            break
+        if not pend:
+            bands = {}
+            break
+        if sum(le - lt for lt, le in pend.values()) <= max_local:
+            pred = None
+            for k in pend:
+                lo, hi = bands[k]
+                p = (F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi))
+                pred = p if pred is None else (pred | p)
+            cand = [r["v"] for r in vals.where(pred).collect()]
+            for k, (lt, _le) in pend.items():
+                lo, hi = bands[k]
+                sub = sorted(x for x in cand if lo <= x <= hi)
+                resolved[k] = float(sub[k - lt - 1])
+            bands = {}
+            break
+        raggs = []
+        for j, k in enumerate(sorted(pend)):
+            lo, hi = bands[k]
+            lt, le = pend[k]
+            ql = (k - lt) / (le - lt)
+            in_band = F.when((F.col("v") >= F.lit(lo))
+                             & (F.col("v") <= F.lit(hi)), F.col("v"))
+            raggs.append(F.percentile_approx(
+                in_band, [max(ql - 2.0 * eps, 0.0),
+                          min(ql + 2.0 * eps, 1.0)],
+                accuracy).alias(f"r{j}"))
+        rrow = vals.agg(*raggs).first()
+        for j, k in enumerate(sorted(pend)):
+            bands[k] = [rrow[f"r{j}"][0], rrow[f"r{j}"][1]]
+
+    if bands:  # rounds exhausted or a violated bound: shuffle fallback
+        return _exact_quantiles_partitioned(df, value_col, qs)
+
+    out = [(q, k, resolved[k]) for k, qlist in targets.items()
+           for q in qlist]
+    return (spark.createDataFrame(out, "q double, rank long, value double")
+            .orderBy("q"))
+
+
+def _exact_quantiles_partitioned(
+        df: DataFrame, value_col: str,
+        qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Shuffle-based fallback for :func:`exact_quantiles` — the
+    distributed two-phase rank: range-repartition on the value
+    (unsorted), per-partition counts (metadata collect), then a
+    map-only Arrow selection where only the ≤ |qs| partitions holding
+    a target rank are decoded and each finds its order statistics with
+    ``np.partition`` (introselect, O(rows), no sort).  One corpus
+    exchange — what any global ORDER BY pays minus the single-reducer
+    collapse; kept for distributions the sketch-banded path cannot
+    shrink within its round budget.
+    """
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    is_fp = dict(df.dtypes).get(value_col) in ("double", "float")
     vals = (df.select(F.col(value_col).alias("v"))
             .where(F.col("v").isNotNull())
             .repartitionByRange(F.col("v").asc())
-            .sortWithinPartitions(F.col("v").asc())
             .withColumn("__pid__", F.spark_partition_id())
             .localCheckpoint(eager=True))
+    nan_c = (F.sum(F.when(F.isnan("v"), 1).otherwise(0)) if is_fp
+             else F.lit(0))
     part_counts = (vals.groupBy("__pid__")
-                   .agg(F.count(F.lit(1)).alias("c"))
+                   .agg(F.count(F.lit(1)).alias("c"),
+                        nan_c.alias("nanc"))
                    .orderBy("__pid__").collect())
-    offsets, acc = {}, 0
+    offsets, counts, acc = {}, {}, 0
+    n_nan = 0
     for r in part_counts:
         offsets[r["__pid__"]] = acc
+        counts[r["__pid__"]] = r["c"]
         acc += r["c"]
+        n_nan += int(r["nanc"] or 0)
     n = acc
+    n_f = n - n_nan
     if n == 0:
         return df.sparkSession.createDataFrame(
             [], "q double, rank long, value double")
@@ -451,18 +635,58 @@ def exact_quantiles(df: DataFrame, value_col: str,
     targets: dict[int, list[float]] = {}
     for q in sorted(set(qs)):
         targets.setdefault(int(-(-q * n // 1)), []).append(float(q))
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("__pid__").orderBy(F.col("v").asc())
-    rank = (off_map[F.col("__pid__")] + F.row_number().over(w)).cast("long")
+    # ranks past the last finite value are NaN (NaN sorts greatest) —
+    # resolve them OUTSIDE the Arrow kernel: pandas→Arrow would turn a
+    # kernel-emitted NaN into NULL, silently changing the contract
+    nan_rows = [(q, k, float("nan")) for k, qlist in targets.items()
+                if k > n_f for q in qlist]
+    fin_targets = {k: v for k, v in targets.items() if k <= n_f}
+    # pid -> sorted (0-based local index, global rank) pairs; pid p
+    # covers global ranks (offset, offset + count], so ≤ |qs| pids
+    # carry any work at all
+    local: dict[int, list[tuple[int, int]]] = {}
+    for pid, off in offsets.items():
+        pairs = sorted((k - off - 1, k) for k in fin_targets
+                       if off < k <= off + counts[pid])
+        if pairs:
+            local[pid] = pairs
+    needed = sorted(local)
+    if not needed:
+        return (df.sparkSession.createDataFrame(
+            nan_rows, "q double, rank long, value double").orderBy("q"))
+
+    def _select(batches):
+        import numpy as np
+        import pandas as pd
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pairs = local.get(int(pdf["__pid__"].iloc[0]))
+        if not pairs:
+            return
+        v = pdf["v"].to_numpy()
+        idx = [i for i, _ in pairs]
+        # introselect places every kth index in its sorted position;
+        # the value at rank k is the k-th smallest element, identical
+        # to row_number-over-ascending-order at rank k (equal keys are
+        # interchangeable at a rank boundary).  NaN orders last, the
+        # same as Spark's ascending sort.
+        part = np.partition(v, idx)
+        yield pd.DataFrame({"rank": [g for _, g in pairs],
+                            "value": [float(part[i]) for i in idx]})
+
     tgt = F.create_map(
-        *[x for k, qlist in targets.items()
+        *[x for k, qlist in fin_targets.items()
           for x in (F.lit(k), F.array(*[F.lit(v) for v in qlist]))])
-    return (vals.withColumn("rank", rank)
-            .where(F.col("rank").isin(*targets.keys()))
-            .select(F.explode(tgt[F.col("rank")]).alias("q"), "rank",
-                    F.col("v").cast("double").alias("value"))
-            .orderBy("q"))
+    out = (vals.where(F.col("__pid__").isin(*needed))
+           .mapInPandas(_select, "rank long, value double")
+           .select(F.explode(tgt[F.col("rank")]).alias("q"), "rank",
+                   "value"))
+    if nan_rows:
+        out = out.unionAll(df.sparkSession.createDataFrame(
+            nan_rows, "q double, rank long, value double"))
+    return out.orderBy("q")
 
 
 # ---------------------------------------------------------------------------

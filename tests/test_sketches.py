@@ -470,3 +470,67 @@ def test_fixed_histogram_null_and_validation(spark):
     assert fixed_histogram_quantiles_py([], 50.0) == {}
     with pytest.raises(ValueError):
         fixed_histogram_cells(df, "v", 0)
+
+
+# ---------------------------------------------------------------------------
+# round-11: sketch-banded exact_quantiles internals
+# ---------------------------------------------------------------------------
+
+def _eq_ref(vals, qs):
+    """Rank-ceil(q·n) reference with NaN ordered last (Spark's sort)."""
+    import math
+    fin = sorted(v for v in vals if v == v)
+    s = fin + [v for v in vals if v != v]
+    return {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+
+
+def test_exact_quantiles_banded_path_ties_and_collapse(spark):
+    """>10k rows forces the sketch-banded path; heavy ties make the
+    band collapse (lo == hi) and must resolve without the shuffle
+    fallback or the final collect."""
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+    vals = [5.0] * 29_999 + [6.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["q"]: (r["rank"], r["value"])
+           for r in exact_quantiles(df, "v", qs=(0.5, 1.0)).collect()}
+    assert got[0.5] == (15_000, 5.0)
+    assert got[1.0] == (30_000, 6.0)
+
+
+def test_exact_quantiles_banded_path_nan_suffix(spark):
+    """NaN sorts greatest: a target rank past the last finite value is
+    NaN (not NULL — the pandas→Arrow NaN→null trap), and finite ranks
+    stay exact because the cuts re-anchor at k/n_f."""
+    import math
+    import random
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        exact_quantiles,
+    )
+    rng = random.Random(7)
+    vals = [rng.random() for _ in range(12_000)] + [float("nan")] * 4_000
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles(df, "v", qs=(0.5, 0.95)).collect()}
+    want = _eq_ref(vals, (0.5, 0.95))
+    assert got[0.5] == want[0.5]
+    assert got[0.95] != got[0.95] and want[0.95] != want[0.95]  # NaN
+
+
+def test_exact_quantiles_partitioned_fallback_matches(spark):
+    """The shuffle fallback obeys the same contract, including NaN
+    ranks emitted as NaN (driver-side union, never through Arrow)."""
+    import random
+    from etl_excel_to_hyper_tableau_spark.operators.sketches import (
+        _exact_quantiles_partitioned,
+    )
+    rng = random.Random(3)
+    vals = [rng.random() for _ in range(5_000)] + [float("nan")] * 1_000
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["q"]: r["value"] for r in _exact_quantiles_partitioned(
+        df, "v", qs=(0.25, 0.5, 1.0)).collect()}
+    want = _eq_ref(vals, (0.25, 0.5, 1.0))
+    assert got[0.25] == want[0.25]
+    assert got[0.5] == want[0.5]
+    assert got[1.0] != got[1.0] and want[1.0] != want[1.0]  # NaN rank
