@@ -1112,7 +1112,7 @@ def _norm_py(a: list) -> float:
 
 def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 5,
-             lam: float = 0.7, max_local: int = 5_000,
+             lam: float = 0.7, max_local: int = 100_000,
              max_local_bytes: int = 64 << 20) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR'98) — the selection rule for "relevant but not
@@ -1222,50 +1222,72 @@ def mmr_topk(df: DataFrame, vec_col: str, id_col: str,
     else:
         surv = None    # survivor set may exceed the valve: cluster path
     if surv is not None:
-        # the greedy is interpreted Python at O(|surv|·k·d) — max_local
-        # (default 5 000) keeps that under the cluster rounds' job
-        # floor; norms are cached per row (same doubles, the fold runs
-        # once) so each round is one dot per (candidate × newest pick)
+        # vectorized greedy, bit-identical to the scalar replay: the
+        # per-candidate dot/norm folds run SEQUENTIALLY IN d with numpy
+        # broadcasting ACROSS candidates — `acc = acc + V[:, j] * sv[j]`
+        # performs, per candidate, the identical multiply-then-add IEEE
+        # op sequence as `_dot_py`'s left fold (numpy elementwise ufuncs
+        # never fuse into FMA), so every sim/score double equals the
+        # interpreted loop's and the oracle's.  This is what lets
+        # max_local default to 100 000 (the round-11 change: at sf1 the
+        # safe prune keeps ~20k survivors, which used to overflow the
+        # 5 000-row valve into k sequential cluster argmax jobs — ~2 s
+        # of job floor for a ~10 MB survivor set); the argmax itself
+        # stays a scalar pass so comparison/tie semantics (score desc,
+        # then (id, position) asc) are byte-for-byte the old loop's.
+        import numpy as np
+
         lam_f, oml_f = float(lam), 1.0 - float(lam)
         # POSITIONAL rows, not an id-keyed dict: duplicate ids must
         # each stay a candidate (the distributed rounds score every
         # row); id is only the tie-break key, position the last resort
-        rows = [(int(r["id"]), [float(x) for x in r["vec"]],
-                 float(r["rel"])) for r in surv]
-        norms = [_norm_py(v) for _, v, _ in rows]
+        ids = [int(row["id"]) for row in surv]
+        rels = [float(row["rel"]) for row in surv]
+        V = np.array([row["vec"] for row in surv], dtype=np.float64)
+        n, d = V.shape if V.ndim == 2 else (len(surv), 0)
+        norm_acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            cj = V[:, j]
+            norm_acc = norm_acc + cj * cj
+        norms = np.sqrt(norm_acc)
         # invariant: every survivor has non-NULL rel, which requires a
         # nonzero vector norm (zero-norm rows were excluded with the
         # distributed filter's NULL semantics above) — assert rather
-        # than let a violation surface as ZeroDivisionError
-        assert all(n != 0.0 for n in norms), \
+        # than let a violation surface as a division by zero
+        assert bool((norms != 0.0).all()), \
             "zero-norm survivor despite NULL-rel exclusion"
         picked: list[tuple] = []
-        sel: list[tuple] = []          # (vec, norm) of selections
         taken: set[int] = set()        # positions
-        maxsims: dict[int, float] = {}  # position -> running max sim
+        maxsims = None                 # running max sim per position
+        scores = [lam_f * rv - oml_f * 0.0 for rv in rels]
+        last_pick = None               # (vec row, norm) of newest pick
         for r in range(1, k + 1):
+            if last_pick is not None:
+                sv, sn = last_pick
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    acc = acc + V[:, j] * sv[j]
+                new = acc / (norms * sn)
+                maxsims = new if maxsims is None \
+                    else np.maximum(maxsims, new)
+                ms = maxsims
+                scores = [lam_f * rels[p] - oml_f * float(ms[p])
+                          for p in range(n)]
             best = None
-            for p, (i, v, rel) in enumerate(rows):
+            for p in range(n):
                 if p in taken:
                     continue
-                if sel:
-                    sv, sn = sel[-1]
-                    new = _dot_py(v, sv) / (norms[p] * sn)
-                    prev = maxsims.get(p)
-                    maxsim = new if prev is None else max(prev, new)
-                    maxsims[p] = maxsim
-                else:
-                    maxsim = 0.0
-                score = lam_f * rel - oml_f * maxsim
+                score, i = scores[p], ids[p]
                 if (best is None or score > best[0]
                         or (score == best[0]
-                            and (i, p) < (best[1], best[4]))):
-                    best = (score, i, rel, v, p)
+                            and (i, p) < (best[1], best[2]))):
+                    best = (score, i, p)
             if best is None:
                 break
-            picked.append((r, best[1], best[2], best[0]))
-            sel.append((best[3], norms[best[4]]))
-            taken.add(best[4])
+            bp = best[2]
+            picked.append((r, best[1], rels[bp], best[0]))
+            last_pick = (V[bp], float(norms[bp]))
+            taken.add(bp)
         scored.unpersist()
         return df.sparkSession.createDataFrame(
             picked, "rank long, id long, relevance double, mmr_score double")
