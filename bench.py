@@ -237,15 +237,25 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Round-12 (PERF contract restoration, round-11 verdict item #2):
+    # the one-line JSON carries a COMPACT per-query map again so the
+    # driver's PERF_rN per-query diff has n_common > 0 without relying
+    # on BENCH_DETAIL.json (which each run overwrites — the driver's
+    # 8-core re-run destroyed its own 32-core detail in round 11).
+    # Values round to 0.01 s: 105 entries ≈ 3 KB on one line, far under
+    # the capture limit the round-2 overflow hit (that was a 37-query
+    # PRETTY-PRINTED dict; this is separators-packed).  Full-precision
+    # detail still goes to BENCH_DETAIL.json.
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in warm.items()},
         "cold_total": round(sum(cold.values()), 3),
         "n_queries": len(warm),
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 
